@@ -1,0 +1,141 @@
+"""Flagship e2e: the Spark engine must reproduce the sequential reference
+model exactly — crawl ordering (per-round transcript), URL-seen set,
+byte-identical extracted text, and per-round counters (SURVEY.md §5.2 #1,
+BASELINE.md target metrics)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from crawl_spark.plans.engine import CrawlEngine, EngineConfig
+from crawl_spark.plans.handlers import Handler, HandlerRegistry
+
+from . import refmodel
+
+
+def _registry() -> HandlerRegistry:
+    reg = HandlerRegistry()
+    reg.register("page", Handler(name="page", text_selector="body", link_selector="a"))
+    # glob pattern: matches callback "list" (go-glob, crawler.go:258-263)
+    reg.register(
+        "li*",
+        Handler(name="lister", text_selector="h1", link_selector="ul.nav a", follow=False),
+    )
+    return reg
+
+
+def _load(tiny_fixture):
+    pages = pd.read_parquet(tiny_fixture["pages"])
+    seeds = pd.read_parquet(tiny_fixture["seeds"])
+    robots = pd.read_parquet(tiny_fixture["robots"])
+    return pages, seeds, robots
+
+
+def _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=6):
+    pages_map = dict(zip(pages["url"], pages["html"]))
+    robots_map = {
+        r["host"]: (list(r["disallow"]), float(r["crawl_delay"]))
+        for r in robots.to_dict("records")
+    }
+    return refmodel.crawl(
+        pages_map,
+        seeds.to_dict("records"),
+        _registry(),
+        robots=robots_map,
+        batch_cap=batch_cap,
+        max_rounds=max_rounds,
+    )
+
+
+@pytest.fixture(scope="module")
+def crawl_pair(spark, tiny_fixture, tmp_path_factory):
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots)
+
+    engine = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=40,
+            max_rounds=6,
+            workdir=str(tmp_path_factory.mktemp("crawl_work")),
+        ),
+    )
+    result = engine.run(seeds)
+    return golden, result, engine
+
+
+def test_crawl_ordering_exact(crawl_pair):
+    golden, result, _ = crawl_pair
+    assert len(result.transcript) == len(golden.transcript)
+    for r, (got, exp) in enumerate(zip(result.transcript, golden.transcript)):
+        assert got == exp, "round %d ordering mismatch:\ngot  %s\nwant %s" % (r, got, exp)
+
+
+def test_seen_set_exact(crawl_pair, spark):
+    golden, result, engine = crawl_pair
+    import os
+
+    base = os.path.join(result.workdir, "round_%05d" % (result.rounds - 1))
+    seen = {
+        row.url_canon
+        for row in spark.read.parquet(os.path.join(base, "seen")).collect()
+    }
+    assert seen == golden.seen
+
+
+def test_extracted_text_byte_identical(crawl_pair, spark, tiny_fixture):
+    golden, result, _ = crawl_pair
+    import os
+
+    rows = []
+    for r in range(result.rounds):
+        p = os.path.join(result.workdir, "round_%05d" % r, "extracted")
+        if os.path.exists(p):
+            rows += spark.read.parquet(p).collect()
+    got = {(row.url_canon, row.handler): row.text for row in rows}
+    exp = {
+        (u, h): t for u, handlers in golden.texts.items() for h, t in handlers.items()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k].encode() == exp[k].encode(), "text mismatch for %s" % (k,)
+    # and the golden pages.text column (generator truth) for handler "page"
+    pages = pd.read_parquet(tiny_fixture["pages"])
+    page_text = dict(zip(pages["url"], pages["text"]))
+    for (u, h), t in exp.items():
+        if h == "page" and u in page_text:
+            assert t == page_text[u]
+
+
+def test_counters_match(crawl_pair):
+    golden, result, _ = crawl_pair
+    keys = ["fetched", "deduped", "deferred_by_politeness", "expired"]
+    assert len(result.counters) == len(golden.counters)
+    for got, exp in zip(result.counters, golden.counters):
+        for k in keys:
+            assert got[k] == exp[k], "round %s counter %s: got %s want %s" % (
+                got["round"], k, got[k], exp[k])
+
+
+def test_resume_identical_ordering(spark, tiny_fixture, tmp_path_factory):
+    """Kill after round 2, resume from snapshot, transcript must equal the
+    uninterrupted run (north_rule: resumable with identical ordering)."""
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=5)
+
+    wd = str(tmp_path_factory.mktemp("resume_work"))
+    mk = lambda: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(batch_cap=40, max_rounds=5, workdir=wd, keep_rounds=99),
+    )
+    mk().run(seeds, max_rounds=2)  # "killed" after round 2
+    result = mk().run(seeds, max_rounds=5, resume=True)
+    assert result.transcript == golden.transcript[: len(result.transcript)]
+    assert len(result.transcript) == len(golden.transcript)
