@@ -1,38 +1,679 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl (frontier rounds over a pages
+table synthesized deterministically from the sf0.001 ``documents``
+table). ``queries()`` exposes every SQL-expressible operator from
+SURVEY.md §2 plus the training-data pipeline operators (dedup,
+similarity search, text analysis); ``oracle_sql()`` carries the DuckDB
+twin of each. Column names and value types are aligned on both sides
+(see crawl_spark/operators/* docstrings for the shared float contract:
+md5 for cross-engine hashing, index-ordered dot products, round(x, 6)
+before any ordering).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: crawl rounds over pages synthesized from `documents`
+
+def _synth_pages(spark: SparkSession, sf_dir: str):
+    """Deterministic pages table from `documents`: url/html/text/lang.
+
+    Each doc becomes one page at http://host{doc_id%20}.example/p/{doc_id}
+    whose nav links point at 3 other docs — a closed deterministic web.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    url = F.concat(
+        F.lit("http://host"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+    )
+    links = F.concat_ws(
+        "",
+        *[
+            F.concat(
+                F.lit('<li><a href="/p/'),
+                ((F.col("doc_id") * 3 + k) % n).cast("string"),
+                F.lit('">l</a></li>'),
+            )
+            for k in (1, 2, 3)
+        ],
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>doc </h1><p>"), F.col("text"),
+        F.lit('</p><ul class="nav">'), links, F.lit("</ul></body></html>"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def flagship_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 frontier rounds from 5 seeds; returns the ordered transcript."""
+    import tempfile
+
+    from crawl_spark.plans.engine import CrawlEngine, EngineConfig
+    from crawl_spark.plans.handlers import Handler, HandlerRegistry
+
+    pages = _synth_pages(spark, sf_dir)
+    reg = HandlerRegistry()
+    reg.register("page", Handler(name="page", text_selector="p", link_selector="a"))
+    eng = CrawlEngine(
+        spark, pages, reg,
+        config=EngineConfig(
+            batch_cap=64,
+            workdir=tempfile.mkdtemp(prefix="crawl_flagship_"),
+            keep_rounds=1,
+        ),
+    )
+    seeds = [
+        {"url": "http://host%d.example/p/%d" % (i % 20, i), "callbacks": ["page"]}
+        for i in range(5)
+    ]
+    res = eng.run(seeds, max_rounds=3)
+    rows = [
+        (r, p + 1, u)
+        for r, batch in enumerate(res.transcript)
+        for p, u in enumerate(batch)
+    ]
+    return spark.createDataFrame(rows, "round int, batch_pos int, url_canon string")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_crawl(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine operator queries (SQL-expressible; events = frontier stand-in)
+
+def q_fifo_batch(spark, sf_dir):
+    """FIFO batch selection: top-500 by (ts, event_id) + batch_pos stamp
+    (memQueue.Get batch analog, queue_memory.go:27-33)."""
+    e = _t(spark, sf_dir, "events")
+    batch = e.orderBy("ts", "event_id").limit(500)
+    w = Window.orderBy("ts", "event_id")
+    return batch.select(
+        F.row_number().over(w).alias("batch_pos"), "event_id", "user_id"
+    )
+
+
+def q_politeness_rank(spark, sf_dir):
+    """Per-host window-ranked politeness budget (SURVEY.md §2.2)."""
+    e = _t(spark, sf_dir, "events").withColumn("host", F.col("user_id") % 53)
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    return (
+        e.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= 5)
+        .select("host", "host_rank", "event_id")
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """Seen-set dedup as left-anti join (SURVEY.md §2.5)."""
+    e = _t(spark, sf_dir, "events")
+    seen = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 200.0))
+        .select("user_id")
+        .distinct()
+    )
+    return e.join(seen, "user_id", "left_anti").select("event_id", "user_id")
+
+
+def q_fetch_join(spark, sf_dir):
+    """Fetch = equi-join of batch vs pages; misses are fetch errors
+    (crawler.go:180 analog per SURVEY.md §2.1)."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey, "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias("hit"),
+        )
+    )
+
+
+def q_glob_route(spark, sf_dir):
+    """Handler dispatch via pattern routing (crawler.go:239-252 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    h1 = d.filter(F.col("source").rlike("^src1")).select(
+        "doc_id", F.lit("h_src1").alias("handler")
+    )
+    h2 = d.filter(F.col("source").rlike("^src[0-9]*[02468]$")).select(
+        "doc_id", F.lit("h_even").alias("handler")
+    )
+    return h1.unionByName(h2)
+
+
+def q_round_counters(spark, sf_dir):
+    """Per-round metric counters (SURVEY.md §2.7): count + decimal-exact sum."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+def q_deadline_expire(spark, sf_dir):
+    """Deadline gating (nsq/nsqcrawl/queue.go:90-94 analog)."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    return e.groupBy(
+        F.when(F.col("ts") <= cutoff, "expired").otherwise("live").alias("state"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+
+
+def q_priority_topk(spark, sf_dir):
+    """Priority-queue top-k per class (SURVEY.md §2.2 priority ordering)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_seq_stamp(spark, sf_dir):
+    """Deterministic seq assignment: row_number over a total sort key
+    (engine.py seq-stamp contract; SURVEY.md §7 hard-part #2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(w).alias("seq")
+    )
+
+
+def q_host_skew(spark, sf_dir):
+    """Heavy-hitter host detection + salt factor (SURVEY.md §4.2 skew)."""
+    e = _t(spark, sf_dir, "events").withColumn("host", F.col("user_id") % 13)
+    return (
+        e.groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 300)
+        .select("host", "n", F.ceil(F.col("n") / 500).alias("salt"))
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization UDF vs a string-ops oracle on constrained
+    synthetic URLs (urlnorm.canonicalize: lowercase scheme/host, strip
+    default port + fragment, preserve query)."""
+    from crawl_spark.functions.canon_udf import canonicalize_udf
+
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 20).cast("string")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTP://HOST"), h, F.lit(".EXAMPLE/p/"), i))
+        .when(m == 1, F.concat(F.lit("http://host"), h, F.lit(".example:80/p/"), i))
+        .when(m == 2, F.concat(F.lit("http://host"), h, F.lit(".example/p/"), i, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("http://host"), h, F.lit(".example/p/"), i, F.lit("?q=1")))
+    )
+    c = canonicalize_udf(url, F.lit(None).cast("string"))
+    return d.select(
+        "doc_id", c["url_canon"].alias("url_canon"), c["host"].alias("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+
+def q_dedup_exact(spark, sf_dir):
+    from crawl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_bands(spark, sf_dir):
+    from crawl_spark.operators.dedup import lsh_bands, minhash_signature
+
+    return lsh_bands(minhash_signature(_t(spark, sf_dir, "documents")))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from crawl_spark.operators.dedup import minhash_candidates
+
+    return minhash_candidates(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from crawl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+def q_simhash(spark, sf_dir):
+    from crawl_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from crawl_spark.operators.textops import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    from crawl_spark.operators.textops import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    from crawl_spark.operators.textops import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from crawl_spark.operators.textops import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from crawl_spark.operators.similarity import brute_force_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(v, v.filter(F.col("vec_id") < 8), k=10)
+
+
+def q_ivf_assign(spark, sf_dir):
+    from crawl_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    from crawl_spark.operators.similarity import ivf_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(v, v.filter(F.col("vec_id") < 8), k=10, nprobe=2)
+
+
+def q_embed_neardup(spark, sf_dir):
+    from crawl_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "fifo_batch": q_fifo_batch,
+        "politeness_rank": q_politeness_rank,
+        "seen_antijoin": q_seen_antijoin,
+        "fetch_join": q_fetch_join,
+        "glob_route": q_glob_route,
+        "round_counters": q_round_counters,
+        "deadline_expire": q_deadline_expire,
+        "priority_topk": q_priority_topk,
+        "seq_stamp": q_seq_stamp,
+        "host_skew": q_host_skew,
+        "url_canonicalize": q_url_canonicalize,
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
+        "embed_neardup": q_embed_neardup,
+        "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — shared fragments mirror crawl_spark/operators exactly
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(0, len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+_MINHASH_K = 12
+_SIG_COMPONENTS = ",\n    ".join(
+    f"list_aggregate(list_transform(s, x -> md5('{j}:' || x)), 'min')"
+    for j in range(_MINHASH_K)
+)
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5(concat_ws('|', '{b}', mh[{b*3+1}], mh[{b*3+2}], mh[{b*3+3}])) AS band_key FROM sig"
+    for b in range(4)
+)
+
+_MINHASH_CTES = f"""
+tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM tk),
+sig AS (SELECT doc_id, [{_SIG_COMPONENTS}] AS mh FROM sh WHERE len(s) > 0),
+bands AS ({_BAND_SELECTS})
+"""
+
+_COSINE_CTES = """
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e,
+        list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i])) AS nn
+      FROM v)
+"""
+
+_LANGS_SQL = {
+    "de": "['der','die','das','und','nicht','ist','ein','zu']",
+    "en": "['the','a','of','and','to','in','is','value','data','fast']",
+    "es": "['el','la','los','y','de','un','una','es']",
+    "fr": "['le','la','les','et','des','un','une','est']",
+    "pl": "['nie','to','się','jest','na','i','z','do']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    score_cols = ", ".join(
+        f"len(list_intersect(t, {arr})) AS s_{lang}" for lang, arr in _LANGS_SQL.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in _LANGS_SQL) + ")"
+    pred_cases = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in sorted(_LANGS_SQL))
+
+    return {
+        "fifo_batch": """
+WITH batch AS (SELECT * FROM events ORDER BY ts, event_id LIMIT 500)
+SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS INT) AS batch_pos,
+       event_id, user_id
+FROM batch
+""",
+        "politeness_rank": """
+SELECT host, host_rank, event_id FROM (
+  SELECT user_id % 53 AS host,
+         CAST(row_number() OVER (PARTITION BY user_id % 53 ORDER BY ts, event_id) AS INT) AS host_rank,
+         event_id
+  FROM events
+) WHERE host_rank <= 5
+""",
+        "seen_antijoin": """
+SELECT event_id, user_id FROM events
+WHERE user_id NOT IN (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 200.0
+)
+""",
+        "fetch_join": """
+SELECT e.event_id, e.user_id,
+       CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS hit
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+        "glob_route": """
+SELECT doc_id, 'h_src1' AS handler FROM documents WHERE regexp_matches(source, '^src1')
+UNION ALL
+SELECT doc_id, 'h_even' AS handler FROM documents WHERE regexp_matches(source, '^src[0-9]*[02468]$')
+""",
+        "round_counters": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+        "deadline_expire": """
+SELECT CASE WHEN ts <= TIMESTAMP '2024-06-01 00:00:00' THEN 'expired' ELSE 'live' END AS state,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+        "priority_topk": """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank,
+         o_orderkey, o_totalprice
+  FROM orders
+) WHERE rank <= 3
+""",
+        "seq_stamp": """
+SELECT l_orderkey, l_linenumber,
+       CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS INT) AS seq
+FROM lineitem
+""",
+        "host_skew": """
+SELECT host, n, CAST(ceil(n / 500) AS BIGINT) AS salt FROM (
+  SELECT user_id % 13 AS host, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+) WHERE n >= 300
+""",
+        "url_canonicalize": """
+SELECT doc_id,
+       'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 3 THEN '?q=1' ELSE '' END AS url_canon,
+       'host' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host
+FROM documents
+""",
+        "dedup_exact": f"""
+WITH tk AS (SELECT doc_id, md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS content_md5 FROM documents)
+SELECT doc_id, content_md5, n_copies FROM (
+  SELECT doc_id, content_md5,
+         CAST(row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS INT) AS rn,
+         CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT) AS n_copies
+  FROM tk
+) WHERE rn = 1
+""",
+        "minhash_bands": f"""
+WITH {_MINHASH_CTES}
+SELECT doc_id, band, band_key FROM bands
+""",
+        "minhash_pairs": f"""
+WITH {_MINHASH_CTES}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+        "ngram_jaccard": f"""
+WITH {_MINHASH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN shx x ON x.doc_id = c.id_a
+  JOIN shx y ON y.doc_id = c.id_b AND y.g = x.g
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
+""",
+        "simhash": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+bitsrc AS (SELECT doc_id, h, unnest(range(0, 32)) AS b FROM h),
+bits AS (
+  SELECT doc_id, b,
+         CAST(floor((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                    / power(2, b % 4)) AS INT) % 2 AS bitval
+  FROM bitsrc
+),
+votes AS (
+  SELECT doc_id, b, CAST(SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+        "lang_id": f"""
+WITH tk AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+sc AS (SELECT doc_id, {score_cols} FROM tk),
+g AS (SELECT *, {best} AS best FROM sc)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' {pred_cases} END AS lang_pred,
+       CAST(best AS INT) AS lang_score
+FROM g
+""",
+        "quality_score": f"""
+WITH b AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         round(CASE WHEN len(t) > 0
+               THEN length(list_aggregate(t, 'string_agg', '')) / len(t)
+               ELSE 0.0 END, 6) AS mean_token_len,
+         round(CASE WHEN length(text) > 0
+               THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio,
+         round(CASE WHEN len(t) > 0
+               THEN len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','on','for'], x))) / len(t)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         len(t) AS n_tok
+  FROM b
+)
+SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+       round(5 * least(n_tok / 40.0, 1.0)
+             + 3 * least(stopword_ratio * 5, 1.0)
+             + 2 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS quality
+FROM f
+""",
+        "token_count": f"""
+WITH b AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS INT) AS n_ws_tokens,
+       CAST(len(list_distinct(t)) AS INT) AS n_uniq_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_word_pieces
+FROM b
+""",
+        "fingerprint": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM tk),
+hx AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM sh),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(h) - 3 >= 1 THEN
+           list_distinct(list_transform(range(0, len(h) - 3), i -> list_aggregate(h[i+1:i+4], 'min')))
+         WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+         ELSE CAST([] AS VARCHAR[]) END AS fps
+  FROM hx
+)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+       list_aggregate(fps, 'min') AS min_fingerprint
+FROM fp
+""",
+        "cosine_topk": f"""
+WITH {_COSINE_CTES},
+p AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS nbr_id,
+         round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+               / (sqrt(q.nn) * sqrt(x.nn)), 6) AS cos
+  FROM n q, n x
+  WHERE q.vec_id < 8 AND x.vec_id <> q.vec_id
+)
+SELECT query_id, rank, nbr_id, cos FROM (
+  SELECT query_id, nbr_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+  FROM p
+) WHERE rank <= 10
+""",
+        "ivf_assign": f"""
+WITH {_COSINE_CTES},
+cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+               / (sqrt(v.nn) * sqrt(c.cnn)), 6) AS cos
+  FROM n v, cents c
+)
+SELECT vec_id, centroid_id, cos AS centroid_cos FROM (
+  SELECT vec_id, centroid_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+        "ivf_topk": f"""
+WITH {_COSINE_CTES},
+cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                 / (sqrt(v.nn) * sqrt(c.cnn)), 6) AS cos,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                                             / (sqrt(v.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
+    FROM n v, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.ce[i]))
+                                             / (sqrt(q.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
+    FROM n q, cents c WHERE q.vec_id < 8
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS nbr_id,
+         max(round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+                   / (sqrt(q.nn) * sqrt(x.nn)), 6)) AS cos
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN n q ON q.vec_id = p.query_id
+  JOIN n x ON x.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT query_id, rank, nbr_id, cos FROM (
+  SELECT query_id, nbr_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+        "embed_neardup": f"""
+WITH {_COSINE_CTES},
+cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                 / (sqrt(v.nn) * sqrt(c.cnn)), 6) AS cos,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                                             / (sqrt(v.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
+    FROM n v, cents c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
+             / (sqrt(x.nn) * sqrt(y.nn)), 6) AS cos
+FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+JOIN n x ON x.vec_id = a.vec_id
+JOIN n y ON y.vec_id = b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
+            / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.25
+""",
+    }

@@ -1,0 +1,209 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Spark-first design — every step is built-in column expressions + joins
+(JVM-side, codegen), so the same pipeline that dedups 500 test docs
+dedups a 100 TB corpus:
+
+- exact:    md5(normalized text) → window keep-first (one shuffle on the
+            16-byte digest, never on the text itself).
+- MinHash:  k md5-based hash functions over word shingles → signature →
+            LSH bands → self-join on band key.  Banding means candidate
+            generation shuffles (doc_id, band_key) pairs only; the
+            quadratic part runs per-bucket, and bucket sizes are bounded
+            by collision probability, not corpus size.
+- SimHash:  64 explode-free… actually explode(tokens)×explode(bits) then
+            two groupBys — all partial-aggregated; the heavy explode is
+            map-side and never materialized.
+- Jaccard:  exact verify on LSH candidates only (classic
+            candidate-then-verify; verification cost is O(candidates),
+            not O(n²)).
+
+md5 is used for all content hashing because it is bit-identical across
+Spark, DuckDB (the correctness oracle), and Python — murmur3 (F.hash) is
+used elsewhere for partitioning only, never for cross-engine contracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import shingles, tokens
+
+MINHASH_K = 12  # hash functions
+LSH_BANDS = 4   # bands of r = K/BANDS rows each
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized (lowercased, ws-collapsed) text.
+
+    Keeps the smallest id per content digest; emits survivors with their
+    duplicate count. Equivalent to groupBy(digest) keep-min — expressed
+    as a window so survivors keep all their columns without a re-join.
+    """
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    d = df.withColumn("content_md5", F.md5(norm))
+    w = Window.partitionBy("content_md5").orderBy(F.col(id_col))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy("content_md5")))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "content_md5", F.col("n_copies").cast("long").alias("n_copies"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature: k hex-string min-hashes over word shingles.
+
+    Hash family j (0..k-1): h_j(s) = md5(j || ':' || s); the signature
+    component is the lexicographic min (hex strings compare like the
+    128-bit ints they encode). Docs with no shingles get null components.
+    One projection — no shuffle.
+    """
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+
+    def hasher(j: int):
+        # NB: the returned lambda must take exactly ONE parameter —
+        # F.transform passes (element, index) to 2-arg callables, which
+        # would silently bind the array index instead of j.
+        prefix = f"{j}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = F.array(*[F.array_min(F.transform(sh, hasher(j))) for j in range(k)])
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS) -> DataFrame:
+    """Explode a signature into (id, band, band_key) rows.
+
+    band_key = md5(band || ':' || sig slice) — docs agreeing on all r
+    components of any band collide. Null signatures (empty docs) drop out.
+    """
+    k = MINHASH_K
+    r = k // bands
+    rows = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws("|", F.lit(str(b)), *[F.col("minhash")[b * r + i] for i in range(r)])
+        )
+        rows.append(
+            sig_df.filter(F.col("minhash")[0].isNotNull()).select(
+                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing at least one band bucket.
+
+    The self-join runs on band_key (16-byte digest) — at corpus scale
+    this is the only shuffle, and AQE's skew-join splits any hot bucket.
+    """
+    bands = lsh_bands(minhash_signature(df, id_col, text_col), id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: exact n-gram Jaccard verify over LSH candidates.
+
+    jaccard = |A∩B| / |A∪B| over distinct word shingles, computed by
+    joining each candidate pair's exploded shingle sets — O(candidate
+    pairs × shingles), never O(n²). Rounded to 6dp (cross-engine float
+    contract).
+    """
+    cand = minhash_candidates(df, id_col, text_col)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a"), "id_a")
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash signature (Charikar'02): per-token md5 bit votes.
+
+    bit b of token t = bit (b mod 4) of hex nibble (b div 4) of md5(t);
+    each token votes +1/-1 per bit position (with multiplicity); the
+    signature sets bit b iff the vote sum is > 0.  Two groupBys, both
+    partial-aggregated; emits (id, simhash bigint).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = tok.withColumn("h", F.md5(F.col("tok")))
+    bit = h.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("h"),
+    ).withColumn(
+        "nib",
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1),
+        )
+        - 1,
+    ).withColumn(
+        "bitval",
+        (F.floor(F.col("nib") / F.pow(F.lit(2.0), (F.col("b") % 4).cast("double"))).cast("int") % 2),
+    )
+    votes = bit.groupBy(id_col, "b").agg(
+        F.sum(F.when(F.col("bitval") == 1, 1).otherwise(-1)).alias("v")
+    )
+    sig = votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+    return sig

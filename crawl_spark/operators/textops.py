@@ -1,0 +1,177 @@
+"""Text-analysis operators for a training-data pipeline: tokenization,
+shingling, language-ID, quality scoring, token counting, fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side,
+vectorized, whole-stage codegen) — no UDFs. Each operator has an exact
+ANSI-SQL equivalent (the DuckDB oracle in ``__spark_entry__.py``); the
+token/shingle definitions below are the single source of truth shared by
+the Spark and SQL sides.
+
+Scale notes (100 TB corpus):
+- everything is a narrow per-row projection or an explode+groupBy(doc_id)
+  — aggregations are partial (map-side combine) and shuffle only
+  (doc_id, key) pairs, never raw text;
+- column pruning: callers should select (doc_id, text) before these ops
+  so parquet never materializes unused columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword sets for the n-gram/stopword language-ID heuristic.  Tiny and
+# deterministic on purpose: the operator contract is the *mechanism*
+# (per-language token-overlap scoring with a fixed tiebreak), not a
+# state-of-the-art model — swap in real fastText-style tables in prod.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "value", "data", "fast"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es"],
+    "pl": ["nie", "to", "się", "jest", "na", "i", "z", "do"],
+}
+LANG_ORDER = sorted(LANG_STOPWORDS)  # deterministic tiebreak: alphabetical
+
+# English-ish stopword list used by the quality score (ratio feature).
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+PUNCT_RE = r"[.,!?;:]"
+WORD_RE = "[a-z0-9]+"  # BPE-ish word pieces after lowercasing
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empties dropped).
+
+    SQL twin: list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '')
+    """
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles, in order; [] when fewer than n tokens.
+
+    SQL twin uses range(0, len-n+1) + 1-based list indexing.
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID (reference-class heuristic).
+
+    Scores each language by |distinct(tokens) ∩ stopwords(lang)|; the
+    prediction is the max score with alphabetical-language tiebreak;
+    all-zero scores → 'und'.  Pure array ops — one projection, no shuffle.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])))
+        for lang in LANG_ORDER
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    pred = F.lit("und")
+    # reverse order so that on ties the alphabetically-first language wins
+    for lang, sc in reversed(list(zip(LANG_ORDER, scores))):
+        pred = F.when((best > 0) & (sc == best), F.lit(lang)).otherwise(pred)
+    out = df.select(F.col(id_col), pred.alias("lang_pred"), best.alias("lang_score"))
+    return out
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score.
+
+    Emits one row per doc: n_tokens, mean_token_len, punct_ratio,
+    stopword_ratio, and a [0,1] quality score (fixed linear blend).
+    All ratios rounded to 6dp for cross-engine float stability.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    n_punct = n_char - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    sw = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    mean_len = F.round(
+        F.when(n_tok > 0, (F.length(F.concat_ws("", toks))) / n_tok).otherwise(F.lit(0.0)), 6
+    )
+    punct_ratio = F.round(F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(0.0)), 6)
+    stop_ratio = F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 6)
+    # fixed blend (0..10): long-enough docs with some stopwords and few
+    # punct runs. Integer weights over ≤6dp terms keep the score exactly
+    # representable at 6dp — so round(·,6) can never hit a .5 boundary
+    # and the DuckDB oracle agrees bit-for-bit.
+    len_term = F.least(n_tok / F.lit(40.0), F.lit(1.0))
+    score = F.round(
+        F.lit(5) * len_term + F.lit(3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex word pieces.
+
+    n_ws_tokens = whitespace-split count; n_word_pieces = matches of
+    ``[a-z0-9]+`` on the lowercased text (a cheap stand-in for a BPE
+    pre-tokenizer); n_uniq_tokens = distinct whitespace tokens.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.regexp_count(F.lower(t), F.lit(WORD_RE)).alias("n_word_pieces"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03 style).
+
+    Hash every word n-gram shingle (md5 hex — stable across engines),
+    slide a ``window``-wide window over the hash sequence, keep the min
+    hash of each window, dedup.  Emits per-doc fingerprint-set size and
+    the lexicographic min fingerprint (a compact doc signature).
+    Docs with fewer than ``window`` shingles use the global min.
+    """
+    toks = tokens(F.col(text_col))
+    sh = shingles(toks, n)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    nwin = F.size(hashes) - window + 1
+    win_mins = F.transform(
+        F.sequence(F.lit(0), nwin - 1),
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    fps = F.when(nwin >= 1, F.array_distinct(win_mins)).otherwise(
+        F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fingerprint"),
+    )

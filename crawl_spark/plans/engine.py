@@ -335,19 +335,29 @@ class CrawlEngine:
         )
         host_state = host_state.join(upd.select("host"), "host", "left_anti").unionByName(upd)
 
-        # 6b. fetch = equi-join against pages; broadcast the bounded batch
+        # 6b. fetch = equi-join against pages, broadcasting the bounded
+        # batch. A single left-outer join can't broadcast its preserved
+        # side (Spark only builds the non-preserved side), which would
+        # silently shuffle the 100 TB pages table — so split into
+        #   hits   = pages ⋈ broadcast(batch)        (inner, build right)
+        #   misses = batch ⋉̸ broadcast(hit urls)     (left-anti, build right)
+        # Both joins build the ≤batch_cap side; pages is only scanned.
         fetch_cols = ["url_canon", "url", "batch_pos", "priority", "depth", "callbacks", "raw"]
-        fetched = F.broadcast(batch.select(*fetch_cols)).join(
-            self.pages, F.col("url_canon") == F.col("page_url"), "left"
+        hits = self.pages.join(
+            F.broadcast(batch.select(*fetch_cols)),
+            F.col("url_canon") == F.col("page_url"),
+            "inner",
+        ).drop("page_url")
+        hits = hits.localCheckpoint(eager=True)  # bounded by cap; reused 2×
+        misses = batch.select("url_canon").join(
+            F.broadcast(hits.select("url_canon")), "url_canon", "left_anti"
         )
-        misses = fetched.filter(F.col("page_url").isNull())
         errors_parts.append(
             misses.select(
                 F.col("url_canon").alias("url"), F.lit(r).alias("round"),
                 F.lit("fetch_miss").alias("error_class"), F.lit("").alias("message"),
             )
         )
-        hits = fetched.filter(F.col("page_url").isNotNull()).drop("page_url")
         c["fetched"] = hits.count()
 
         # 7. extract + dispatch (one parse per page, Arrow-batched)
