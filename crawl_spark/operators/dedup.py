@@ -65,6 +65,12 @@ def minhash_signature(
     component is the lexicographic min (hex strings compare like the
     128-bit ints they encode). Docs with no shingles get null components.
     One projection — no shuffle.
+
+    Components are emitted as SEPARATE columns (mh_0..mh_{k-1}), not one
+    array: Catalyst prunes unused columns but cannot prune inside an
+    array expression, and downstream banding only touches k/bands
+    components per branch — with an array every branch would recompute
+    the full signature (measured 17× slower at sf0.1).
     """
     sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
 
@@ -75,8 +81,10 @@ def minhash_signature(
         prefix = f"{j}:"
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    sig = F.array(*[F.array_min(F.transform(sh, hasher(j))) for j in range(k)])
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    cols = [
+        F.array_min(F.transform(sh, hasher(j))).alias(f"mh_{j}") for j in range(k)
+    ]
+    return df.select(F.col(id_col), *cols)
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS) -> DataFrame:
@@ -90,10 +98,10 @@ def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS)
     rows = []
     for b in range(bands):
         key = F.md5(
-            F.concat_ws("|", F.lit(str(b)), *[F.col("minhash")[b * r + i] for i in range(r)])
+            F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh_{b * r + i}") for i in range(r)])
         )
         rows.append(
-            sig_df.filter(F.col("minhash")[0].isNotNull()).select(
+            sig_df.filter(F.col("mh_0").isNotNull()).select(
                 F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
             )
         )
@@ -110,8 +118,11 @@ def minhash_candidates(
 
     The self-join runs on band_key (16-byte digest) — at corpus scale
     this is the only shuffle, and AQE's skew-join splits any hot bucket.
+    The bands table is materialized first (localCheckpoint) so the
+    signature computation runs once, not once per join side.
     """
     bands = lsh_bands(minhash_signature(df, id_col, text_col), id_col)
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

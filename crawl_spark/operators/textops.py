@@ -51,15 +51,20 @@ def tokens(text: Column) -> Column:
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles, in order; [] when fewer than n tokens.
 
+    Built as a zip_with chain over shifted slices, NOT transform +
+    element_at(toks, i): an outer-column reference inside a lambda is
+    re-evaluated per element by the interpreted higher-order-function
+    path, which turns shingling into O(len²) token-array recomputation
+    (measured ~100× slower on real documents).
+
     SQL twin uses range(0, len-n+1) + 1-based list indexing.
     """
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        ),
-    )
+    m = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
@@ -161,10 +166,16 @@ def fingerprint(
     sh = shingles(toks, n)
     hashes = F.transform(sh, lambda s: F.md5(s))
     nwin = F.size(hashes) - window + 1
-    win_mins = F.transform(
-        F.sequence(F.lit(0), nwin - 1),
-        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
-    )
+    # rolling window-min as a zip_with chain over shifted slices (same
+    # outer-reference-in-lambda hazard as shingles(): array_min(slice(h,
+    # i, w)) inside a transform re-evaluates the full hash array per
+    # window position)
+    m = F.greatest(nwin, F.lit(0))
+    win_mins = F.slice(hashes, 1, m)
+    for j in range(1, window):
+        win_mins = F.zip_with(
+            win_mins, F.slice(hashes, 1 + j, m), lambda a, b: F.least(a, b)
+        )
     fps = F.when(nwin >= 1, F.array_distinct(win_mins)).otherwise(
         F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
             F.array().cast("array<string>")

@@ -46,9 +46,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.canon_udf import canon_row, canonicalize_udf
+from ..functions.canon_udf import canonicalize_udf
 from ..functions.extract import extract_links as _extract_links_py
 from ..functions.htmldom import parse_html, sel_text
+from ..operators.topk import ranked_topk
 from .handlers import HandlerRegistry
 
 SEQ_STRIDE = 1 << 20
@@ -120,6 +121,17 @@ class EngineConfig:
     collect_transcript: bool = True
     keep_rounds: int = 2  # older round snapshots are deleted (resume keeps last)
     default_crawl_delay: float = 0.0
+    timing: bool = False  # print per-phase wall times (perf debugging)
+    # batch caps at or below this use the serial TakeOrdered+window
+    # selection (fewer jobs); above it the distributed ranked_topk
+    topk_serial_max: int = 10_000
+    # Bloom seen-set pre-filter (operators/bloom.py): OFF by default at
+    # test scale (the exact anti-join is cheaper below ~10^7 seen rows);
+    # turn on for 10^9+ seen-sets where the anti-join shuffle dominates.
+    use_bloom: bool = False
+    bloom_buckets: int = 64
+    bloom_bits: int = 1 << 20
+    bloom_hashes: int = 4
 
 
 @dataclass
@@ -217,41 +229,94 @@ class CrawlEngine:
                 [], "host string, disallow array<string>, crawl_delay double"
             )
         self.robots = robots_df.select("host", "disallow", "crawl_delay")
+        # politeness fast path: with no robots rules and no default delay,
+        # every budget is unlimited and no URL is denied — the per-host
+        # window rank, robots join and host-clock update are identity
+        # transforms, so skip them (saves a shuffle + 2 joins per round).
+        self._politeness_active = (
+            self.config.default_crawl_delay > 0 or not self.robots.isEmpty()
+        )
+        self._errors_schema = "url string, round int, error_class string, message string"
+        self._parallelism = spark.sparkContext.defaultParallelism
+        self._bloom = None
+        if self.config.use_bloom:
+            from ..operators.bloom import BloomConfig
 
-    # -- seed stamping (driver-side: seed lists are small; order = seq) ----
+            self._bloom_cfg = BloomConfig(
+                self.config.bloom_buckets, self.config.bloom_bits, self.config.bloom_hashes
+            )
+        else:
+            self._bloom_cfg = None
+
+    # -- seed stamping -------------------------------------------------------
+    # seq = position in the seed list (refmodel spec); canonicalization
+    # runs IN SPARK (the vectorized canon UDF), not a driver loop — a
+    # 10^6-seed list would otherwise serialize ~1 min of driver-side URL
+    # parsing ahead of an otherwise parallel job. Dedup keeps the
+    # first occurrence (min seq) per canonical URL, matching the
+    # sequential reference model exactly.
     def seed_frontier(self, seeds: pd.DataFrame | list) -> DataFrame:
         if isinstance(seeds, list):
             seeds = pd.DataFrame(seeds)
-        rows, seen, errors = [], set(), []
-        for i, s in enumerate(seeds.to_dict("records")):
-            c = canon_row(s.get("url"), s.get("referer"))
-            if c["url_canon"] is None:
-                errors.append((s.get("url"), 0, "invalid_url", ""))
-                continue
-            if c["url_canon"] in seen:
-                continue
-            seen.add(c["url_canon"])
-            rows.append(
-                {
-                    "url": s.get("url"),
-                    "url_canon": c["url_canon"],
-                    "host": c["host"],
-                    "path": c["path"],
-                    "host_hash": c["host_hash"],
-                    "url_hash": c["url_hash"],
-                    "priority": int(s.get("priority") or 0),
-                    "depth": 0,
-                    "round_added": 0,
-                    "seq": i,
-                    "callbacks": [] if s.get("callbacks") is None else list(s.get("callbacks")),
-                    "referer": s.get("referer"),
-                    "deadline": s.get("deadline"),
-                    "raw": bool(s.get("raw") or False),
-                }
-            )
-        self._seed_errors = errors
-        self._seed_dups = len(seeds) - len(rows) - len(errors)
-        return self.spark.createDataFrame(rows, _FRONTIER_SCHEMA)
+        n = len(seeds)
+        if n == 0:
+            self._seed_errors, self._seed_dups = [], 0
+            return self.spark.createDataFrame([], _FRONTIER_SCHEMA)
+
+        def col_or(name, default):
+            if name in seeds.columns:
+                return seeds[name]
+            return pd.Series([default] * n)
+
+        isnull = lambda v: v is None or (isinstance(v, float) and v != v)
+        pdf = pd.DataFrame(
+            {
+                "url": col_or("url", None),
+                "referer": [None if isnull(v) else v for v in col_or("referer", None)],
+                "priority": [0 if isnull(v) else int(v) for v in col_or("priority", 0)],
+                "seq": range(n),
+                "callbacks": [[] if isnull(v) else list(v) for v in col_or("callbacks", None)],
+                "deadline": [None if isnull(v) else float(v) for v in col_or("deadline", None)],
+                "raw": [False if isnull(v) else bool(v) for v in col_or("raw", False)],
+            }
+        )
+        raw_df = self.spark.createDataFrame(
+            pdf,
+            "url string, referer string, priority int, seq long, "
+            "callbacks array<string>, deadline double, raw boolean",
+        )
+        if n > 64:  # spread a big seed list before the parallel canon pass
+            raw_df = raw_df.repartition(self._parallelism)
+        stamped = raw_df.withColumn(
+            "c", canonicalize_udf(F.col("url"), F.col("referer"))
+        ).select(
+            "url", "referer", "priority", "seq", "callbacks", "deadline", "raw",
+            F.col("c.url_canon").alias("url_canon"),
+            F.col("c.host").alias("host"),
+            F.col("c.path").alias("path"),
+            F.col("c.url_hash").alias("url_hash"),
+            F.col("c.host_hash").alias("host_hash"),
+        )
+        # checkpoint before filtering on the UDF output (pushdown would
+        # double-evaluate the canon pass, see the links pipeline below)
+        stamped = stamped.localCheckpoint(eager=True)
+        self._seed_errors = [
+            (row.url, 0, "invalid_url", "")
+            for row in stamped.filter(F.col("url_canon").isNull())
+            .select("url").limit(10000).collect()
+        ]
+        w = Window.partitionBy("url_canon").orderBy("seq")
+        frontier = (
+            stamped.filter(F.col("url_canon").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .withColumn("depth", F.lit(0))
+            .withColumn("round_added", F.lit(0))
+            .select(*_FRONTIER_COLS)
+        )
+        frontier = frontier.localCheckpoint(eager=True)
+        self._seed_dups = n - frontier.count() - len(self._seed_errors)
+        return frontier
 
     # -- one round ---------------------------------------------------------
     def _round(
@@ -265,53 +330,83 @@ class CrawlEngine:
         c = {"round": r, "fetched": 0, "deduped": 0, "deferred_by_politeness": 0,
              "expired": 0, "errors": 0, "scheduled": 0}
         errors_parts = []
+        tick = self._make_tick(r)
 
-        # 1. expire (deadline drop, nsq/nsqcrawl/queue.go:90-94)
-        live = frontier.filter(F.col("deadline").isNull() | (F.col("deadline") > r))
-        c["expired"] = frontier.count() - live.count()
+        # 1. expire (deadline drop, nsq/nsqcrawl/queue.go:90-94) — counts
+        # for the whole frontier come from ONE aggregation job
+        expired_cond = F.col("deadline").isNotNull() & (F.col("deadline") <= r)
+        agg = frontier.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(expired_cond, 1)).alias("n_expired"),
+        ).collect()[0]
+        live = frontier.filter(~expired_cond)
+        c["expired"] = agg.n_expired
+        tick("counts_agg")
 
-        # 2. robots disallow (broadcast: robots is a per-host dim table)
-        rb = F.broadcast(self.robots)
-        live = live.join(rb, "host", "left")
-        denied_cond = F.exists(
-            F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
-            lambda p: F.col("path").startswith(p),
-        )
-        denied = live.filter(denied_cond)
-        errors_parts.append(
-            denied.select(
-                F.col("url_canon").alias("url"), F.lit(r).alias("round"),
-                F.lit("robots_denied").alias("error_class"), F.lit("").alias("message"),
+        if self._politeness_active:
+            # 2. robots disallow (broadcast: robots is a per-host dim table)
+            rb = F.broadcast(self.robots)
+            live_r = live.join(rb, "host", "left")
+            denied_cond = F.exists(
+                F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+                lambda p: F.col("path").startswith(p),
             )
-        )
-        allowed = live.filter(~denied_cond)
+            denied = live_r.filter(denied_cond)
+            errors_parts.append(
+                denied.select(
+                    F.col("url_canon").alias("url"), F.lit(r).alias("round"),
+                    F.lit("robots_denied").alias("error_class"), F.lit("").alias("message"),
+                )
+            )
+            allowed = live_r.filter(~denied_cond)
 
-        # 3+4. per-host budget via window rank (single shuffle on host)
-        d = F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay))
-        nt = F.coalesce(F.col("next_time"), F.lit(0.0))
-        s_t = F.greatest(nt, F.lit(float(r)))
-        budget = F.when(d <= 0, F.lit(None).cast("long")).otherwise(
-            F.greatest(F.ceil((F.lit(r + 1.0) - s_t) / d), F.lit(0))
-        )
-        w = Window.partitionBy("host").orderBy(*FIFO_KEY)
-        ranked = (
-            allowed.join(F.broadcast(host_state), "host", "left")
-            .withColumn("host_budget", budget)
-            .withColumn("host_rank", F.row_number().over(w))
-        )
-        survivors = ranked.filter(
-            F.col("host_budget").isNull() | (F.col("host_rank") <= F.col("host_budget"))
-        )
+            # 3+4. per-host budget via window rank (single shuffle on host)
+            d = F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay))
+            nt = F.coalesce(F.col("next_time"), F.lit(0.0))
+            s_t = F.greatest(nt, F.lit(float(r)))
+            budget = F.when(d <= 0, F.lit(None).cast("long")).otherwise(
+                F.greatest(F.ceil((F.lit(r + 1.0) - s_t) / d), F.lit(0))
+            )
+            w = Window.partitionBy("host").orderBy(*FIFO_KEY)
+            ranked = (
+                allowed.join(F.broadcast(host_state), "host", "left")
+                .withColumn("host_budget", budget)
+                .withColumn("host_rank", F.row_number().over(w))
+            )
+            survivors = ranked.filter(
+                F.col("host_budget").isNull() | (F.col("host_rank") <= F.col("host_budget"))
+            )
+            n_allowed = allowed.count()
+        else:
+            errors_parts.append(
+                self.spark.createDataFrame([], self._errors_schema)
+            )
+            allowed = live
+            survivors = live
+            n_allowed = agg.n - agg.n_expired  # no extra job
 
-        # 5. global cap: TakeOrdered (no full sort); batch_pos over <= cap rows
-        batch = survivors.orderBy(*FIFO_KEY).limit(cfg.batch_cap)
-        batch = batch.withColumn(
-            "batch_pos", F.row_number().over(Window.orderBy(*FIFO_KEY))
-        )
+        # 5. global cap + batch_pos stamp. Two physically different,
+        # logically identical strategies (keys are unique, so both give
+        # the same batch):
+        # - small caps: orderBy+limit (TakeOrdered) + one bounded window
+        #   — fewest jobs, serial merge is trivial at this size;
+        # - large caps: distributed exact top-k (operators/topk.py) — no
+        #   TakeOrdered merge, no single-partition window; the only
+        #   serial data is one row-count per partition.
+        if cfg.batch_cap <= cfg.topk_serial_max:
+            batch = survivors.orderBy(*FIFO_KEY).limit(cfg.batch_cap)
+            batch = batch.withColumn(
+                "batch_pos", F.row_number().over(Window.orderBy(*FIFO_KEY))
+            ).select(*_FRONTIER_COLS, "batch_pos")
+        else:
+            batch = ranked_topk(
+                survivors.select(*_FRONTIER_COLS), FIFO_KEY, cfg.batch_cap,
+                pos_col="batch_pos", num_partitions=self._parallelism,
+            )
         batch = batch.localCheckpoint(eager=True)  # reused 4×; bounded by cap
         n_batch = batch.count()
-        n_allowed = allowed.count()
         c["deferred_by_politeness"] = n_allowed - n_batch
+        tick("batch_select")
 
         transcript = None
         if cfg.collect_transcript:
@@ -320,20 +415,24 @@ class CrawlEngine:
                 for row in batch.select("url_canon", "batch_pos").orderBy("batch_pos").collect()
             ]
 
-        # 6. host clock update
-        fetched_per_host = batch.groupBy("host").agg(F.count("*").alias("k"))
-        upd = (
-            fetched_per_host.join(F.broadcast(self.robots), "host", "left")
-            .join(F.broadcast(host_state), "host", "left")
-            .withColumn("d", F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay)))
-            .filter(F.col("d") > 0)
-            .select(
-                "host",
-                (F.greatest(F.coalesce(F.col("next_time"), F.lit(0.0)), F.lit(float(r)))
-                 + F.col("k") * F.col("d")).alias("next_time"),
+        # 6. host clock update (identity when politeness is inactive:
+        # every d is 0, so upd is empty)
+        if self._politeness_active:
+            fetched_per_host = batch.groupBy("host").agg(F.count("*").alias("k"))
+            upd = (
+                fetched_per_host.join(F.broadcast(self.robots), "host", "left")
+                .join(F.broadcast(host_state), "host", "left")
+                .withColumn("d", F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay)))
+                .filter(F.col("d") > 0)
+                .select(
+                    "host",
+                    (F.greatest(F.coalesce(F.col("next_time"), F.lit(0.0)), F.lit(float(r)))
+                     + F.col("k") * F.col("d")).alias("next_time"),
+                )
             )
-        )
-        host_state = host_state.join(upd.select("host"), "host", "left_anti").unionByName(upd)
+            host_state = host_state.join(
+                upd.select("host"), "host", "left_anti"
+            ).unionByName(upd)
 
         # 6b. fetch = equi-join against pages, broadcasting the bounded
         # batch. A single left-outer join can't broadcast its preserved
@@ -343,14 +442,19 @@ class CrawlEngine:
         #   misses = batch ⋉̸ broadcast(hit urls)     (left-anti, build right)
         # Both joins build the ≤batch_cap side; pages is only scanned.
         fetch_cols = ["url_canon", "url", "batch_pos", "priority", "depth", "callbacks", "raw"]
-        hits = self.pages.join(
-            F.broadcast(batch.select(*fetch_cols)),
+        # Hit/miss accounting uses a url-ONLY join — parquet column
+        # pruning means this scan never touches the html blobs. The html
+        # scan happens exactly once, streamed straight into extraction
+        # below (never checkpointed: materializing per-round page bodies
+        # would write+read the whole fetched batch's html to disk).
+        hit_urls = self.pages.select("page_url").join(
+            F.broadcast(batch.select(F.col("url_canon"))),
             F.col("url_canon") == F.col("page_url"),
             "inner",
-        ).drop("page_url")
-        hits = hits.localCheckpoint(eager=True)  # bounded by cap; reused 2×
+        ).select("url_canon")
+        hit_urls = hit_urls.localCheckpoint(eager=True)  # tiny; reused 2×
         misses = batch.select("url_canon").join(
-            F.broadcast(hits.select("url_canon")), "url_canon", "left_anti"
+            F.broadcast(hit_urls), "url_canon", "left_anti"
         )
         errors_parts.append(
             misses.select(
@@ -358,13 +462,24 @@ class CrawlEngine:
                 F.lit("fetch_miss").alias("error_class"), F.lit("").alias("message"),
             )
         )
-        c["fetched"] = hits.count()
+        c["fetched"] = hit_urls.count()
+        tick("fetch_join")
 
-        # 7. extract + dispatch (one parse per page, Arrow-batched)
+        # 7. fetch + extract + dispatch in ONE pass over the html scan
+        # (broadcast join against the bounded batch, one parse per page,
+        # Arrow-batched). Parallelism comes from the pages scan splits —
+        # make_session caps files.maxPartitionBytes so local fixtures
+        # split like a real many-file corpus does naturally.
+        hits = self.pages.join(
+            F.broadcast(batch.select(*fetch_cols)),
+            F.col("url_canon") == F.col("page_url"),
+            "inner",
+        ).drop("page_url")
         extracted = hits.select(
             "url_canon", "url", "batch_pos", "priority", "depth", "callbacks", "raw", "html"
         ).mapInPandas(_make_extract_fn(self.registry), _EXTRACT_SCHEMA)
         extracted = extracted.localCheckpoint(eager=True)  # parse once, reuse
+        tick("extract")
 
         # 8. schedule links: explode -> canonicalize -> dedup -> anti-join seen
         links = (
@@ -384,15 +499,39 @@ class CrawlEngine:
                 F.col("c.url_hash").alias("url_hash"),
                 F.col("c.host_hash").alias("host_hash"),
             )
-            .filter(F.col("url_canon").isNotNull())
         )
+        # Materialize BEFORE filtering out malformed links: a filter on a
+        # UDF-derived column gets predicate-pushed below the projection,
+        # turning one ArrowEvalPython into two (the whole canon pass runs
+        # twice — measured 2× wall). The checkpoint also lets the
+        # dedup/anti-join and the `deduped` counter share one UDF pass.
+        # Bounded by batch_cap × links/page.
+        links = links.localCheckpoint(eager=True)
+        links = links.filter(F.col("url_canon").isNotNull())
+        tick("links_canon")
         # in-round dedup: first occurrence in sequential order wins (spec:
         # links are scheduled in (batch_pos, position) = seq order)
         w_dup = Window.partitionBy("url_canon").orderBy("seq")
         deduped_links = links.withColumn("rn", F.row_number().over(w_dup)).filter(F.col("rn") == 1)
         n_valid = links.count()
+        if self._bloom is not None:
+            # Bloom pre-filter (operators/bloom.py): definite-new links
+            # skip the seen anti-join; possible-seen links get the exact
+            # check, so the union equals the plain anti-join exactly.
+            from ..operators.bloom import split_by_bloom
+
+            tagged = split_by_bloom(
+                deduped_links.drop("rn"), self._bloom, self._bloom_cfg, self.spark
+            ).localCheckpoint(eager=True)  # consumed by both branches
+            definite_new = tagged.filter(~F.col("possibly_seen")).drop("possibly_seen")
+            candidates = tagged.filter(F.col("possibly_seen")).drop("possibly_seen")
+            unseen = definite_new.unionByName(
+                candidates.join(seen.select("url_canon"), "url_canon", "left_anti")
+            )
+        else:
+            unseen = deduped_links.join(seen.select("url_canon"), "url_canon", "left_anti")
         new_rows = (
-            deduped_links.join(seen.select("url_canon"), "url_canon", "left_anti")
+            unseen
             .select(
                 F.col("link").alias("url"),
                 "url_canon", "host", "path", "host_hash", "url_hash",
@@ -407,6 +546,11 @@ class CrawlEngine:
             )
             .select(*_FRONTIER_COLS)
         )
+        # new_rows feeds BOTH the frontier and the seen snapshot writes —
+        # materialize once so the dedup window + seen anti-join don't run
+        # twice. Bounded by the links of one batch.
+        new_rows = new_rows.localCheckpoint(eager=True)
+        tick("dedup_antijoin")
 
         # deferred rows keep their FIFO key (re-ranked next round)
         deferred = allowed.join(batch.select("url_canon"), "url_canon", "left_anti").select(
@@ -421,6 +565,20 @@ class CrawlEngine:
         )
         errors_df = errors_parts[0].unionByName(errors_parts[1])
         return frontier_next, seen_next, host_state, errors_df, extracted, c, transcript, n_valid
+
+    def _make_tick(self, r: int):
+        if not self.config.timing:
+            return lambda label: None
+        import time as _t
+
+        last = [_t.time()]
+
+        def tick(label: str) -> None:
+            now = _t.time()
+            print("    [r%d] %-14s %.2fs" % (r, label, now - last[0]), flush=True)
+            last[0] = now
+
+        return tick
 
     def latest_round(self) -> int | None:
         """Highest committed round in workdir, or None."""
@@ -463,6 +621,15 @@ class CrawlEngine:
                 res.transcript = manifest.get("transcript_all", [])
                 res.counters = manifest.get("counters_all", [])
                 start_round = last + 1
+                if cfg.use_bloom:
+                    from ..operators.bloom import build_bitmaps, load_bitmaps
+
+                    npz = os.path.join(base, "bloom.npz")
+                    self._bloom = (
+                        load_bitmaps(npz)
+                        if os.path.exists(npz)
+                        else build_bitmaps(seen, self._bloom_cfg)
+                    )
             else:
                 resume = False
         if not resume:
@@ -474,6 +641,10 @@ class CrawlEngine:
                 "url_canon", "url_hash", "host_hash", F.lit(0).alias("first_round")
             )
             host_state = spark.createDataFrame([], _HOST_STATE_SCHEMA)
+            if cfg.use_bloom:
+                from ..operators.bloom import build_bitmaps
+
+                self._bloom = build_bitmaps(seen, self._bloom_cfg)
 
         for r in range(start_round, max_rounds):
             if frontier.isEmpty():
@@ -491,6 +662,7 @@ class CrawlEngine:
                     "url_canon", "handler", "text", F.lit(r).alias("round")
                 ),
             }
+            tick = self._make_tick(r)
             base = os.path.join(cfg.workdir, "round_%05d" % r)
             tmp = base + ".tmp"
             if os.path.exists(tmp):
@@ -498,15 +670,26 @@ class CrawlEngine:
             os.makedirs(tmp)
             for name, df in manifest_tables.items():
                 df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+                tick("write_" + name)
 
-            n_new = (
+            new_df = (
                 spark.read.schema(_FRONTIER_SCHEMA)
                 .parquet(os.path.join(tmp, "frontier"))
                 .filter(F.col("round_added") == r + 1)
-                .count()
             )
+            n_new = new_df.count()
             c["scheduled"] = n_new
             c["deduped"] = n_valid - n_new
+            if self._bloom is not None:
+                from ..operators.bloom import save_bitmaps, update_bitmaps
+
+                if n_new:
+                    self._bloom = update_bitmaps(
+                        self._bloom,
+                        new_df.select("url_hash", "host_hash"),
+                        self._bloom_cfg,
+                    )
+                save_bitmaps(self._bloom, os.path.join(tmp, "bloom.npz"))
             c["errors"] = spark.read.parquet(os.path.join(tmp, "errors")).count()
             if transcript is not None:
                 res.transcript.append(transcript)

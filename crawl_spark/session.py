@@ -57,7 +57,15 @@ def make_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split local parquet like a many-file production corpus would:
+        # the parse-heavy extraction path draws its parallelism from the
+        # scan splits (no shuffle of html blobs)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
+    # shuffle/checkpoint scratch: a fast local dir (tmpfs for benches)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -78,8 +78,15 @@ def gen_pages(
     n_hosts: int = 50,
     seed: int = 42,
     links_per_page: int = 6,
+    filler_paras: int = 0,
 ) -> pd.DataFrame:
-    """Generate the pages table: (url, warc_ts, html, text, lang)."""
+    """Generate the pages table: (url, warc_ts, html, text, lang).
+
+    ``filler_paras`` appends that many extra deterministic paragraphs per
+    page (≈500 B each): 0 keeps the compact unit-test pages (~1 KB);
+    ~20 produces Common-Crawl-realistic ~12 KB bodies for benchmarks.
+    The golden ``text`` column stays consistent with the html.
+    """
     rng = random.Random(seed)
     hosts = _zipf_hosts(rng, n_pages, n_hosts)
     by_host: dict[int, list[int]] = {}
@@ -109,6 +116,16 @@ def gen_pages(
             w = words(4)
             body_html.append(
                 "<p>%s%s<i>%s</i>%s%s %s</p>" % (w[0], ws(), w[1], ws(), w[2], w[3])
+            )
+            body_words += w
+
+        # bench realism: long filler paragraphs (real web pages are tens
+        # of KB; the compact default exists for fast unit tests)
+        for _ in range(filler_paras):
+            w = words(60)
+            body_html.append(
+                "<p>%s <b>%s</b> %s</p>"
+                % (" ".join(w[:20]), " ".join(w[20:24]), " ".join(w[24:]))
             )
             body_words += w
 

@@ -1,0 +1,145 @@
+"""Structured-Streaming surfaces (SURVEY.md §3.3 — the out-of-band
+scheduler `crawl-schedule`, plus a live metrics rollup).
+
+The round loop itself is deliberately batch-incremental (each round is a
+snapshot commit — that IS the checkpoint story), but two edges of the
+system are genuinely streaming:
+
+1. **Seed feed** (``nsq/crawl-schedule/main.go:73-137`` analog): external
+   producers drop seed files into a directory; a streaming query
+   canonicalizes, de-duplicates (stateful, exactly the URL-seen
+   semantics) and appends them to a staging table the engine unions into
+   the frontier at the next round boundary — same pickup semantics as
+   the NSQ topic (§3.3: "picked up at the next round boundary").
+
+2. **Metrics rollup** (``crawler.go:276-278`` error channel analog):
+   per-round error/metric rows stream into watermarked windowed counts.
+
+Both run with file sources/sinks + checkpointLocation so a killed stream
+resumes exactly-once — matching the engine's own resume story. At
+cluster scale the directory source swaps for Kafka with no plan change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.canon_udf import canonicalize_udf
+
+SEED_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("referer", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("callbacks", T.ArrayType(T.StringType())),
+        T.StructField("deadline", T.DoubleType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+STAGED_SCHEMA = (
+    "url string, url_canon string, host string, path string, host_hash int, "
+    "url_hash long, priority int, callbacks array<string>, deadline double, "
+    "event_ts timestamp"
+)
+
+
+def seed_feed_stream(
+    spark: SparkSession,
+    in_dir: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Stream seed JSON files → canonicalize → dedup → staged parquet.
+
+    ``dropDuplicates("url_canon")`` is stateful streaming dedup — the
+    Structured Streaming state store plays the seen-set role for the
+    out-of-band path; the engine's exact anti-join re-checks at pickup,
+    so duplicates across the two paths still collapse.
+    """
+    raw = (
+        spark.readStream.schema(SEED_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(in_dir)
+    )
+    c = canonicalize_udf(F.col("url"), F.col("referer"))
+    staged = (
+        raw.withColumn("c", c)
+        .select(
+            "url",
+            F.col("c.url_canon").alias("url_canon"),
+            F.col("c.host").alias("host"),
+            F.col("c.path").alias("path"),
+            F.col("c.host_hash").alias("host_hash"),
+            F.col("c.url_hash").alias("url_hash"),
+            F.coalesce(F.col("priority"), F.lit(0)).alias("priority"),
+            F.coalesce(F.col("callbacks"), F.array().cast("array<string>")).alias("callbacks"),
+            F.col("deadline"),
+            F.col("event_ts"),
+        )
+        .filter(F.col("url_canon").isNotNull())
+        .dropDuplicates(["url_canon"])
+    )
+    writer = (
+        staged.writeStream.format("parquet")
+        .option("path", staging_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def drain_staged_seeds(spark: SparkSession, staging_dir: str) -> DataFrame:
+    """Read everything staged so far (engine calls this at a round
+    boundary and unions it into the frontier — snapshot isolation makes
+    the pickup atomic)."""
+    if not os.path.isdir(staging_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(staging_dir)
+    ):
+        return spark.createDataFrame([], STAGED_SCHEMA)
+    return spark.read.schema(STAGED_SCHEMA).parquet(staging_dir)
+
+
+def metrics_rollup_stream(
+    spark: SparkSession,
+    errors_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    available_now: bool = False,
+):
+    """Watermarked windowed counts over the streaming errors feed.
+
+    Late rows beyond the watermark are dropped (the standard
+    late-data contract); counts append per (window, error_class).
+    """
+    schema = "url string, round int, error_class string, message string, event_ts timestamp"
+    raw = spark.readStream.schema(schema).json(errors_dir)
+    agg = (
+        raw.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "error_class")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "error_class",
+            "n",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

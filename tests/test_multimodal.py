@@ -1,0 +1,59 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape,
+container sniffing, deterministic feature stub (SURVEY.md / driver
+mandate: real Spark plumbing, stubbed codecs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawl_spark.operators.multimodal import (
+    decode_image,
+    extract_media_features,
+    extract_media_meta,
+    fake_feature,
+    sniff_container,
+    synth_media,
+)
+
+
+def test_sniff_container_headers():
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", 640, 480)
+    assert sniff_container(png) == ("image/png", 640, 480, None)
+    wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"fmt " + b"\x00" * 8 + struct.pack("<I", 44100)
+    assert sniff_container(wav) == ("audio/wav", None, None, 44100)
+    assert sniff_container(b"\x00\x00\x00\x18ftypisom")[0] == "video/mp4"
+    assert sniff_container(b"\xff\xd8rest")[0] == "image/jpeg"
+    assert sniff_container(None) == (None, None, None, None)
+    assert sniff_container(b"junk")[0] == "application/octet-stream"
+
+
+def test_codec_boundary_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8")
+
+
+def test_meta_extraction_spark(spark):
+    media = synth_media(spark, 30)
+    meta = extract_media_meta(media).toPandas().set_index("media_id")
+    assert len(meta) == 30
+    assert (meta.n_bytes > 0).all()
+    png = meta[meta.detected_mime == "image/png"]
+    assert (png.width.astype(int) >= 16).all()
+    wav = meta[meta.detected_mime == "audio/wav"]
+    assert wav.sample_rate.astype(int).isin([8000, 16000, 24000]).all()
+    # md5 is per-payload deterministic
+    meta2 = extract_media_meta(media).toPandas().set_index("media_id")
+    assert (meta.payload_md5 == meta2.payload_md5).all()
+
+
+def test_feature_stub_deterministic_and_normalized(spark):
+    media = synth_media(spark, 12)
+    feats = extract_media_features(media, dim=8).toPandas()
+    assert len(feats) == 12
+    for v in feats.feature:
+        assert len(v) == 8
+        assert abs(sum(v) - 1.0) < 1e-3  # histogram normalized
+    assert fake_feature(b"abc", 4) == fake_feature(b"abc", 4)
+    assert fake_feature(None, 4) == [0.0] * 4

@@ -1,0 +1,106 @@
+"""Structured-Streaming seed feed + metrics rollup (availableNow
+triggers so the tests are bounded)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from crawl_spark.streaming.feed import (
+    drain_staged_seeds,
+    metrics_rollup_stream,
+    seed_feed_stream,
+)
+
+
+def _write_json(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_seed_feed_canonicalizes_and_dedups(spark, tmp_path):
+    in_dir, staging, ckpt = str(tmp_path / "in"), str(tmp_path / "staged"), str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    _write_json(
+        os.path.join(in_dir, "batch1.json"),
+        [
+            {"url": "HTTP://Host0.Example/p/1#frag", "priority": 1,
+             "callbacks": ["page"], "event_ts": "2026-01-01T00:00:00Z"},
+            {"url": "http://host0.example:80/p/1", "priority": 2,
+             "callbacks": ["page"], "event_ts": "2026-01-01T00:00:01Z"},
+            {"url": "http://host1.example/p/2", "callbacks": ["page"],
+             "event_ts": "2026-01-01T00:00:02Z"},
+            {"url": "ht tp://bad", "callbacks": ["page"],
+             "event_ts": "2026-01-01T00:00:03Z"},
+        ],
+    )
+    q = seed_feed_stream(spark, in_dir, staging, ckpt, available_now=True)
+    q.awaitTermination(120)
+    staged = drain_staged_seeds(spark, staging).toPandas()
+    # two messy variants of /p/1 collapse to one canonical row; bad URL dropped
+    assert sorted(staged.url_canon) == [
+        "http://host0.example/p/1",
+        "http://host1.example/p/2",
+    ]
+    assert set(staged.host) == {"host0.example", "host1.example"}
+
+    # resume: a second availableNow run over a NEW file appends only new rows
+    _write_json(
+        os.path.join(in_dir, "batch2.json"),
+        [{"url": "http://host2.example/p/9", "callbacks": ["page"],
+          "event_ts": "2026-01-01T00:01:00Z"}],
+    )
+    q2 = seed_feed_stream(spark, in_dir, staging, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    staged2 = drain_staged_seeds(spark, staging).toPandas()
+    assert len(staged2) == 3
+
+
+def test_drain_empty_staging(spark, tmp_path):
+    df = drain_staged_seeds(spark, str(tmp_path / "nope"))
+    assert df.count() == 0
+
+
+def test_metrics_rollup_windows(spark, tmp_path):
+    errors_dir, out, ckpt = str(tmp_path / "err"), str(tmp_path / "out"), str(tmp_path / "ck2")
+    os.makedirs(errors_dir)
+    _write_json(
+        os.path.join(errors_dir, "e1.json"),
+        [
+            {"url": "u1", "round": 0, "error_class": "fetch_miss", "message": "",
+             "event_ts": "2026-01-01T00:00:01Z"},
+            {"url": "u2", "round": 0, "error_class": "fetch_miss", "message": "",
+             "event_ts": "2026-01-01T00:00:03Z"},
+            {"url": "u3", "round": 0, "error_class": "robots_denied", "message": "",
+             "event_ts": "2026-01-01T00:00:14Z"},
+        ],
+    )
+    def run():
+        q = metrics_rollup_stream(spark, errors_dir, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    # append mode + watermark: a window is emitted in the batch AFTER the
+    # watermark (computed from the PREVIOUS batch's max event time)
+    # passes its end — so push two later flush batches through.
+    run()
+    _write_json(
+        os.path.join(errors_dir, "flush1.json"),
+        [{"url": "f", "round": 1, "error_class": "flush", "message": "",
+          "event_ts": "2026-01-01T00:10:00Z"}],
+    )
+    run()
+    _write_json(
+        os.path.join(errors_dir, "flush2.json"),
+        [{"url": "f", "round": 1, "error_class": "flush", "message": "",
+          "event_ts": "2026-01-01T00:20:00Z"}],
+    )
+    run()
+    got = spark.read.parquet(out).toPandas()
+    counts = {
+        (str(r.window_start.time()), r.error_class): r.n for _, r in got.iterrows()
+    }
+    assert counts.get(("00:00:00", "fetch_miss")) == 2
+    assert counts.get(("00:00:10", "robots_denied")) == 1
