@@ -38,10 +38,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_PAGES = int(os.environ.get("SCALING_PAGES", "200000"))
-FILLER = int(os.environ.get("SCALING_FILLER", "20"))
+N_PAGES = int(os.environ.get("SCALING_PAGES", "100000"))
+FILLER = int(os.environ.get("SCALING_FILLER", "60"))
 ROUNDS = 2
-PAIRS = [(4, 16), (8, 32)]
+PAIRS = [
+    tuple(int(x) for x in p.split(":"))
+    for p in os.environ.get("SCALING_PAIRS", "4:16").split(",")
+]
 TMPFS = "/dev/shm/crawl_spark_scaling"
 
 
