@@ -125,6 +125,11 @@ class EngineConfig:
     # batch caps at or below this use the serial TakeOrdered+window
     # selection (fewer jobs); above it the distributed ranked_topk
     topk_serial_max: int = 10_000
+    # politeness skew: hosts with at least this many frontier rows are
+    # routed through a distributed per-host top-k instead of the
+    # groupBy(host) window (0/None disables detection)
+    hot_host_threshold: int | None = 2_000_000
+    max_hot_hosts: int = 16
     # Bloom seen-set pre-filter (operators/bloom.py): OFF by default at
     # test scale (the exact anti-join is cheaper below ~10^7 seen rows);
     # turn on for 10^9+ seen-sets where the anti-join shuffle dominates.
@@ -360,7 +365,29 @@ class CrawlEngine:
             )
             allowed = live_r.filter(~denied_cond)
 
-            # 3+4. per-host budget via window rank (single shuffle on host)
+            # 3+4. per-host budget selection. The window rank shuffles on
+            # `host`, so a mega-host (hot domain) lands its ENTIRE
+            # frontier slice in one task — the classic skew the
+            # north_rule calls out. Mitigation with EXACT semantics:
+            # detect heavy hitters with one partial-aggregated count,
+            # route each hot host through a distributed per-host top-k
+            # (its budget is a pure function of (robots, host_state, r),
+            # computed driver-side from the same formula), and keep the
+            # single-shuffle window for the cold tail. The union equals
+            # the plain window rank because FIFO keys are unique.
+            hot_hosts: list[str] = []
+            if cfg.hot_host_threshold:
+                hot_hosts = [
+                    row.host
+                    for row in allowed.groupBy("host")
+                    .agg(F.count("*").alias("n"))
+                    .filter(F.col("n") >= cfg.hot_host_threshold)
+                    .orderBy(F.col("n").desc())
+                    .limit(cfg.max_hot_hosts)
+                    .collect()
+                ]
+            cold = allowed.filter(~F.col("host").isin(hot_hosts)) if hot_hosts else allowed
+
             d = F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay))
             nt = F.coalesce(F.col("next_time"), F.lit(0.0))
             s_t = F.greatest(nt, F.lit(float(r)))
@@ -369,13 +396,43 @@ class CrawlEngine:
             )
             w = Window.partitionBy("host").orderBy(*FIFO_KEY)
             ranked = (
-                allowed.join(F.broadcast(host_state), "host", "left")
+                cold.join(F.broadcast(host_state), "host", "left")
                 .withColumn("host_budget", budget)
                 .withColumn("host_rank", F.row_number().over(w))
             )
             survivors = ranked.filter(
                 F.col("host_budget").isNull() | (F.col("host_rank") <= F.col("host_budget"))
-            )
+            ).select(*_FRONTIER_COLS)
+
+            if hot_hosts:
+                import math
+
+                delays = {
+                    row.host: row.crawl_delay
+                    for row in self.robots.filter(F.col("host").isin(hot_hosts)).collect()
+                }
+                next_times = {
+                    row.host: row.next_time
+                    for row in host_state.filter(F.col("host").isin(hot_hosts)).collect()
+                }
+                for h in hot_hosts:
+                    dh = delays.get(h)
+                    dh = cfg.default_crawl_delay if dh is None else dh
+                    if dh <= 0:
+                        k_h = cfg.batch_cap  # unlimited budget; global cap bounds it
+                    else:
+                        s_h = max(next_times.get(h, 0.0), float(r))
+                        k_h = max(int(math.ceil((r + 1.0 - s_h) / dh)), 0)
+                    if k_h <= 0:
+                        continue
+                    hot_top = ranked_topk(
+                        allowed.filter(F.col("host") == h).select(*_FRONTIER_COLS),
+                        FIFO_KEY,
+                        min(k_h, cfg.batch_cap),
+                        pos_col="__hot_rank",
+                        num_partitions=self._parallelism,
+                    ).select(*_FRONTIER_COLS)
+                    survivors = survivors.unionByName(hot_top)
             n_allowed = allowed.count()
         else:
             errors_parts.append(
@@ -580,6 +637,39 @@ class CrawlEngine:
 
         return tick
 
+    # -- snapshot catalog (Iceberg-style: ids, lineage, time travel) -------
+    def snapshots(self) -> list[dict]:
+        """All committed snapshot manifests, oldest first."""
+        if not os.path.isdir(self.config.workdir):
+            return []
+        out = []
+        for d in sorted(os.listdir(self.config.workdir)):
+            mf = os.path.join(self.config.workdir, d, "manifest.json")
+            if d.startswith("round_") and not d.endswith(".tmp") and os.path.exists(mf):
+                with open(mf) as f:
+                    out.append(json.load(f))
+        return out
+
+    def read_table(self, name: str, snapshot: int | None = None) -> DataFrame:
+        """Time-travel read: a state table (frontier/seen/host_state/
+        errors/extracted) at a given committed round (default: latest).
+        Raises if that table was pruned by the retention policy."""
+        r = snapshot if snapshot is not None else self.latest_round()
+        if r is None:
+            raise FileNotFoundError("no committed snapshot in %s" % self.config.workdir)
+        path = os.path.join(self.config.workdir, "round_%05d" % r, name)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                "table %r not present at snapshot r%05d (retention?)" % (name, r)
+            )
+        schema = {
+            "frontier": _FRONTIER_SCHEMA,
+            "seen": _SEEN_SCHEMA,
+            "host_state": _HOST_STATE_SCHEMA,
+        }.get(name)
+        reader = self.spark.read.schema(schema) if schema else self.spark.read
+        return reader.parquet(path)
+
     def latest_round(self) -> int | None:
         """Highest committed round in workdir, or None."""
         if not os.path.isdir(self.config.workdir):
@@ -668,9 +758,23 @@ class CrawlEngine:
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
             os.makedirs(tmp)
+            lineage = {}
             for name, df in manifest_tables.items():
-                df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+                path = os.path.join(tmp, name)
+                df.write.mode("overwrite").parquet(path)
+                # file-level lineage: the output files this snapshot owns
+                lineage[name] = sorted(
+                    f for f in os.listdir(path) if f.endswith(".parquet")
+                )
                 tick("write_" + name)
+            # per-partition metrics of the round's fetch output
+            # (north_rule: per-partition lineage + counters)
+            part_rows = {
+                int(row.pid): row.n
+                for row in extracted.groupBy(
+                    F.spark_partition_id().alias("pid")
+                ).agg(F.count("*").alias("n")).collect()
+            }
 
             new_df = (
                 spark.read.schema(_FRONTIER_SCHEMA)
@@ -698,9 +802,15 @@ class CrawlEngine:
             manifest = {
                 "round": r,
                 "snapshot_id": "r%05d" % r,
+                "parent_snapshot": ("r%05d" % (r - 1)) if r > start_round or resume else None,
                 "counters": c,
                 "counters_all": res.counters,
                 "transcript_all": res.transcript,
+                "lineage": {
+                    "input_snapshot": ("r%05d" % (r - 1)) if r > 0 else "seeds",
+                    "output_files": lineage,
+                    "extracted_rows_per_partition": part_rows,
+                },
             }
             with open(os.path.join(tmp, "manifest.json"), "w") as f:
                 json.dump(manifest, f)

@@ -139,3 +139,59 @@ def test_resume_identical_ordering(spark, tiny_fixture, tmp_path_factory):
     result = mk().run(seeds, max_rounds=5, resume=True)
     assert result.transcript == golden.transcript[: len(result.transcript)]
     assert len(result.transcript) == len(golden.transcript)
+
+
+def test_hot_host_path_equals_window_path(spark, tiny_fixture, tmp_path_factory):
+    """Skew mitigation must be semantics-free: with a threshold low
+    enough to route most hosts through the per-host top-k path, the
+    transcript still equals the reference model exactly (the Zipf
+    fixture makes host0 genuinely hot)."""
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=5)
+    engine = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=40,
+            max_rounds=5,
+            workdir=str(tmp_path_factory.mktemp("hot_work")),
+            hot_host_threshold=3,
+            max_hot_hosts=8,
+        ),
+    )
+    result = engine.run(seeds)
+    assert result.transcript == golden.transcript
+    assert [c["deferred_by_politeness"] for c in result.counters] == [
+        c["deferred_by_politeness"] for c in golden.counters
+    ]
+
+
+def test_snapshot_manifest_lineage_and_time_travel(crawl_pair, spark):
+    """north_rule: per-round snapshots carry per-partition lineage +
+    counters; snapshot ids chain; state tables time-travel by round."""
+    import json
+    import os
+
+    _, result, engine = crawl_pair
+    snaps = engine.snapshots()
+    assert [s["round"] for s in snaps] == sorted(s["round"] for s in snaps)
+    last = snaps[-1]
+    assert last["snapshot_id"] == "r%05d" % (result.rounds - 1)
+    lin = last["lineage"]
+    assert lin["output_files"]["frontier"], "frontier snapshot lists its files"
+    assert set(lin["output_files"]) >= {"frontier", "seen", "errors", "extracted"}
+    # per-partition extracted-row counters sum to the round's fetch output
+    base = os.path.join(result.workdir, "round_%05d" % (result.rounds - 1))
+    n_extracted = spark.read.parquet(os.path.join(base, "extracted")).count()
+    assert sum(lin["extracted_rows_per_partition"].values()) == n_extracted
+    # chain: every non-first snapshot names its parent
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent_snapshot"] == prev["snapshot_id"]
+    # time travel: seen-set is monotone across the last two snapshots
+    if len(snaps) >= 2 and result.rounds >= 2:
+        r = result.rounds - 1
+        seen_now = {row.url_canon for row in engine.read_table("seen", r).collect()}
+        seen_prev = {row.url_canon for row in engine.read_table("seen", r - 1).collect()}
+        assert seen_prev <= seen_now
