@@ -239,6 +239,37 @@ def q_url_canonicalize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 
+def q_request_construct(spark, sf_dir):
+    """ConstructHTTPRequest column pipeline (request.go:40-125 analog):
+    method inference, sorted urlencoded body, query-string append —
+    exercised on synthetic requests derived from `documents` (values are
+    urlencode-identity so the SQL oracle matches byte-for-byte)."""
+    from crawl_spark.plans.request import construct_requests
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    req = d.select(
+        F.concat(F.lit("http://api.example/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(m == 2, F.lit("put")).otherwise(F.lit(None).cast("string")).alias("method"),
+        F.when(
+            m == 0,
+            F.map_from_arrays(
+                F.array(F.lit("src"), F.lit("b")),
+                F.array(F.array(F.col("source")), F.array(F.lit("1"), F.lit("2"))),
+            ),
+        ).alias("form"),
+        F.when(
+            m == 1, F.create_map(F.lit("lang"), F.array(F.col("lang")))
+        ).alias("query"),
+        F.lit(None).cast("map<string,string>").alias("header"),
+        F.lit(None).cast("string").alias("referer"),
+    )
+    out = construct_requests(req)
+    return out.select(
+        F.col("url"), F.col("eff_method"), F.col("eff_url"), F.col("body")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from crawl_spark.operators.dedup import exact_dedup
 
@@ -332,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_stamp": q_seq_stamp,
         "host_skew": q_host_skew,
         "url_canonicalize": q_url_canonicalize,
+        "request_construct": q_request_construct,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "minhash_pairs": q_minhash_pairs,
@@ -464,6 +496,18 @@ SELECT doc_id,
        'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)
          || CASE WHEN doc_id % 4 = 3 THEN '?q=1' ELSE '' END AS url_canon,
        'host' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host
+FROM documents
+""",
+        "request_construct": """
+SELECT 'http://api.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 2 THEN 'PUT'
+            WHEN doc_id % 3 = 0 THEN 'POST'
+            ELSE 'GET' END AS eff_method,
+       CASE WHEN doc_id % 3 = 1
+            THEN 'http://api.example/doc/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+            ELSE 'http://api.example/doc/' || CAST(doc_id AS VARCHAR) END AS eff_url,
+       CASE WHEN doc_id % 3 = 0 THEN 'b=1&b=2&src=' || source
+            ELSE NULL END AS body
 FROM documents
 """,
         "dedup_exact": f"""

@@ -217,10 +217,18 @@ class CrawlEngine:
         robots_df: DataFrame | None = None,
         config: EngineConfig | None = None,
         canonicalize_pages: bool = False,
+        middlewares: list | None = None,
     ):
         self.spark = spark
         self.registry = registry
         self.config = config or EngineConfig()
+        # middleware chain (crawler.go:25, run crawler.go:153-158):
+        # ordered DataFrame→DataFrame transforms applied to the dequeued
+        # batch BEFORE the fetch. A middleware may add/set a string
+        # column `mw_error`; rows where it is non-null abort (routed to
+        # the errors table, skipped by the fetch) and later middlewares
+        # never see them — the reference's first-error-aborts semantics.
+        self.middlewares = list(middlewares or [])
         if canonicalize_pages:
             pages_df = pages_df.withColumn(
                 "url", canonicalize_udf(F.col("url"), F.lit(None).cast("string"))["url_canon"]
@@ -491,6 +499,30 @@ class CrawlEngine:
                 upd.select("host"), "host", "left_anti"
             ).unionByName(upd)
 
+        # 6a. middleware chain on the dequeued batch (reference semantics:
+        # runs inside Execute AFTER dequeue — so the transcript above
+        # already includes rows a middleware aborts; they just never
+        # reach the fetch). Rows flagged via `mw_error` route to the
+        # errors table and drop out of the stream before later
+        # middlewares, matching first-error-aborts (crawler.go:153-158).
+        fetch_batch = batch
+        if self.middlewares:
+            for mw in self.middlewares:
+                fetch_batch = mw(fetch_batch)
+                if "mw_error" in fetch_batch.columns:
+                    aborted = fetch_batch.filter(F.col("mw_error").isNotNull())
+                    errors_parts.append(
+                        aborted.select(
+                            F.col("url_canon").alias("url"), F.lit(r).alias("round"),
+                            F.lit("middleware").alias("error_class"),
+                            F.col("mw_error").alias("message"),
+                        )
+                    )
+                    fetch_batch = fetch_batch.filter(
+                        F.col("mw_error").isNull()
+                    ).drop("mw_error")
+            fetch_batch = fetch_batch.localCheckpoint(eager=True)  # bounded
+
         # 6b. fetch = equi-join against pages, broadcasting the bounded
         # batch. A single left-outer join can't broadcast its preserved
         # side (Spark only builds the non-preserved side), which would
@@ -505,12 +537,12 @@ class CrawlEngine:
         # below (never checkpointed: materializing per-round page bodies
         # would write+read the whole fetched batch's html to disk).
         hit_urls = self.pages.select("page_url").join(
-            F.broadcast(batch.select(F.col("url_canon"))),
+            F.broadcast(fetch_batch.select(F.col("url_canon"))),
             F.col("url_canon") == F.col("page_url"),
             "inner",
         ).select("url_canon")
         hit_urls = hit_urls.localCheckpoint(eager=True)  # tiny; reused 2×
-        misses = batch.select("url_canon").join(
+        misses = fetch_batch.select("url_canon").join(
             F.broadcast(hit_urls), "url_canon", "left_anti"
         )
         errors_parts.append(
@@ -528,7 +560,7 @@ class CrawlEngine:
         # make_session caps files.maxPartitionBytes so local fixtures
         # split like a real many-file corpus does naturally.
         hits = self.pages.join(
-            F.broadcast(batch.select(*fetch_cols)),
+            F.broadcast(fetch_batch.select(*fetch_cols)),
             F.col("url_canon") == F.col("page_url"),
             "inner",
         ).drop("page_url")

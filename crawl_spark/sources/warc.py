@@ -1,0 +1,163 @@
+"""WARC source: read Common-Crawl-style WARC files into the engine's
+pages schema (url, warc_ts, html, text, lang).
+
+Real Common Crawl ships ~1 GB ``.warc.gz`` segments (tens of thousands
+per crawl). The Spark-native ingestion shape:
+
+- ``spark.read.format("binaryFile")`` lists the segment files — Spark
+  parallelizes at FILE granularity, which matches how WARC must be read
+  (records are variable-length and per-record gzip members cannot be
+  split mid-file);
+- one ``mapInPandas`` pass parses each segment's bytes: WARC/1.0 record
+  headers, ``WARC-Type: response`` filter, ``WARC-Target-URI`` +
+  ``WARC-Date``, HTTP payload after the header blank line. Gzip
+  segments (whole-stream or concatenated per-record members — Common
+  Crawl uses the latter) are handled by a zlib loop.
+
+Pure stdlib parsing — no warcio dependency — and a ``write_warc``
+helper generates spec-shaped fixtures so the reader is testable
+hermetically.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a gzip stream of one or more concatenated members."""
+    out = []
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    rest = data
+    while rest:
+        out.append(d.decompress(rest))
+        rest = d.unused_data
+        if rest:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        else:
+            break
+    return b"".join(out)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Parse WARC bytes → list of response-record dicts
+    (url, warc_ts, html). Non-response records are skipped; truncated
+    trailing garbage is ignored (a segment is best-effort, like real
+    crawl data)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        header_blob = data[pos:head_end]
+        if not header_blob.startswith(b"WARC/"):
+            # resync: find the next record marker
+            nxt = data.find(b"WARC/1.", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        headers = {}
+        for line in header_blob.split(b"\r\n")[1:]:
+            if b":" in line:
+                k, v = line.split(b":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            break
+        body = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        # records are separated by two CRLFs
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        try:
+            ts = dt.datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            ts = None
+        # body = HTTP response: status line + headers, blank line, payload
+        http_end = body.find(b"\r\n\r\n")
+        payload = body[http_end + 4 :] if http_end >= 0 else body
+        records.append({"url": url, "warc_ts": ts, "html": payload})
+    return records
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC segments under ``path`` → pages DataFrame
+    (url, warc_ts, html, text=null, lang=null — text/lang are filled by
+    downstream extraction/lang-id operators)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in parse_warc_bytes(bytes(content)):
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "warc_ts": rec["warc_ts"],
+                            "html": rec["html"],
+                            "text": None,
+                            "lang": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAGES_SCHEMA.fields]
+            )
+
+    return files.select("content").mapInPandas(fn, PAGES_SCHEMA)
+
+
+def write_warc(path: str, records: list[dict], compress: bool = False) -> str:
+    """Write (url, warc_ts, html[, http_status]) records as a spec-shaped
+    WARC file (one gzip member per record when compress=True, like
+    Common Crawl)."""
+    chunks = []
+    for rec in records:
+        ts = rec.get("warc_ts") or dt.datetime(2026, 1, 1)
+        status = rec.get("http_status", 200)
+        http = (
+            b"HTTP/1.1 %d OK\r\nContent-Type: text/html\r\n\r\n" % status
+            + rec["html"]
+        )
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
+            b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            b"\r\n"
+        )
+        record = head + http + b"\r\n\r\n"
+        chunks.append(gzip.compress(record) if compress else record)
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))
+    return path

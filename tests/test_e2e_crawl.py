@@ -195,3 +195,53 @@ def test_snapshot_manifest_lineage_and_time_travel(crawl_pair, spark):
         seen_now = {row.url_canon for row in engine.read_table("seen", r).collect()}
         seen_prev = {row.url_canon for row in engine.read_table("seen", r - 1).collect()}
         assert seen_prev <= seen_now
+
+
+def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_factory):
+    """Middleware semantics (crawler.go:153-158): runs after dequeue, so
+    aborted rows appear in the transcript but are never fetched; errors
+    carry the middleware's message; later middlewares don't see them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pages, seeds, robots = _load(tiny_fixture)
+    base = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=2)
+    blocked_host = "host0.example"
+    seen_by_second = []
+
+    def block_host0(df):
+        return df.withColumn(
+            "mw_error",
+            F.when(F.col("host") == blocked_host, F.lit("blocked:host0")),
+        )
+
+    def count_rows(df):  # must only see survivors of block_host0
+        return df.withColumn("mw_error", F.lit(None).cast("string"))
+
+    engine = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=40, max_rounds=2,
+            workdir=str(tmp_path_factory.mktemp("mw_work")),
+        ),
+        middlewares=[block_host0, count_rows],
+    )
+    result = engine.run(seeds)
+    # transcript = dequeue order: identical to the no-middleware model
+    assert result.transcript[0] == base.transcript[0]
+    errs = spark.read.parquet(
+        os.path.join(result.workdir, "round_%05d" % (result.rounds - 1), "errors")
+    ).toPandas()
+    mw_errs = errs[errs.error_class == "middleware"]
+    assert len(mw_errs) > 0
+    assert set(mw_errs.message) == {"blocked:host0"}
+    assert all(u.startswith("http://host0.example") for u in mw_errs.url)
+    # blocked rows were never fetched: extracted has no host0 rows
+    ext = spark.read.parquet(
+        os.path.join(result.workdir, "round_%05d" % (result.rounds - 1), "extracted")
+    ).toPandas()
+    assert not any(u.startswith("http://host0.example/") for u in ext.url_canon)
