@@ -56,11 +56,17 @@ SEQ_STRIDE = 1 << 20
 
 FIFO_KEY = ["priority", "round_added", "seq"]
 
+# Full Request parity (request.go:13-32): the reference's method / form
+# / query / cookies / header fields ride the frontier as nullable
+# columns so middlewares and the request-construction pipeline
+# (plans/request.py) see them; engine columns follow.
 _FRONTIER_COLS = [
     "url", "url_canon", "host", "path", "host_hash", "url_hash",
     "priority", "depth", "round_added", "seq", "callbacks", "referer",
-    "deadline", "raw",
+    "deadline", "raw", "method", "form", "query", "cookies", "header",
 ]
+
+_MULTIMAP = T.MapType(T.StringType(), T.ArrayType(T.StringType()))
 
 _FRONTIER_SCHEMA = T.StructType(
     [
@@ -78,6 +84,11 @@ _FRONTIER_SCHEMA = T.StructType(
         T.StructField("referer", T.StringType()),
         T.StructField("deadline", T.DoubleType()),
         T.StructField("raw", T.BooleanType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("form", _MULTIMAP),
+        T.StructField("query", _MULTIMAP),
+        T.StructField("cookies", _MULTIMAP),
+        T.StructField("header", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
@@ -282,6 +293,9 @@ class CrawlEngine:
             return pd.Series([default] * n)
 
         isnull = lambda v: v is None or (isinstance(v, float) and v != v)
+        as_multimap = lambda v: (
+            None if isnull(v) else {k: list(vv) for k, vv in dict(v).items()}
+        )
         pdf = pd.DataFrame(
             {
                 "url": col_or("url", None),
@@ -291,12 +305,22 @@ class CrawlEngine:
                 "callbacks": [[] if isnull(v) else list(v) for v in col_or("callbacks", None)],
                 "deadline": [None if isnull(v) else float(v) for v in col_or("deadline", None)],
                 "raw": [False if isnull(v) else bool(v) for v in col_or("raw", False)],
+                "method": [None if isnull(v) else str(v) for v in col_or("method", None)],
+                "form": [as_multimap(v) for v in col_or("form", None)],
+                "query": [as_multimap(v) for v in col_or("query", None)],
+                "cookies": [as_multimap(v) for v in col_or("cookies", None)],
+                "header": [
+                    None if isnull(v) else dict(v) for v in col_or("header", None)
+                ],
             }
         )
         raw_df = self.spark.createDataFrame(
             pdf,
             "url string, referer string, priority int, seq long, "
-            "callbacks array<string>, deadline double, raw boolean",
+            "callbacks array<string>, deadline double, raw boolean, "
+            "method string, form map<string,array<string>>, "
+            "query map<string,array<string>>, cookies map<string,array<string>>, "
+            "header map<string,string>",
         )
         if n > 64:  # spread a big seed list before the parallel canon pass
             raw_df = raw_df.repartition(self._parallelism)
@@ -304,6 +328,7 @@ class CrawlEngine:
             "c", canonicalize_udf(F.col("url"), F.col("referer"))
         ).select(
             "url", "referer", "priority", "seq", "callbacks", "deadline", "raw",
+            "method", "form", "query", "cookies", "header",
             F.col("c.url_canon").alias("url_canon"),
             F.col("c.host").alias("host"),
             F.col("c.path").alias("path"),
@@ -632,6 +657,12 @@ class CrawlEngine:
                 F.col("referer"),
                 F.lit(None).cast("double").alias("deadline"),
                 F.lit(False).alias("raw"),
+                # links are plain GETs: Request extras default to null
+                F.lit(None).cast("string").alias("method"),
+                F.lit(None).cast(_MULTIMAP).alias("form"),
+                F.lit(None).cast(_MULTIMAP).alias("query"),
+                F.lit(None).cast(_MULTIMAP).alias("cookies"),
+                F.lit(None).cast("map<string,string>").alias("header"),
             )
             .select(*_FRONTIER_COLS)
         )

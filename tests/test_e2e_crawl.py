@@ -245,3 +245,36 @@ def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_fact
         os.path.join(result.workdir, "round_%05d" % (result.rounds - 1), "extracted")
     ).toPandas()
     assert not any(u.startswith("http://host0.example/") for u in ext.url_canon)
+
+
+def test_request_fields_ride_the_frontier(spark, tiny_fixture, tmp_path_factory):
+    """Full Request parity (request.go:13-32): method/form/query/cookies/
+    header survive seed stamping with exact values; scheduled links get
+    null extras (plain GETs)."""
+    engine = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        config=EngineConfig(workdir=str(tmp_path_factory.mktemp("req_work"))),
+    )
+    seeds = [
+        {
+            "url": "http://host1.example/p/1",
+            "method": "post",
+            "form": {"a": ["1", "2"]},
+            "query": {"q": ["x"]},
+            "cookies": {"sid": ["s1"]},
+            "header": {"X-K": "v"},
+            "callbacks": ["page"],
+        },
+        {"url": "http://host2.example/p/2", "callbacks": ["page"]},
+    ]
+    rows = {r.url: r for r in engine.seed_frontier(seeds).collect()}
+    r1 = rows["http://host1.example/p/1"]
+    assert r1.method == "post"
+    assert dict(r1.form) == {"a": ["1", "2"]}
+    assert dict(r1.query) == {"q": ["x"]}
+    assert dict(r1.cookies) == {"sid": ["s1"]}
+    assert dict(r1.header) == {"X-K": "v"}
+    r2 = rows["http://host2.example/p/2"]
+    assert r2.method is None and r2.form is None and r2.header is None
