@@ -318,6 +318,14 @@ def q_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Composed training-data filter: exact dedup → lang gate → quality
+    gate (the end-to-end corpus-cleaning pipeline)."""
+    from crawl_spark.operators.textops import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_fingerprint(spark, sf_dir):
     from crawl_spark.operators.textops import fingerprint
 
@@ -372,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
+        "clean_corpus": q_clean_corpus,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
@@ -431,6 +440,8 @@ def oracle_sql() -> dict[str, str]:
     )
     best = "greatest(" + ", ".join(f"s_{l}" for l in _LANGS_SQL) + ")"
     pred_cases = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in sorted(_LANGS_SQL))
+    # variant with the greatest() expression inlined (no `best` alias in scope)
+    pred_cases_b = " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in sorted(_LANGS_SQL))
 
     return {
         "fifo_batch": """
@@ -610,6 +621,50 @@ SELECT doc_id,
        CAST(len(list_distinct(t)) AS INT) AS n_uniq_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_word_pieces
 FROM b
+""",
+        "clean_corpus": f"""
+WITH tk AS (SELECT doc_id, md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS content_md5 FROM documents),
+dedup AS (
+  SELECT doc_id, n_copies FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS INT) AS rn,
+           CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT) AS n_copies
+    FROM tk
+  ) WHERE rn = 1
+),
+ltk AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+sc AS (SELECT doc_id, {score_cols} FROM ltk),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN {best} = 0 THEN 'und' {pred_cases_b} END AS lang_pred
+  FROM sc
+),
+qb AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+qf AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         round(CASE WHEN len(t) > 0
+               THEN len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','on','for'], x))) / len(t)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         round(CASE WHEN length(text) > 0
+               THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio,
+         len(t) AS n_tok
+  FROM qb
+),
+quality AS (
+  SELECT doc_id, n_tokens,
+         round(5 * least(n_tok / 40.0, 1.0)
+               + 3 * least(stopword_ratio * 5, 1.0)
+               + 2 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS quality
+  FROM qf
+)
+SELECT d.doc_id, dd.n_copies, l.lang_pred, q.n_tokens, q.quality
+FROM documents d
+JOIN dedup dd ON dd.doc_id = d.doc_id
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN quality q ON q.doc_id = d.doc_id
+WHERE l.lang_pred IN ('en') AND q.n_tokens >= 30 AND q.quality >= 4.0
 """,
         "fingerprint": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -38,7 +38,9 @@ BENCH_QUERIES = [
     "priority_topk",
     "seq_stamp",
     "url_canonicalize",
+    "request_construct",
     "dedup_exact",
+    "clean_corpus",
     "minhash_pairs",
     "ngram_jaccard",
     "simhash",

@@ -147,6 +147,41 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 30,
+    min_quality: float = 4.0,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The composed training-data filter — the pipeline a 100 TB corpus
+    actually runs: exact dedup → language gate → quality gate, emitting
+    the surviving documents with their scores.
+
+    Composition stays lazy: Catalyst fuses the three operators' scans
+    into one pass over (id, text); the only shuffle is the dedup window
+    on the 16-byte content digest.
+    """
+    from .dedup import exact_dedup
+
+    survivors = exact_dedup(df, id_col, text_col).select(id_col, "n_copies")
+    li = lang_id(df, id_col, text_col)
+    qs = quality_score(df, id_col, text_col)
+    return (
+        df.select(id_col)
+        .join(survivors, id_col)
+        .join(li, id_col)
+        .join(qs, id_col)
+        .filter(
+            F.col("lang_pred").isin(list(langs))
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality") >= min_quality)
+        )
+        .select(id_col, "n_copies", "lang_pred", "n_tokens", "quality")
+    )
+
+
 def fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",
