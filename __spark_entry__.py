@@ -358,6 +358,26 @@ def q_embed_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
 
 
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal binary-column plumbing (rows-only check: no binary
+    driver table exists, so payloads are synthesized deterministically
+    from document text; the mapInPandas metadata/feature path is the
+    thing under test — operators/multimodal.py)."""
+    from crawl_spark.operators.multimodal import extract_media_meta
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return extract_media_meta(media).select(
+        "media_id", "detected_mime", "n_bytes", "payload_md5"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -386,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "embed_neardup": q_embed_neardup,
+        "multimodal_meta": q_multimodal_meta,  # rows-only: binary plumbing
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -751,6 +772,13 @@ SELECT query_id, rank, nbr_id, cos FROM (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
   FROM scored
 ) WHERE rank <= 10
+""",
+        "multimodal_meta": """
+SELECT doc_id AS media_id,
+       'application/octet-stream' AS detected_mime,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
 """,
         "embed_neardup": f"""
 WITH {_COSINE_CTES},
