@@ -78,9 +78,13 @@ def main(argv=None) -> int:
             return 1
         from crawl_spark.streaming.feed import STAGED_SCHEMA
 
-        spark.createDataFrame(pd.DataFrame(rows)).select(
-            *[f.split()[0] for f in STAGED_SCHEMA.split(", ")]
-        ).write.mode("append").parquet(args.staging)
+        cols = [f.split()[0] for f in STAGED_SCHEMA.split(", ")]
+        pdf = pd.DataFrame(rows)[cols]
+        # write with the DECLARED schema — inference would stage int64 where
+        # the drain reads int32 etc. and break the reader mid-scan
+        spark.createDataFrame(pdf, STAGED_SCHEMA).write.mode("append").parquet(
+            args.staging
+        )
         print(f"staged {len(rows)} seeds")
         return 0
 
