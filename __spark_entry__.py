@@ -318,6 +318,13 @@ def q_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
 
 
+def q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary top-k (tokenizer-training precursor)."""
+    from crawl_spark.operators.textops import vocabulary
+
+    return vocabulary(_t(spark, sf_dir, "documents"), top_k=200)
+
+
 def q_clean_corpus(spark, sf_dir):
     """Composed training-data filter: exact dedup → lang gate → quality
     gate (the end-to-end corpus-cleaning pipeline)."""
@@ -400,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
+        "vocabulary": q_vocabulary,
         "clean_corpus": q_clean_corpus,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -642,6 +650,21 @@ SELECT doc_id,
        CAST(len(list_distinct(t)) AS INT) AS n_uniq_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_word_pieces
 FROM b
+""",
+        "vocabulary": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS count FROM tok GROUP BY token),
+dfq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+)
+SELECT rank, token, count, doc_freq FROM (
+  SELECT c.token, c.count, d.doc_freq,
+         CAST(row_number() OVER (ORDER BY c.count DESC, c.token) AS INT) AS rank
+  FROM cnt c JOIN dfq d ON d.token = c.token
+  WHERE c.count >= 2
+) WHERE rank <= 200
 """,
         "clean_corpus": f"""
 WITH tk AS (SELECT doc_id, md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS content_md5 FROM documents),

@@ -17,7 +17,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword sets for the n-gram/stopword language-ID heuristic.  Tiny and
@@ -144,6 +144,34 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.size(toks).alias("n_ws_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
         F.regexp_count(F.lower(t), F.lit(WORD_RE)).alias("n_word_pieces"),
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary: token → (count, doc frequency), top_k by count
+    (tokenizer-training precursor). Explode + two partial-aggregated
+    counts; the shuffle carries (token, partial counts), never text.
+    Deterministic order: count desc, then token asc."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"), F.col(text_col))
+    agg = (
+        df.select(F.monotonically_increasing_id().alias("__doc"), F.col(text_col))
+        .select("__doc", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("count"))
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    return (
+        counts.join(agg, "token")
+        .filter(F.col("count") >= min_count)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "token", "count", "doc_freq")
     )
 
 
