@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "token_count",
+    "vocabulary",
     "fingerprint",
     "cosine_topk",
     "ivf_topk",
