@@ -162,3 +162,31 @@ def test_fingerprint_winnowing_property(spark):
     # identical prefix -> the min fingerprint of doc1 appears in doc2's
     # windows iff windows overlap; weaker but deterministic check:
     assert out[out.doc_id == 1].min_fingerprint.iloc[0] is not None
+
+
+def test_vocabulary_counts_match_python(spark):
+    from crawl_spark.operators.textops import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "c")], "doc_id long, text string"
+    )
+    out = vocabulary(df, top_k=10, min_count=1).toPandas()
+    got = {r.token: (r["count"], r.doc_freq, r["rank"]) for _, r in out.iterrows()}
+    # counts with multiplicity; doc_freq distinct docs; rank by (count desc, token)
+    assert got["a"] == (3, 2, 1)
+    assert got["b"] == (3, 2, 2)
+    assert got["c"] == (2, 2, 3)
+
+
+def test_clean_corpus_gates(spark):
+    from crawl_spark.operators.textops import clean_corpus
+
+    long_en = "the " + " ".join(f"w{i}" for i in range(40)) + " of and to in is"
+    df = spark.createDataFrame(
+        [(1, long_en), (2, long_en), (3, "short text"), (4, "x " * 40)],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(df, min_tokens=30, min_quality=4.0).toPandas()
+    # doc 1 survives (dup of 2 collapses to min id), 3 too short, 4 no stopwords
+    assert list(out.doc_id) == [1]
+    assert int(out.n_copies.iloc[0]) == 2
