@@ -338,6 +338,10 @@ class CrawlEngine:
         # checkpoint before filtering on the UDF output (pushdown would
         # double-evaluate the canon pass, see the links pipeline below)
         stamped = stamped.localCheckpoint(eager=True)
+        # exact invalid count from ONE aggregate; the collected error list
+        # is a bounded 10k SAMPLE (documented cap — don't ship 10^6
+        # malformed urls to the driver), so dup accounting never drifts
+        n_invalid = stamped.filter(F.col("url_canon").isNull()).count()
         self._seed_errors = [
             (row.url, 0, "invalid_url", "")
             for row in stamped.filter(F.col("url_canon").isNull())
@@ -353,7 +357,7 @@ class CrawlEngine:
             .select(*_FRONTIER_COLS)
         )
         frontier = frontier.localCheckpoint(eager=True)
-        self._seed_dups = n - frontier.count() - len(self._seed_errors)
+        self._seed_dups = n - frontier.count() - n_invalid
         return frontier
 
     # -- one round ---------------------------------------------------------
@@ -683,7 +687,12 @@ class CrawlEngine:
                 F.col("round_added").alias("first_round"),
             )
         )
-        errors_df = errors_parts[0].unionByName(errors_parts[1])
+        # union EVERY error part (robots + each middleware's aborts +
+        # fetch misses) — middlewares append parts between the first and
+        # last, so a pairwise union would silently drop them
+        import functools
+
+        errors_df = functools.reduce(lambda a, b: a.unionByName(b), errors_parts)
         return frontier_next, seen_next, host_state, errors_df, extracted, c, transcript, n_valid
 
     def _make_tick(self, r: int):

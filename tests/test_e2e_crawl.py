@@ -208,7 +208,6 @@ def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_fact
     pages, seeds, robots = _load(tiny_fixture)
     base = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=2)
     blocked_host = "host0.example"
-    seen_by_second = []
 
     def block_host0(df):
         return df.withColumn(
@@ -216,8 +215,11 @@ def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_fact
             F.when(F.col("host") == blocked_host, F.lit("blocked:host0")),
         )
 
-    def count_rows(df):  # must only see survivors of block_host0
-        return df.withColumn("mw_error", F.lit(None).cast("string"))
+    def block_host2(df):  # must only see survivors of block_host0
+        return df.withColumn(
+            "mw_error",
+            F.when(F.col("host") == "host2.example", F.lit("blocked:host2")),
+        )
 
     engine = CrawlEngine(
         spark,
@@ -228,18 +230,32 @@ def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_fact
             batch_cap=40, max_rounds=2,
             workdir=str(tmp_path_factory.mktemp("mw_work")),
         ),
-        middlewares=[block_host0, count_rows],
+        middlewares=[block_host0, block_host2],
     )
     result = engine.run(seeds)
     # transcript = dequeue order: identical to the no-middleware model
     assert result.transcript[0] == base.transcript[0]
+    all_errs = pd.concat(
+        [
+            spark.read.parquet(
+                os.path.join(result.workdir, "round_%05d" % r, "errors")
+            ).toPandas()
+            for r in range(result.rounds)
+        ]
+    )
+    mw_errs = all_errs[all_errs.error_class == "middleware"]
+    assert len(mw_errs) > 0
+    # regression (round-1 bug): the errors union must keep EVERY part —
+    # the 2nd middleware's aborts and the fetch misses, not just part[1]
+    assert set(mw_errs.message) == {"blocked:host0", "blocked:host2"}
+    for _, e in mw_errs.iterrows():
+        host = "host0" if e.message == "blocked:host0" else "host2"
+        assert e.url.startswith("http://%s.example" % host)
+    miss = all_errs[all_errs.error_class == "fetch_miss"]
+    assert any(u.startswith("http://nowhere") for u in miss.url)
     errs = spark.read.parquet(
         os.path.join(result.workdir, "round_%05d" % (result.rounds - 1), "errors")
     ).toPandas()
-    mw_errs = errs[errs.error_class == "middleware"]
-    assert len(mw_errs) > 0
-    assert set(mw_errs.message) == {"blocked:host0"}
-    assert all(u.startswith("http://host0.example") for u in mw_errs.url)
     # blocked rows were never fetched: extracted has no host0 rows
     ext = spark.read.parquet(
         os.path.join(result.workdir, "round_%05d" % (result.rounds - 1), "extracted")
