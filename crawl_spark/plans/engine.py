@@ -13,8 +13,9 @@ DataFrame dataflow:
       extract  = one-parse mapInPandas: per-handler text + links
       new      = explode links -> canonicalize -> in-round dedup
                  -> anti-join seen
-      frontier = deferred ∪ new;  seen ∪= new;  host clock advances
-      -> snapshot (parquet per round under workdir; lineage truncation)
+      frontier = deferred ∪ new;  seen-delta log += new;  host clock advances
+      -> snapshot (parquet per round under workdir; lineage truncation;
+         seen is an APPEND-ONLY delta log, manifest lists its dirs)
 
 Scale design notes (100 TB pages, 10^10-row frontier):
 - The fetch join broadcasts the BATCH side (bounded by batch_cap) against
@@ -148,6 +149,12 @@ class EngineConfig:
     bloom_buckets: int = 64
     bloom_bits: int = 1 << 20
     bloom_hashes: int = 4
+    # seen-set delta-log compaction: once the log holds at least this
+    # many delta dirs, the commit rewrites their union into one compact
+    # dir and the manifest references only that (bounds reader file
+    # count; older manifests lose seen time-travel, same contract as
+    # keep_rounds retention). 0 disables.
+    seen_compact_min_deltas: int = 0
 
 
 @dataclass
@@ -681,11 +688,14 @@ class CrawlEngine:
             *_FRONTIER_COLS
         )
         frontier_next = deferred.unionByName(new_rows)
-        seen_next = seen.unionByName(
-            new_rows.select(
-                "url_canon", "url_hash", "host_hash",
-                F.col("round_added").alias("first_round"),
-            )
+        # APPEND-ONLY seen semantics: the round emits only the DELTA (this
+        # round's newly-seen urls). The caller appends it to the delta log;
+        # the full seen set is the union of delta files — never rewritten.
+        # At a 10^10-row seen set this bounds per-round snapshot writes by
+        # |new_rows|, not |seen| (Iceberg fast-append, SURVEY §4.2).
+        seen_delta = new_rows.select(
+            "url_canon", "url_hash", "host_hash",
+            F.col("round_added").alias("first_round"),
         )
         # union EVERY error part (robots + each middleware's aborts +
         # fetch misses) — middlewares append parts between the first and
@@ -693,7 +703,12 @@ class CrawlEngine:
         import functools
 
         errors_df = functools.reduce(lambda a, b: a.unionByName(b), errors_parts)
-        return frontier_next, seen_next, host_state, errors_df, extracted, c, transcript, n_valid
+        # the durable transcript record (url_canon, batch_pos) — the
+        # driver-side `transcript` list is an optional test convenience,
+        # the parquet table is the O(batch_cap)-per-round source of truth
+        transcript_df = batch.select("url_canon", "batch_pos")
+        return (frontier_next, seen_delta, host_state, errors_df, extracted,
+                transcript_df, c, transcript, n_valid)
 
     def _make_tick(self, r: int):
         if not self.config.timing:
@@ -724,11 +739,27 @@ class CrawlEngine:
 
     def read_table(self, name: str, snapshot: int | None = None) -> DataFrame:
         """Time-travel read: a state table (frontier/seen/host_state/
-        errors/extracted) at a given committed round (default: latest).
-        Raises if that table was pruned by the retention policy."""
+        errors/extracted/transcript) at a given committed round (default:
+        latest). Raises if that table was pruned by retention/compaction.
+
+        ``seen`` is append-only: each manifest lists the delta dirs whose
+        union IS the seen set at that snapshot — the read unions them
+        (merge-on-read); nothing is ever rewritten except by compaction.
+        """
         r = snapshot if snapshot is not None else self.latest_round()
         if r is None:
             raise FileNotFoundError("no committed snapshot in %s" % self.config.workdir)
+        if name == "seen":
+            mf = os.path.join(self.config.workdir, "round_%05d" % r, "manifest.json")
+            with open(mf) as f:
+                rels = json.load(f).get("seen_deltas", [])
+            missing = [p for p in rels if not os.path.isdir(os.path.join(self.config.workdir, p))]
+            if missing:
+                raise FileNotFoundError(
+                    "seen deltas %s for snapshot r%05d were compacted away (retention?)"
+                    % (missing, r)
+                )
+            return self._read_seen(rels)
         path = os.path.join(self.config.workdir, "round_%05d" % r, name)
         if not os.path.isdir(path):
             raise FileNotFoundError(
@@ -736,11 +767,32 @@ class CrawlEngine:
             )
         schema = {
             "frontier": _FRONTIER_SCHEMA,
-            "seen": _SEEN_SCHEMA,
             "host_state": _HOST_STATE_SCHEMA,
         }.get(name)
         reader = self.spark.read.schema(schema) if schema else self.spark.read
         return reader.parquet(path)
+
+    # -- seen delta log ----------------------------------------------------
+    def _read_seen(self, rels: list[str]) -> DataFrame:
+        """The seen set = union of the delta-log dirs (merge-on-read)."""
+        if not rels:
+            return self.spark.createDataFrame([], _SEEN_SCHEMA)
+        paths = [os.path.join(self.config.workdir, p) for p in rels]
+        return self.spark.read.schema(_SEEN_SCHEMA).parquet(*paths)
+
+    def _write_delta(self, df: DataFrame, name: str) -> str:
+        """Write one delta dir atomically (tmp + rename); returns the
+        workdir-relative path the manifest should reference."""
+        rel = os.path.join("seen_deltas", name)
+        final = os.path.join(self.config.workdir, rel)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):  # replay of an uncommitted round
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return rel
 
     def latest_round(self) -> int | None:
         """Highest committed round in workdir, or None."""
@@ -776,12 +828,24 @@ class CrawlEngine:
                 frontier = spark.read.schema(_FRONTIER_SCHEMA).parquet(
                     os.path.join(base, "frontier")
                 )
-                seen = spark.read.schema(_SEEN_SCHEMA).parquet(os.path.join(base, "seen"))
+                self._seen_rels = manifest["seen_deltas"]
+                seen = self._read_seen(self._seen_rels)
                 host_state = spark.read.schema(_HOST_STATE_SCHEMA).parquet(
                     os.path.join(base, "host_state")
                 )
-                res.transcript = manifest.get("transcript_all", [])
-                res.counters = manifest.get("counters_all", [])
+                # manifests are O(1): rebuild run history from the
+                # per-round manifests + transcript tables (never embedded)
+                res.counters = [m["counters"] for m in self.snapshots()]
+                if cfg.collect_transcript:
+                    for rr in range(last + 1):
+                        tp = os.path.join(cfg.workdir, "round_%05d" % rr, "transcript")
+                        res.transcript.append(
+                            [
+                                row.url_canon
+                                for row in spark.read.parquet(tp)
+                                .orderBy("batch_pos").collect()
+                            ]
+                        )
                 start_round = last + 1
                 if cfg.use_bloom:
                     from ..operators.bloom import build_bitmaps, load_bitmaps
@@ -797,11 +861,14 @@ class CrawlEngine:
         if not resume:
             if os.path.exists(cfg.workdir):
                 shutil.rmtree(cfg.workdir)
-            os.makedirs(cfg.workdir, exist_ok=True)
+            os.makedirs(os.path.join(cfg.workdir, "seen_deltas"))
             frontier = self.seed_frontier(seeds)
-            seen = frontier.select(
+            seed_seen = frontier.select(
                 "url_canon", "url_hash", "host_hash", F.lit(0).alias("first_round")
             )
+            # the log's first delta: the seed urls (written once, up front)
+            self._seen_rels = [self._write_delta(seed_seen, "delta_seed")]
+            seen = self._read_seen(self._seen_rels)
             host_state = spark.createDataFrame([], _HOST_STATE_SCHEMA)
             if cfg.use_bloom:
                 from ..operators.bloom import build_bitmaps
@@ -811,18 +878,23 @@ class CrawlEngine:
         for r in range(start_round, max_rounds):
             if frontier.isEmpty():
                 break
-            (frontier_n, seen_n, host_state_n, errors_df, extracted, c,
-             transcript, n_valid) = self._round(r, frontier, seen, host_state)
+            (frontier_n, seen_delta, host_state_n, errors_df, extracted,
+             transcript_df, c, transcript, n_valid) = self._round(
+                r, frontier, seen, host_state
+            )
 
-            # materialize snapshot (truncates lineage; enables resume)
+            # materialize snapshot (truncates lineage; enables resume).
+            # `seen` is NOT here: it goes to the append-only delta log —
+            # this loop's write volume is O(frontier + batch outputs),
+            # never O(|seen|).
             manifest_tables = {
                 "frontier": frontier_n,
-                "seen": seen_n,
                 "host_state": host_state_n,
                 "errors": errors_df,
                 "extracted": extracted.select(
                     "url_canon", "handler", "text", F.lit(r).alias("round")
                 ),
+                "transcript": transcript_df,
             }
             tick = self._make_tick(r)
             base = os.path.join(cfg.workdir, "round_%05d" % r)
@@ -839,6 +911,28 @@ class CrawlEngine:
                     f for f in os.listdir(path) if f.endswith(".parquet")
                 )
                 tick("write_" + name)
+            # append this round's seen DELTA to the log (atomic rename; a
+            # crash before manifest commit leaves an unreferenced dir,
+            # which the round replay overwrites — Iceberg orphan-file
+            # semantics)
+            delta_rel = self._write_delta(seen_delta, "delta_%05d" % r)
+            delta_abs = os.path.join(cfg.workdir, delta_rel)
+            lineage["seen"] = sorted(
+                f for f in os.listdir(delta_abs) if f.endswith(".parquet")
+            )
+            tick("write_seen_delta")
+            seen_rels_next = self._seen_rels + [delta_rel]
+            compacted_away: list[str] = []
+            if (
+                cfg.seen_compact_min_deltas
+                and len(seen_rels_next) >= cfg.seen_compact_min_deltas
+            ):
+                compact_rel = self._write_delta(
+                    self._read_seen(seen_rels_next), "compact_%05d" % r
+                )
+                compacted_away = seen_rels_next
+                seen_rels_next = [compact_rel]
+                tick("compact_seen")
             # per-partition metrics of the round's fetch output
             # (north_rule: per-partition lineage + counters)
             part_rows = {
@@ -848,11 +942,7 @@ class CrawlEngine:
                 ).agg(F.count("*").alias("n")).collect()
             }
 
-            new_df = (
-                spark.read.schema(_FRONTIER_SCHEMA)
-                .parquet(os.path.join(tmp, "frontier"))
-                .filter(F.col("round_added") == r + 1)
-            )
+            new_df = spark.read.schema(_SEEN_SCHEMA).parquet(delta_abs)
             n_new = new_df.count()
             c["scheduled"] = n_new
             c["deduped"] = n_valid - n_new
@@ -871,13 +961,14 @@ class CrawlEngine:
                 res.transcript.append(transcript)
             res.counters.append(c)
 
+            # O(1) manifest: per-round counters + parent pointer + this
+            # snapshot's file lists — never the cumulative transcript
             manifest = {
                 "round": r,
                 "snapshot_id": "r%05d" % r,
                 "parent_snapshot": ("r%05d" % (r - 1)) if r > start_round or resume else None,
                 "counters": c,
-                "counters_all": res.counters,
-                "transcript_all": res.transcript,
+                "seen_deltas": seen_rels_next,
                 "lineage": {
                     "input_snapshot": ("r%05d" % (r - 1)) if r > 0 else "seeds",
                     "output_files": lineage,
@@ -890,20 +981,30 @@ class CrawlEngine:
                 shutil.rmtree(base)
             os.rename(tmp, base)  # atomic commit
             res.rounds = r + 1
+            self._seen_rels = seen_rels_next
+            # only NOW is it safe to drop compacted deltas: the committed
+            # manifest references the compact dir, not them (older
+            # manifests lose seen time-travel — documented retention)
+            for rel in compacted_away:
+                p = os.path.join(cfg.workdir, rel)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
 
             # re-open state from the COMMITTED path (the .tmp dir is gone)
             frontier = spark.read.schema(_FRONTIER_SCHEMA).parquet(os.path.join(base, "frontier"))
-            seen = spark.read.schema(_SEEN_SCHEMA).parquet(os.path.join(base, "seen"))
+            seen = self._read_seen(self._seen_rels)
             host_state = spark.read.schema(_HOST_STATE_SCHEMA).parquet(
                 os.path.join(base, "host_state")
             )
 
-            # retention: keep the last `keep_rounds` snapshots
+            # retention: keep the last `keep_rounds` full state snapshots
+            # (seen lives in the shared delta log and is never pruned —
+            # it IS the resume state)
             for d in sorted(os.listdir(cfg.workdir)):
                 if d.startswith("round_") and not d.endswith(".tmp"):
                     rr = int(d.split("_")[1])
                     if rr <= r - cfg.keep_rounds:
-                        for t in ("frontier", "seen", "host_state"):
+                        for t in ("frontier", "host_state"):
                             p = os.path.join(cfg.workdir, d, t)
                             if os.path.exists(p):
                                 shutil.rmtree(p)

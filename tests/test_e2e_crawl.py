@@ -77,13 +77,8 @@ def test_crawl_ordering_exact(crawl_pair):
 
 def test_seen_set_exact(crawl_pair, spark):
     golden, result, engine = crawl_pair
-    import os
-
-    base = os.path.join(result.workdir, "round_%05d" % (result.rounds - 1))
-    seen = {
-        row.url_canon
-        for row in spark.read.parquet(os.path.join(base, "seen")).collect()
-    }
+    # seen is an append-only delta log: read via the manifest's delta list
+    seen = {row.url_canon for row in engine.read_table("seen").collect()}
     assert seen == golden.seen
 
 
@@ -195,6 +190,55 @@ def test_snapshot_manifest_lineage_and_time_travel(crawl_pair, spark):
         seen_now = {row.url_canon for row in engine.read_table("seen", r).collect()}
         seen_prev = {row.url_canon for row in engine.read_table("seen", r - 1).collect()}
         assert seen_prev <= seen_now
+
+
+def test_seen_delta_log_append_only(crawl_pair, spark):
+    """north_rule scale invariant: per-round seen writes are bounded by
+    that round's NEW urls (append-only log), never the cumulative set;
+    the deltas are disjoint and their union is exactly the seen set."""
+    import os
+
+    golden, result, engine = crawl_pair
+    droot = os.path.join(result.workdir, "seen_deltas")
+    per_delta = {
+        d: spark.read.parquet(os.path.join(droot, d)).count()
+        for d in sorted(os.listdir(droot))
+    }
+    # one delta per round, sized by that round's scheduled (new) urls
+    for c in result.counters:
+        assert per_delta["delta_%05d" % c["round"]] == c["scheduled"]
+    # disjoint appends: sizes sum to the full seen set (no rewrite ever)
+    assert sum(per_delta.values()) == len(golden.seen)
+
+
+def test_seen_compaction_and_resume(spark, tiny_fixture, tmp_path_factory):
+    """Delta-log compaction must not change semantics: transcript and
+    seen set equal the reference model, and a killed run resumes across
+    a compacted log."""
+    import os
+
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=5)
+    wd = str(tmp_path_factory.mktemp("compact_work"))
+    mk = lambda: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=40, max_rounds=5, workdir=wd, keep_rounds=99,
+            seen_compact_min_deltas=2,
+        ),
+    )
+    mk().run(seeds, max_rounds=2)
+    engine = mk()
+    result = engine.run(seeds, max_rounds=5, resume=True)
+    assert result.transcript == golden.transcript
+    seen = {row.url_canon for row in engine.read_table("seen").collect()}
+    assert seen == golden.seen
+    # the log stays bounded: compaction keeps ≤ min_deltas dirs around
+    droot = os.path.join(wd, "seen_deltas")
+    assert len(os.listdir(droot)) <= 2
 
 
 def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_factory):
