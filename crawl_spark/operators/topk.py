@@ -45,6 +45,56 @@ def _with_rank(df: DataFrame):
     ).withColumn("__idx", F.col("__mid").bitwiseAND(F.lit(_IDX_MASK)))
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    k,
+    rank_col: str = "__grank",
+) -> DataFrame:
+    """Exact per-group top-k (rank ≤ k within each group by key order)
+    WITHOUT funneling a whole group's rows into one task.
+
+    ``k`` is an int, or the name of a per-row column carrying that
+    group's budget (e.g. a per-host politeness budget joined on before
+    the call).
+
+    Two stages, same shape as ``ranked_topk``:
+
+    A. partition-local prune (narrow, NO shuffle): after
+       sortWithinPartitions(group, keys) the group's rows are contiguous
+       per input partition, so (monotonic id − min id per (pid, group))
+       is the local in-group rank; keep rank < k. The min-per-(pid,
+       group) aggregate ships ≤ P·G tiny rows and broadcasts back.
+       Candidates shrink from |df| to ≤ P·Σk.
+    B. one window partitionBy(group) over the candidates — each group
+       now holds ≤ P·k rows, a bounded task, not its whole frontier
+       slice.
+
+    Correctness requires deterministic recomputation of the input (the
+    id column is evaluated on both sides of the self-aggregate-join):
+    unique keys + a deterministic source (parquet scan / checkpointed
+    state, as in the engine) guarantee it — the same contract
+    ``ranked_topk`` step 0 already relies on.
+    """
+    from pyspark.sql import Window
+
+    kcol = F.col(k) if isinstance(k, str) else F.lit(k)
+    local = _with_rank(df.sortWithinPartitions(*group_cols, *key_cols))
+    mins = local.groupBy("__pid", *group_cols).agg(F.min("__idx").alias("__g0"))
+    candidates = (
+        local.join(F.broadcast(mins), ["__pid", *group_cols])
+        .filter(F.col("__idx") - F.col("__g0") < kcol)
+        .drop("__mid", "__pid", "__idx", "__g0")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*key_cols)
+    return (
+        candidates.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= kcol)
+        .drop(rank_col)
+    )
+
+
 def ranked_topk(
     df: DataFrame,
     key_cols: list[str],

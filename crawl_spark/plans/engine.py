@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 from ..functions.canon_udf import canonicalize_udf
 from ..functions.extract import extract_links as _extract_links_py
 from ..functions.htmldom import parse_html, sel_text
-from ..operators.topk import ranked_topk
+from ..operators.topk import grouped_topk, ranked_topk
 from .handlers import HandlerRegistry
 
 SEQ_STRIDE = 1 << 20
@@ -451,31 +451,43 @@ class CrawlEngine:
             if hot_hosts:
                 import math
 
-                delays = {
-                    row.host: row.crawl_delay
-                    for row in self.robots.filter(F.col("host").isin(hot_hosts)).collect()
+                # ONE driver job for all hot-host budget inputs (instead
+                # of a collect + a Spark job per host): budgets are a
+                # pure function of (robots delay, host clock, r)
+                hot_df = self.spark.createDataFrame(
+                    [(h,) for h in hot_hosts], "host string"
+                )
+                info = {
+                    row.host: (row.crawl_delay, row.next_time)
+                    for row in hot_df.join(
+                        self.robots.select("host", "crawl_delay"), "host", "left"
+                    ).join(host_state, "host", "left").collect()
                 }
-                next_times = {
-                    row.host: row.next_time
-                    for row in host_state.filter(F.col("host").isin(hot_hosts)).collect()
-                }
+                budgets = []
                 for h in hot_hosts:
-                    dh = delays.get(h)
+                    dh, nth = info[h]
                     dh = cfg.default_crawl_delay if dh is None else dh
                     if dh <= 0:
                         k_h = cfg.batch_cap  # unlimited budget; global cap bounds it
                     else:
-                        s_h = max(next_times.get(h, 0.0), float(r))
+                        s_h = max(nth if nth is not None else 0.0, float(r))
                         k_h = max(int(math.ceil((r + 1.0 - s_h) / dh)), 0)
-                    if k_h <= 0:
-                        continue
-                    hot_top = ranked_topk(
-                        allowed.filter(F.col("host") == h).select(*_FRONTIER_COLS),
-                        FIFO_KEY,
-                        min(k_h, cfg.batch_cap),
-                        pos_col="__hot_rank",
-                        num_partitions=self._parallelism,
-                    ).select(*_FRONTIER_COLS)
+                    k_h = min(k_h, cfg.batch_cap)
+                    if k_h > 0:
+                        budgets.append((h, k_h))
+                if budgets:
+                    # ONE distributed grouped top-k over ALL hot hosts —
+                    # per-host budgets ride a broadcast column; no
+                    # per-host driver loop, no per-host jobs
+                    budgets_df = self.spark.createDataFrame(
+                        budgets, "host string, __k long"
+                    )
+                    hot = allowed.select(*_FRONTIER_COLS).join(
+                        F.broadcast(budgets_df), "host"
+                    )
+                    hot_top = grouped_topk(hot, ["host"], FIFO_KEY, "__k").select(
+                        *_FRONTIER_COLS
+                    )
                     survivors = survivors.unionByName(hot_top)
             n_allowed = allowed.count()
         else:

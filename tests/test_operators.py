@@ -190,3 +190,46 @@ def test_clean_corpus_gates(spark):
     # doc 1 survives (dup of 2 collapses to min id), 3 too short, 4 no stopwords
     assert list(out.doc_id) == [1]
     assert int(out.n_copies.iloc[0]) == 2
+
+
+def test_grouped_topk_equals_window(spark):
+    """grouped_topk (distributed per-group top-k) must equal the plain
+    window-rank formulation — int k and per-row budget-column k — on
+    skewed data spread across many input partitions."""
+    from pyspark.sql import Window
+
+    from crawl_spark.operators.topk import grouped_topk
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "host": ["h%d" % int(g) for g in rng.zipf(1.3, n) % 17],
+            "a": rng.permutation(n),  # unique key
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16).localCheckpoint(eager=True)
+    w = Window.partitionBy("host").orderBy("a")
+    ranked = df.withColumn("rn", F.row_number().over(w))
+
+    for k in (1, 7, 100):
+        exp = set(map(tuple, ranked.filter(F.col("rn") <= k).select("host", "a").collect()))
+        got = set(map(tuple, grouped_topk(df, ["host"], ["a"], k).select("host", "a").collect()))
+        assert got == exp, "int k=%d" % k
+
+    # per-group budget column: k = (host index % 5) + 1
+    budgets = spark.createDataFrame(
+        [("h%d" % i, i % 5 + 1) for i in range(17)], "host string, kb long"
+    )
+    dfb = df.join(F.broadcast(budgets), "host")
+    exp = set(
+        map(
+            tuple,
+            dfb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.col("kb"))
+            .select("host", "a")
+            .collect(),
+        )
+    )
+    got = set(map(tuple, grouped_topk(dfb, ["host"], ["a"], "kb").select("host", "a").collect()))
+    assert got == exp
