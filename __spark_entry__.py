@@ -194,12 +194,22 @@ def q_priority_topk(spark, sf_dir):
 
 
 def q_seq_stamp(spark, sf_dir):
-    """Deterministic seq assignment: row_number over a total sort key
-    (engine.py seq-stamp contract; SURVEY.md §7 hard-part #2)."""
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    return li.select(
-        "l_orderkey", "l_linenumber", F.row_number().over(w).alias("seq")
+    """Deterministic seq assignment via DISTRIBUTED partition-offset
+    stamping (engine.py seq-stamp contract; SURVEY.md §7 hard-part #2).
+
+    A global ``row_number() OVER (ORDER BY ...)`` would be correct but
+    funnels the whole table through one task — the plan you must NOT run
+    at 10^10 rows. ``ranked_topk`` with k ≥ |table| is the scale-safe
+    equivalent: range-shuffle on the key, per-partition counts prefix-
+    summed into offsets, position = offset + local index."""
+    from crawl_spark.operators.topk import ranked_topk
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    stamped = ranked_topk(
+        li, ["l_orderkey", "l_linenumber"], 1 << 40, pos_col="seq"
+    )
+    return stamped.select(
+        "l_orderkey", "l_linenumber", F.col("seq").cast("int").alias("seq")
     )
 
 

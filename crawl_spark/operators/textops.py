@@ -17,7 +17,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Stopword sets for the n-gram/stopword language-ID heuristic.  Tiny and
@@ -156,8 +156,15 @@ def vocabulary(
     """Corpus vocabulary: token → (count, doc frequency), top_k by count
     (tokenizer-training precursor). Explode + two partial-aggregated
     counts; the shuffle carries (token, partial counts), never text.
-    Deterministic order: count desc, then token asc."""
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"), F.col(text_col))
+    Deterministic order: count desc, then token asc.
+
+    Ranking goes through ``ranked_topk`` (distributed partition-offset
+    stamping) — a bare ``Window.orderBy(count desc)`` would funnel the
+    ENTIRE vocabulary through one task, the classic single-partition
+    window a 100 TB corpus cannot run."""
+    from .topk import ranked_topk
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
     agg = (
         df.select(F.monotonically_increasing_id().alias("__doc"), F.col(text_col))
         .select("__doc", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"))
@@ -165,13 +172,16 @@ def vocabulary(
         .agg(F.count("*").alias("doc_freq"))
     )
     counts = tok.groupBy("token").agg(F.count("*").alias("count"))
-    w = Window.orderBy(F.col("count").desc(), F.col("token"))
-    return (
+    ranked = ranked_topk(
         counts.join(agg, "token")
         .filter(F.col("count") >= min_count)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select("rank", "token", "count", "doc_freq")
+        .withColumn("__negc", -F.col("count")),
+        ["__negc", "token"],
+        top_k,
+        pos_col="rank",
+    )
+    return ranked.select(
+        F.col("rank").cast("int").alias("rank"), "token", "count", "doc_freq"
     )
 
 
