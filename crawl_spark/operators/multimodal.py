@@ -60,10 +60,40 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _jpeg_sof_dims(b: bytes):
+    """Scan JPEG marker segments for the first SOFn frame header and read
+    (width, height) — pure byte parsing, no codec needed."""
+    sof_markers = frozenset(
+        [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+    )
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            i += 1  # resync on stray bytes between segments
+            continue
+        marker = b[i + 1]
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+            i += 2  # standalone markers carry no length field
+            continue
+        seglen = (b[i + 2] << 8) | b[i + 3]
+        if marker in sof_markers:
+            if i + 9 <= n:
+                h = (b[i + 5] << 8) | b[i + 6]
+                w = (b[i + 7] << 8) | b[i + 8]
+                return (w, h)
+            return (None, None)
+        if marker == 0xDA or seglen < 2:  # entropy-coded data starts: stop
+            return (None, None)
+        i += 2 + seglen
+    return (None, None)
+
+
 def sniff_container(payload: bytes | None):
     """Parse container headers (real implementation — pure byte parsing).
 
     Returns (mime, width, height, sample_rate); unknown fields None.
+    A bounded PREFIX of the payload suffices (headers live up front), so
+    callers can avoid shipping full blobs into Python.
     """
     if not payload:
         return (None, None, None, None)
@@ -71,7 +101,8 @@ def sniff_container(payload: bytes | None):
         w, h = struct.unpack(">II", payload[16:24])
         return ("image/png", int(w), int(h), None)
     if payload[:2] == b"\xff\xd8":
-        return ("image/jpeg", None, None, None)  # SOF scan needs full decode
+        w, h = _jpeg_sof_dims(payload)
+        return ("image/jpeg", w, h, None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 28:
         (rate,) = struct.unpack("<I", payload[24:28])
         return ("audio/wav", None, None, int(rate))
@@ -96,31 +127,47 @@ def fake_feature(payload: bytes | None, dim: int = 8) -> list[float]:
     return [float(round(x / total, 6)) for x in hist]
 
 
-def extract_media_meta(df: DataFrame) -> DataFrame:
-    """mapInPandas: container sniff + md5 per media row (Arrow-batched)."""
-    import hashlib
+def extract_media_meta(df: DataFrame, prefix_bytes: int = 65536) -> DataFrame:
+    """Per-media metadata: JVM-side md5/byte-length + Python header sniff.
+
+    ``payload_md5`` and ``n_bytes`` are plain column expressions
+    (``F.md5`` / ``F.length`` — JVM, whole-stage codegen); only a bounded
+    ``prefix_bytes`` slice of each payload crosses the Arrow boundary for
+    the header sniff, so full blobs NEVER enter Python. md5/len columns
+    pass through the UDF untouched (no join, no second payload scan)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                payload = bytes(payload) if payload is not None else None
-                mime, w, h, rate = sniff_container(payload)
-                rows.append(
-                    {
-                        "media_id": int(mid),
-                        "kind": kind,
-                        "detected_mime": mime,
-                        "n_bytes": len(payload) if payload else 0,
-                        "width": w,
-                        "height": h,
-                        "sample_rate": rate,
-                        "payload_md5": hashlib.md5(payload).hexdigest() if payload else None,
-                    }
+            mimes, ws, hs, rates = [], [], [], []
+            for prefix in pdf["__prefix"]:
+                mime, w, h, rate = sniff_container(
+                    bytes(prefix) if prefix is not None else None
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in META_SCHEMA.fields])
+                mimes.append(mime)
+                ws.append(w)
+                hs.append(h)
+                rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "detected_mime": mimes,
+                    "n_bytes": pdf["n_bytes"],
+                    "width": ws,
+                    "height": hs,
+                    "sample_rate": rates,
+                    "payload_md5": pdf["payload_md5"],
+                }
+            )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(fn, META_SCHEMA)
+    prepared = df.select(
+        "media_id",
+        "kind",
+        F.substring(F.col("payload"), 1, prefix_bytes).alias("__prefix"),
+        F.coalesce(F.length("payload").cast("long"), F.lit(0)).alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+    return prepared.mapInPandas(fn, META_SCHEMA)
 
 
 def extract_media_features(df: DataFrame, dim: int = 8) -> DataFrame:
@@ -148,7 +195,17 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         body = bytes((i * 7 + j) % 256 for j in range(128))
-        if kind == "image":
+        if kind == "image" and i % 2:
+            # minimal JPEG: SOI + APP0/JFIF + SOF0 with real dimensions
+            app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            sof0 = (
+                b"\xff\xc0"
+                + struct.pack(">HBHHB", 11, 8, 9 + i, 16 + i, 1)
+                + b"\x01\x11\x00"
+            )
+            payload = b"\xff\xd8" + app0 + sof0 + body
+            mime = "image/jpeg"
+        elif kind == "image":
             payload = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", 16 + i, 9 + i) + body
             mime = "image/png"
         elif kind == "audio":

@@ -25,6 +25,13 @@ def test_sniff_container_headers():
     assert sniff_container(wav) == ("audio/wav", None, None, 44100)
     assert sniff_container(b"\x00\x00\x00\x18ftypisom")[0] == "video/mp4"
     assert sniff_container(b"\xff\xd8rest")[0] == "image/jpeg"
+    # JPEG SOF scan: dimensions come from the first SOFn segment
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 1) + b"\x01\x11\x00"
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xda\x00\x02junk"
+    assert sniff_container(jpg) == ("image/jpeg", 640, 480, None)
+    # truncated-before-SOF JPEG: mime detected, dims unknown
+    assert sniff_container(b"\xff\xd8" + app0) == ("image/jpeg", None, None, None)
     assert sniff_container(None) == (None, None, None, None)
     assert sniff_container(b"junk")[0] == "application/octet-stream"
 
@@ -41,6 +48,11 @@ def test_meta_extraction_spark(spark):
     assert (meta.n_bytes > 0).all()
     png = meta[meta.detected_mime == "image/png"]
     assert (png.width.astype(int) >= 16).all()
+    jpg = meta[meta.detected_mime == "image/jpeg"]
+    assert len(jpg) > 0
+    # width/height parsed from the SOF0 header (media_id i -> 16+i x 9+i)
+    for mid, row in jpg.iterrows():
+        assert int(row.width) == 16 + mid and int(row.height) == 9 + mid
     wav = meta[meta.detected_mime == "audio/wav"]
     assert wav.sample_rate.astype(int).isin([8000, 16000, 24000]).all()
     # md5 is per-payload deterministic
