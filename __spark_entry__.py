@@ -369,6 +369,28 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(v, v.filter(F.col("vec_id") < 8), k=10, nprobe=2)
 
 
+def q_ivf_train(spark, sf_dir):
+    """One k-means (Lloyd) refinement step over the deterministic init
+    codebook (operators/similarity.py kmeans_iteration): assign by 6dp
+    cosine, recompute centroids as elementwise means. Exploded to scalar
+    (centroid_id, pos, n_members, val) rows so DuckDB verifies the
+    means exactly (6dp round); the multi-iteration trained codebook is
+    pytest-verified by its recall (test_trained_ivf_beats_untrained)."""
+    from crawl_spark.operators.similarity import _default_centroids, kmeans_iteration
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _default_centroids(emb, 41, "vec_id", "embedding")
+    it = kmeans_iteration(emb, cents)
+    return it.select(
+        "centroid_id", "n_members", F.posexplode("cv").alias("pos0", "val")
+    ).select(
+        "centroid_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.round("val", 6).alias("val"),
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     from crawl_spark.operators.similarity import embedding_neardup_pairs
 
@@ -422,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
+        "ivf_train": q_ivf_train,
         "ivf_topk": q_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "multimodal_meta": q_multimodal_meta,  # rows-only: binary plumbing
@@ -765,6 +788,34 @@ SELECT vec_id, centroid_id, cos AS centroid_cos FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
   FROM scored
 ) WHERE rn = 1
+""",
+        "ivf_train": f"""
+WITH {_COSINE_CTES},
+cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+               / (sqrt(v.nn) * sqrt(c.cnn)), 6) AS cos
+  FROM n v, cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+member AS (SELECT a.centroid_id, v.e FROM assign a JOIN v ON v.vec_id = a.vec_id),
+exploded AS (
+  SELECT centroid_id,
+         unnest(range(1, len(e)+1)) AS pos,
+         unnest(e) AS val
+  FROM member
+)
+SELECT centroid_id, CAST(pos AS INT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(val), 6) AS val
+FROM exploded GROUP BY centroid_id, pos
 """,
         "ivf_topk": f"""
 WITH {_COSINE_CTES},

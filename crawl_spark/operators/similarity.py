@@ -69,22 +69,17 @@ def brute_force_topk(
     )
 
 
-def ivf_assign(
-    vectors: DataFrame,
-    centroid_mod: int = 41,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _default_centroids(
+    vectors: DataFrame, centroid_mod: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Assign each vector to its nearest coarse centroid (by cosine).
-
-    Centroids are the deterministic subset id % centroid_mod == 0 (a
-    stand-in for a k-means codebook — the assignment dataflow is the
-    real product).  Broadcast the centroid set; argmax via window.
-    """
-    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+    """The deterministic id-subset codebook (the SQL-oracle path)."""
+    return vectors.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), _vecd(F.col(vec_col)).alias("cv")
     )
-    v = vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("vv"))
+
+
+def assign_to_centroids(v: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid (cosine argmax) per vector; centroids broadcast."""
     scored = v.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         "centroid_id",
@@ -98,6 +93,105 @@ def ivf_assign(
     )
 
 
+def kmeans_iteration(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd step: assign every vector to its nearest centroid
+    (broadcast join — no shuffle of the corpus), then recompute each
+    centroid as the elementwise mean of its members.
+
+    The mean is a partial-aggregated groupBy over exploded (centroid,
+    dim) pairs — the shuffle carries k·dim partial sums, never vectors.
+    Returns (centroid_id, cv, n_members); empty cells drop out.
+    """
+    v = vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("vv"))
+    assigned = assign_to_centroids(v, centroids, id_col).select(id_col, "centroid_id")
+    members = assigned.join(v, id_col)
+    means = (
+        members.select("centroid_id", F.posexplode("vv").alias("pos", "val"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg("val").alias("val"), F.count("*").alias("n"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("cv"),
+            F.max("n").alias("n_members"),
+        )
+    )
+    return means
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    k: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means codebook for IVF.
+
+    Init: the k vectors with smallest md5(id) — a reproducible pseudo-
+    random spread (no RNG, so training is replayable bit-for-bit).
+    Each iteration runs one ``kmeans_iteration``; the k·dim codebook is
+    collected to the driver between steps (tiny) and re-broadcast.
+    Empty cells keep their previous centroid so k never shrinks.
+    """
+    spark = vectors.sparkSession
+    seeds = (
+        vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("cv"))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+    )
+    cents = {
+        i: row.cv for i, row in enumerate(seeds.collect())
+    }  # centroid_id -> vector (k × dim doubles: driver-tiny)
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(cid, list(cv)) for cid, cv in sorted(cents.items())],
+            "centroid_id long, cv array<double>",
+        )
+        new = {
+            row.centroid_id: list(row.cv)
+            for row in kmeans_iteration(
+                vectors, cdf, id_col, vec_col
+            ).collect()
+        }
+        cents.update(new)  # empty cells keep the previous centroid
+    return spark.createDataFrame(
+        [(cid, list(cv)) for cid, cv in sorted(cents.items())],
+        "centroid_id long, cv array<double>",
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroid_mod: int = 41,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (by cosine).
+
+    ``centroids`` (centroid_id, cv) is a trained codebook from
+    ``train_ivf_centroids``; when omitted, the deterministic subset
+    id % centroid_mod == 0 stands in (the exact-SQL-oracle path).
+    Broadcast the centroid set; argmax via window.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else _default_centroids(vectors, centroid_mod, id_col, vec_col)
+    )
+    v = vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("vv"))
+    return assign_to_centroids(v, cents, id_col)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -106,14 +200,19 @@ def ivf_topk(
     centroid_mod: int = 41,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: search only the nprobe nearest centroid
     lists per query.  Join keys are centroid ids — the corpus is scanned
-    once for assignment and thereafter only touched per probed list."""
-    assign = ivf_assign(vectors, centroid_mod, id_col, vec_col)
-    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"), _vecd(F.col(vec_col)).alias("cv")
+    once for assignment and thereafter only touched per probed list.
+    Pass a trained ``centroids`` codebook for real recall; the default
+    id-subset codebook is the deterministic oracle path."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _default_centroids(vectors, centroid_mod, id_col, vec_col)
     )
+    assign = ivf_assign(vectors, centroid_mod, id_col, vec_col, centroids=cents)
     q = queries.select(F.col(id_col).alias("query_id"), _vecd(F.col(vec_col)).alias("qv"))
     qc = q.crossJoin(F.broadcast(cents)).select(
         "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("ccos")
@@ -145,15 +244,17 @@ def embedding_neardup_pairs(
     centroid_mod: int = 41,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by IVF cell.
 
     Pairs are only compared within a coarse cell (same blocking idea as
     MinHash bands) — O(sum of cell²) not O(n²); recall is bounded by the
-    quantizer, the standard scale/quality trade."""
-    assign = ivf_assign(vectors, centroid_mod, id_col, vec_col).select(
-        F.col(id_col), "centroid_id"
-    )
+    quantizer (train the codebook for tighter cells), the standard
+    scale/quality trade."""
+    assign = ivf_assign(
+        vectors, centroid_mod, id_col, vec_col, centroids=centroids
+    ).select(F.col(id_col), "centroid_id")
     v = vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("vv"))
     av = assign.join(v, id_col)
     a = av.select(F.col(id_col).alias("id_a"), F.col("centroid_id"), F.col("vv").alias("va"))

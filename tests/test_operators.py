@@ -233,3 +233,40 @@ def test_grouped_topk_equals_window(spark):
     )
     got = set(map(tuple, grouped_topk(dfb, ["host"], ["a"], "kb").select("host", "a").collect()))
     assert got == exp
+
+
+def test_trained_ivf_beats_untrained_codebook(spark):
+    """k-means-trained centroids must deliver better (or equal, never
+    worse) nprobe=1 top-1 recall than the arbitrary id-subset codebook
+    on clustered data — and clear an absolute recall bar."""
+    from crawl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(scale=8.0, size=(8, 16))
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(50, 16)) for c in centers]
+    ).astype(np.float32)
+    ids = rng.permutation(len(vecs))
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    emb = spark.createDataFrame(pdf).localCheckpoint(eager=True)
+
+    q = emb.filter(F.col("vec_id") < 12)
+    exact = brute_force_topk(emb, q, k=1).toPandas().set_index("query_id")
+
+    def recall(approx):
+        a = approx.toPandas().set_index("query_id")
+        return sum(
+            int(exact.loc[i, "nbr_id"] == a.loc[i, "nbr_id"])
+            for i in exact.index
+            if i in a.index
+        ) / len(exact)
+
+    cents = train_ivf_centroids(emb, k=8, iters=4)
+    r_trained = recall(ivf_topk(emb, q, k=1, nprobe=1, centroids=cents))
+    r_untrained = recall(ivf_topk(emb, q, k=1, nprobe=1, centroid_mod=41))
+    assert r_trained >= r_untrained
+    assert r_trained >= 0.9, (r_trained, r_untrained)
