@@ -53,6 +53,25 @@ def _urlencode_multimap(m: Column) -> Column:
     return F.array_join(pairs, "&")
 
 
+def _canon_key(k: Column) -> Column:
+    """Go textproto.CanonicalMIMEHeaderKey as a column expression:
+    capitalize the first letter of each '-'-separated token, lowercase
+    the rest ('user-agent' -> 'User-Agent')."""
+    return F.array_join(
+        F.transform(
+            F.split(k, "-"),
+            lambda t: F.concat(
+                F.upper(F.substring(t, 1, 1)), F.lower(F.substring(t, 2, 1 << 30))
+            ),
+        ),
+        "-",
+    )
+
+
+def _canon_key_py(k: str) -> str:
+    return "-".join(t[:1].upper() + t[1:].lower() for t in k.split("-"))
+
+
 def _q(c: Column) -> Column:
     """percent-encode (Go url.QueryEscape contract: space→'+', unreserved
     unescaped). Spark's built-in ``url_encode`` (java.net.URLEncoder,
@@ -93,19 +112,33 @@ def construct_requests(
         has_form & (eff_method == "POST"), _urlencode_multimap(F.col("form"))
     ).otherwise(F.lit(None).cast("string"))
 
-    # defaults fill only UNSET headers: map_concat(defaults, header) with
-    # request-last wins in Spark when duplicate keys are allowed — pin
-    # explicitly: start from defaults, overwrite with request entries.
+    # defaults fill only UNSET headers, with Go http.Header key
+    # canonicalization on BOTH maps (crawler.go:160-165 — Go's Set
+    # canonicalizes, so a request 'user-agent' must override the default
+    # 'User-Agent', not coexist with it). Merge on canonical keys;
+    # request value wins. The inner filter references the outer lambda
+    # var (normally banned per the HOF re-eval rule) — header maps are
+    # ≤ O(10) entries, so the re-evaluation is bounded and harmless.
+    canon_defaults = {_canon_key_py(k): v for k, v in (default_headers or {}).items()}
     dflt = F.create_map(
-        *[F.lit(x) for kv in default_headers.items() for x in kv]
-    ) if default_headers else F.create_map().cast("map<string,string>")
+        *[F.lit(x) for kv in canon_defaults.items() for x in kv]
+    ) if canon_defaults else F.create_map().cast("map<string,string>")
     req_hdr = F.coalesce(F.col("header"), F.create_map().cast("map<string,string>"))
+    req_keys = F.map_keys(req_hdr)
     merged_keys = F.array_distinct(
-        F.concat(F.map_keys(dflt), F.map_keys(req_hdr))
+        F.concat(F.map_keys(dflt), F.transform(req_keys, _canon_key))
     )
+
+    def _req_val(ck: Column) -> Column:
+        # first request key whose canonical form matches (map order);
+        # try_element_at: NULL (not an ANSI error) when no key matches
+        return req_hdr[
+            F.try_element_at(F.filter(req_keys, lambda k: _canon_key(k) == ck), F.lit(1))
+        ]
+
     eff_headers = F.map_from_arrays(
         merged_keys,
-        F.transform(merged_keys, lambda k: F.coalesce(req_hdr[k], dflt[k])),
+        F.transform(merged_keys, lambda ck: F.coalesce(_req_val(ck), dflt[ck])),
     )
 
     out = df.withColumn("eff_method", eff_method).withColumn(

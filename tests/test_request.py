@@ -29,6 +29,7 @@ def built(spark):
         ("http://h.ex/d", None, None, {"q": ["v w"], "b": ["1"]}, None, None),
         ("http://h.ex/e?x=0", None, None, {"y": ["2"]}, None, None),
         ("http://h.ex/f", None, None, None, {"User-Agent": "custom", "X": "y"}, None),
+        ("http://h.ex/g", None, None, None, {"user-agent": "lower", "x-tOKen": "t"}, None),
     ]
     df = spark.createDataFrame(rows, SCHEMA)
     out = construct_requests(df, proxies=["p1:80", "p2:80"]).collect()
@@ -61,6 +62,16 @@ def test_header_merge_request_wins(built):
     assert h["Accept"] == DEFAULT_HEADERS["Accept"]  # default fills unset
     h0 = dict(built["http://h.ex/a"].eff_headers)
     assert h0 == DEFAULT_HEADERS
+
+
+def test_header_merge_canonicalizes_keys(built):
+    # Go http.Header canonicalizes on Set: 'user-agent' must OVERRIDE the
+    # default 'User-Agent' (one canonical key), not coexist with it
+    h = dict(built["http://h.ex/g"].eff_headers)
+    assert h["User-Agent"] == "lower"
+    assert sum(1 for k in h if k.lower() == "user-agent") == 1
+    assert h["X-Token"] == "t"  # mixed-case key canonicalized
+    assert h["Accept"] == DEFAULT_HEADERS["Accept"]
 
 
 def test_proxy_pick_deterministic(built, spark):
