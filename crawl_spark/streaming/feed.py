@@ -48,25 +48,68 @@ STAGED_SCHEMA = (
 )
 
 
+def rate_seed_source(
+    spark: SparkSession, rows_per_second: int = 100, n_hosts: int = 10
+) -> DataFrame:
+    """An UNBOUNDED record-stream seed source in SEED_FEED_SCHEMA shape
+    (Spark's rate source mapped to synthetic urls).
+
+    This is the Kafka-shaped path: a topic-like stream of records, not a
+    directory of files. A real deployment swaps this one function for
+    ``spark.readStream.format("kafka")...`` + a value-JSON projection;
+    everything downstream (canonicalize → stateful dedup → staged
+    parquet → drain at round boundary) is source-agnostic and is tested
+    against BOTH source kinds.
+    """
+    r = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return r.select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("value") % n_hosts).cast("string"),
+            F.lit(".example/p/"),
+            F.col("value").cast("string"),
+        ).alias("url"),
+        F.lit(None).cast("string").alias("referer"),
+        F.lit(0).alias("priority"),
+        F.array(F.lit("page")).alias("callbacks"),
+        F.lit(None).cast("double").alias("deadline"),
+        F.col("timestamp").alias("event_ts"),
+    )
+
+
 def seed_feed_stream(
     spark: SparkSession,
-    in_dir: str,
-    staging_dir: str,
-    checkpoint_dir: str,
+    in_dir: str | None = None,
+    staging_dir: str = "",
+    checkpoint_dir: str = "",
     available_now: bool = False,
+    source_df: DataFrame | None = None,
 ):
-    """Stream seed JSON files → canonicalize → dedup → staged parquet.
+    """Stream seeds → canonicalize → dedup → staged parquet.
+
+    The source is pluggable: by default a JSON file source over
+    ``in_dir`` (the drop-a-seed-file workflow); pass ``source_df`` (any
+    streaming DataFrame in SEED_FEED_SCHEMA shape, e.g.
+    ``rate_seed_source`` or a Kafka projection) to feed from a
+    record stream instead — the pipeline below is identical.
 
     ``dropDuplicates("url_canon")`` is stateful streaming dedup — the
     Structured Streaming state store plays the seen-set role for the
     out-of-band path; the engine's exact anti-join re-checks at pickup,
     so duplicates across the two paths still collapse.
     """
-    raw = (
-        spark.readStream.schema(SEED_FEED_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
-        .json(in_dir)
-    )
+    if source_df is not None:
+        raw = source_df
+    else:
+        raw = (
+            spark.readStream.schema(SEED_FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .json(in_dir)
+        )
     c = canonicalize_udf(F.col("url"), F.col("referer"))
     staged = (
         raw.withColumn("c", c)

@@ -104,3 +104,37 @@ def test_metrics_rollup_windows(spark, tmp_path):
     }
     assert counts.get(("00:00:00", "fetch_miss")) == 2
     assert counts.get(("00:00:10", "robots_denied")) == 1
+
+
+def test_seed_feed_from_record_stream(spark, tmp_path):
+    """The Kafka-shaped path: the SAME feed pipeline (canonicalize →
+    stateful dedup → staged parquet → drain) fed from an unbounded
+    record stream (rate source) instead of a file directory — proving
+    the source swap is one function, not a new pipeline."""
+    from crawl_spark.streaming.feed import rate_seed_source
+
+    staging, ckpt = str(tmp_path / "staged_r"), str(tmp_path / "ck_r")
+    src = rate_seed_source(spark, rows_per_second=500, n_hosts=7)
+    q = seed_feed_stream(
+        spark, staging_dir=staging, checkpoint_dir=ckpt, source_df=src
+    )
+    try:
+        # let a few micro-batches commit, then stop the unbounded stream
+        deadline = 60
+        import time
+
+        while deadline > 0:
+            staged = drain_staged_seeds(spark, staging)
+            if staged.count() >= 10:
+                break
+            time.sleep(1)
+            deadline -= 1
+    finally:
+        q.stop()
+    staged = drain_staged_seeds(spark, staging).toPandas()
+    assert len(staged) >= 10
+    # canonicalization ran (host parsed) and stateful dedup held (rate
+    # values are unique, so canonical urls must be too)
+    assert staged.url_canon.is_unique
+    assert set(staged.host) <= {"host%d.example" % i for i in range(7)}
+    assert (staged.priority == 0).all()
