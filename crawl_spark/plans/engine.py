@@ -662,6 +662,9 @@ class CrawlEngine:
             ).localCheckpoint(eager=True)  # consumed by both branches
             definite_new = tagged.filter(~F.col("possibly_seen")).drop("possibly_seen")
             candidates = tagged.filter(F.col("possibly_seen")).drop("possibly_seen")
+            # shuffle-reduction evidence: only these rows pay the exact
+            # anti-join against the seen set (cheap count: checkpointed)
+            c["bloom_exact_checked"] = candidates.count()
             unseen = definite_new.unionByName(
                 candidates.join(seen.select("url_canon"), "url_canon", "left_anti")
             )

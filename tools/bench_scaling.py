@@ -23,9 +23,18 @@ Measurement hygiene:
   onto 32 cores, a contention a real 4N cluster does not have — and
   (8,32) for completeness.
 
+Isolated-executor mode (SCALING_CLUSTER=1): the same pairs run under
+``local-cluster[n_execs,2,mem]`` — separate executor JVMs with separate
+heaps/GC/Arrow arenas, the closest this box gets to real N vs 4N
+executors (4 cores = 2 executors × 2; 16 cores = 8 × 2). Each run also
+reports the extracted-rows-per-partition balance from the round
+manifests — the per-executor-counter evidence that no engine stage
+serializes as input grows.
+
 Usage:
-    python tools/bench_scaling.py                 # orchestrate, write BENCH.md
-    python tools/bench_scaling.py --run 8         # single measured run
+    python tools/bench_scaling.py                 # orchestrate + print JSON
+    SCALING_CLUSTER=1 python tools/bench_scaling.py
+    python tools/bench_scaling.py --run 8 [master] # single measured run
 """
 
 from __future__ import annotations
@@ -48,7 +57,7 @@ PAIRS = [
 TMPFS = "/dev/shm/crawl_spark_scaling"
 
 
-def one_run(cpus: int) -> None:
+def one_run(cpus: int, master: str | None = None) -> None:
     import tempfile
 
     from bench import ensure_pages_fixture
@@ -56,7 +65,15 @@ def one_run(cpus: int) -> None:
     from crawl_spark.plans.handlers import Handler, HandlerRegistry
     from crawl_spark.session import make_session
 
-    spark = make_session(f"scaling_{cpus}", master=f"local[{cpus}]")
+    extra = {}
+    if master and master.startswith("local-cluster"):
+        # blob-heavy extraction needs ~3 GB/core of executor heap: at
+        # 2-core executors, 3 GB heaps GC-thrash on the html Arrow
+        # batches (measured: extract 99 s vs 30 s at 6 GB)
+        extra["spark.executor.memory"] = os.environ.get("SCALING_EXEC_MEM", "6g")
+    spark = make_session(
+        f"scaling_{cpus}", master=master or f"local[{cpus}]", extra_conf=extra
+    )
     pages_dir = ensure_pages_fixture(N_PAGES, filler_paras=FILLER)
     reg = HandlerRegistry()
     reg.register("page", Handler(name="page"))
@@ -80,17 +97,80 @@ def one_run(cpus: int) -> None:
     res = eng.run(seeds, max_rounds=ROUNDS)
     wall = time.time() - t0
     scheduled = res.total_scheduled + len(seeds)
+    # partition-balance evidence (north_rule per-partition counters): the
+    # extraction stage's rows-per-partition from each round's manifest —
+    # a serial stage would show up as one partition holding the work
+    balance = []
+    for m in eng.snapshots():
+        parts = list(m["lineage"]["extracted_rows_per_partition"].values())
+        if parts:
+            balance.append(
+                {
+                    "round": m["round"],
+                    "n_partitions": len(parts),
+                    "max_over_mean": round(max(parts) / (sum(parts) / len(parts)), 2),
+                }
+            )
     print(
         json.dumps(
             {
                 "cpus": cpus,
+                "master": master or f"local[{cpus}]",
                 "seconds": round(wall, 2),
                 "urls_scheduled": scheduled,
                 "pages_fetched": res.total_fetched,
                 "urls_per_sec": round(scheduled / wall, 1),
+                "extract_balance": balance,
             }
         )
     )
+
+
+def control_run(cpus: int, master: str | None = None) -> None:
+    """CPU-bound control: chained md5 over a range — pure JVM codegen
+    compute, cache-resident, no Arrow/no parse/no blob traffic. If THIS
+    scales at N vs 4N while the crawl doesn't, the crawl's gap is the
+    box's shared memory bandwidth (parse is allocation-heavy), not an
+    engine serial stage."""
+    from pyspark.sql import functions as F
+
+    from crawl_spark.session import make_session
+
+    extra = {}
+    if master and master.startswith("local-cluster"):
+        extra["spark.executor.memory"] = os.environ.get("SCALING_EXEC_MEM", "6g")
+    spark = make_session(
+        f"control_{cpus}", master=master or f"local[{cpus}]", extra_conf=extra
+    )
+    n = int(os.environ.get("CONTROL_ROWS", "2000000"))
+    df = spark.range(0, n, 1, 64)
+    c = F.col("id").cast("string")
+    for _ in range(64):
+        c = F.md5(c)
+    df.select(c.alias("h")).filter(F.col("h").startswith("00")).count()  # warm JIT
+    t0 = time.time()
+    hits = df.select(c.alias("h")).filter(F.col("h").startswith("0")).count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "master": master or f"local[{cpus}]",
+                "seconds": round(wall, 2),
+                "rows": n,
+                "hits": hits,
+                "urls_per_sec": round(n / wall, 1),  # rows/s (keyed for orchestrate)
+            }
+        )
+    )
+
+
+def _master_for(cpus: int) -> str | None:
+    if os.environ.get("SCALING_CLUSTER"):
+        # isolated executor JVMs: cpus = n_execs × 2 cores each
+        mem_mb = int(os.environ.get("SCALING_EXEC_MEM_MB", "6144"))
+        return "local-cluster[%d,2,%d]" % (max(cpus // 2, 1), mem_mb)
+    return None
 
 
 def orchestrate() -> None:
@@ -98,9 +178,14 @@ def orchestrate() -> None:
     env = dict(os.environ, SPARK_GRAFT_LOCAL_DIR=os.path.join(TMPFS, "spark_local"))
     cpu_levels = sorted({c for pair in PAIRS for c in pair}, reverse=True)
     results = {}
+    runner = "--control" if os.environ.get("SCALING_CONTROL") else "--run"
     for cpus in cpu_levels:
+        cmd = [sys.executable, os.path.abspath(__file__), runner, str(cpus)]
+        m = _master_for(cpus)
+        if m:
+            cmd.append(m)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+            cmd,
             capture_output=True,
             text=True,
             env=env,
@@ -127,11 +212,13 @@ def orchestrate() -> None:
         "n_pages": N_PAGES,
         "filler_paras": FILLER,
         "rounds": ROUNDS,
+        "cluster_mode": bool(os.environ.get("SCALING_CLUSTER")),
         "runs": results,
         "pairs": pairs,
     }
     print(json.dumps(summary))
-    write_bench_md(summary)
+    if os.environ.get("SCALING_WRITE_MD"):  # BENCH.md is curated by hand
+        write_bench_md(summary)
 
 
 def write_bench_md(s: dict) -> None:
@@ -186,6 +273,8 @@ JSON line (driver contract).
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--run":
-        one_run(int(sys.argv[2]))
+        one_run(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else None)
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--control":
+        control_run(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else None)
     else:
         orchestrate()
