@@ -13,9 +13,13 @@ DataFrame dataflow:
       extract  = one-parse mapInPandas: per-handler text + links
       new      = explode links -> canonicalize -> in-round dedup
                  -> anti-join seen
-      frontier = deferred ∪ new;  seen-delta log += new;  host clock advances
+      frontier log += (adds=new, dels=batch urls);  seen log += new;
+      host clock advances
       -> snapshot (parquet per round under workdir; lineage truncation;
-         seen is an APPEND-ONLY delta log, manifest lists its dirs)
+         seen is an APPEND-ONLY delta log and the frontier is a
+         MERGE-ON-READ log — base ∪ adds − dels, with expired and
+         robots-denied rows dropped by predicate at read; full frontier
+         materialization happens only at compaction rounds)
 
 Scale design notes (100 TB pages, 10^10-row frontier):
 - The fetch join broadcasts the BATCH side (bounded by batch_cap) against
@@ -155,6 +159,11 @@ class EngineConfig:
     # count; older manifests lose seen time-travel, same contract as
     # keep_rounds retention). 0 disables.
     seen_compact_min_deltas: int = 0
+    # frontier merge-on-read log: rounds append add/del deltas; once the
+    # log holds this many add deltas the commit materializes the merged
+    # frontier as a new base (amortizes the O(|frontier|) write to 1/k
+    # rounds). 1 = materialize every round (legacy behavior).
+    frontier_compact_every: int = 8
 
 
 @dataclass
@@ -698,11 +707,18 @@ class CrawlEngine:
         new_rows = new_rows.localCheckpoint(eager=True)
         tick("dedup_antijoin")
 
-        # deferred rows keep their FIFO key (re-ranked next round)
-        deferred = allowed.join(batch.select("url_canon"), "url_canon", "left_anti").select(
-            *_FRONTIER_COLS
-        )
-        frontier_next = deferred.unionByName(new_rows)
+        # MERGE-ON-READ frontier semantics: the round emits only DELTAS —
+        # adds = this round's new links (bounded by the batch's link
+        # fan-out) and dels = the dequeued batch's urls (bounded by
+        # batch_cap). Deferred rows are never rewritten: they simply stay
+        # in the log and re-rank next round. Expired and robots-denied
+        # rows need no delete lists at all — deadlines and robots are
+        # static, so `_read_frontier` drops them by predicate. Exactness
+        # of url-list deletes rests on the seen-set invariant: a url that
+        # ever entered the frontier is in `seen`, so it can never be
+        # re-added — dels and adds never collide.
+        frontier_adds = new_rows
+        frontier_dels = batch.select("url_canon")
         # APPEND-ONLY seen semantics: the round emits only the DELTA (this
         # round's newly-seen urls). The caller appends it to the delta log;
         # the full seen set is the union of delta files — never rewritten.
@@ -722,8 +738,8 @@ class CrawlEngine:
         # driver-side `transcript` list is an optional test convenience,
         # the parquet table is the O(batch_cap)-per-round source of truth
         transcript_df = batch.select("url_canon", "batch_pos")
-        return (frontier_next, seen_delta, host_state, errors_df, extracted,
-                transcript_df, c, transcript, n_valid)
+        return (frontier_adds, frontier_dels, seen_delta, host_state, errors_df,
+                extracted, transcript_df, c, transcript, n_valid)
 
     def _make_tick(self, r: int):
         if not self.config.timing:
@@ -764,6 +780,21 @@ class CrawlEngine:
         r = snapshot if snapshot is not None else self.latest_round()
         if r is None:
             raise FileNotFoundError("no committed snapshot in %s" % self.config.workdir)
+        if name == "frontier":
+            mf = os.path.join(self.config.workdir, "round_%05d" % r, "manifest.json")
+            with open(mf) as f:
+                log = json.load(f)["frontier_log"]
+            missing = [
+                p
+                for p in [log["base"], *log["adds"], *log["dels"]]
+                if not os.path.isdir(os.path.join(self.config.workdir, p))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    "frontier log dirs %s for snapshot r%05d were compacted away "
+                    "(retention?)" % (missing, r)
+                )
+            return self._read_frontier(log, r)
         if name == "seen":
             mf = os.path.join(self.config.workdir, "round_%05d" % r, "manifest.json")
             with open(mf) as f:
@@ -781,7 +812,6 @@ class CrawlEngine:
                 "table %r not present at snapshot r%05d (retention?)" % (name, r)
             )
         schema = {
-            "frontier": _FRONTIER_SCHEMA,
             "host_state": _HOST_STATE_SCHEMA,
         }.get(name)
         reader = self.spark.read.schema(schema) if schema else self.spark.read
@@ -795,10 +825,10 @@ class CrawlEngine:
         paths = [os.path.join(self.config.workdir, p) for p in rels]
         return self.spark.read.schema(_SEEN_SCHEMA).parquet(*paths)
 
-    def _write_delta(self, df: DataFrame, name: str) -> str:
+    def _write_delta(self, df: DataFrame, name: str, log: str = "seen_deltas") -> str:
         """Write one delta dir atomically (tmp + rename); returns the
         workdir-relative path the manifest should reference."""
-        rel = os.path.join("seen_deltas", name)
+        rel = os.path.join(log, name)
         final = os.path.join(self.config.workdir, rel)
         tmp = final + ".tmp"
         if os.path.exists(tmp):
@@ -808,6 +838,57 @@ class CrawlEngine:
             shutil.rmtree(final)
         os.rename(tmp, final)
         return rel
+
+    # -- frontier merge-on-read log ----------------------------------------
+    # The frontier is an Iceberg-v2-style log: a materialized `base` plus
+    # per-round `adds` (new links) and `dels` (dequeued batch urls). A
+    # read unions base+adds, anti-joins the broadcast del set, and drops
+    # expired / robots-denied rows BY PREDICATE — deadlines and robots
+    # rules are static per row/engine, so those (potentially unbounded)
+    # delete sets never need materializing:
+    #   - a row is expired-dropped the first round it is processed with
+    #     deadline ≤ r, hence gone from every snapshot ≥ max(round it
+    #     could have been processed) → filter (round_added ≤ r AND
+    #     deadline ≤ r);
+    #   - robots-denied rows drop at their first processed round →
+    #     filter (round_added ≤ r AND denied).
+    # New rows (round_added == r+1) are exempt from both, matching the
+    # round loop, which only expires/denies rows it dequeues from the
+    # previous snapshot.
+    def _read_frontier(self, log: dict, upto_r: int) -> DataFrame:
+        wd = self.config.workdir
+        scan = lambda rel: self.spark.read.schema(_FRONTIER_SCHEMA).parquet(  # noqa: E731
+            os.path.join(wd, rel)
+        )
+        parts = [scan(log["base"])] + [scan(a) for a in log["adds"]]
+        import functools
+
+        f = functools.reduce(lambda a, b: a.unionByName(b), parts)
+        if log["dels"]:
+            dels = functools.reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    self.spark.read.schema("url_canon string").parquet(
+                        os.path.join(wd, d)
+                    )
+                    for d in log["dels"]
+                ],
+            )
+            f = f.join(F.broadcast(dels), "url_canon", "left_anti")
+        processed = F.col("round_added") <= upto_r
+        expired = F.col("deadline").isNotNull() & (F.col("deadline") <= upto_r)
+        f = f.filter(~(processed & expired))
+        if self._politeness_active:
+            denied_cond = F.exists(
+                F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+                lambda p: F.col("path").startswith(p),
+            )
+            f = (
+                f.join(F.broadcast(self.robots), "host", "left")
+                .filter(~(processed & denied_cond))
+                .select(*_FRONTIER_COLS)
+            )
+        return f.select(*_FRONTIER_COLS)
 
     def latest_round(self) -> int | None:
         """Highest committed round in workdir, or None."""
@@ -840,9 +921,8 @@ class CrawlEngine:
                 base = os.path.join(cfg.workdir, "round_%05d" % last)
                 with open(os.path.join(base, "manifest.json")) as f:
                     manifest = json.load(f)
-                frontier = spark.read.schema(_FRONTIER_SCHEMA).parquet(
-                    os.path.join(base, "frontier")
-                )
+                self._frontier_log = manifest["frontier_log"]
+                frontier = self._read_frontier(self._frontier_log, last)
                 self._seen_rels = manifest["seen_deltas"]
                 seen = self._read_seen(self._seen_rels)
                 host_state = spark.read.schema(_HOST_STATE_SCHEMA).parquet(
@@ -877,11 +957,18 @@ class CrawlEngine:
             if os.path.exists(cfg.workdir):
                 shutil.rmtree(cfg.workdir)
             os.makedirs(os.path.join(cfg.workdir, "seen_deltas"))
-            frontier = self.seed_frontier(seeds)
-            seed_seen = frontier.select(
+            os.makedirs(os.path.join(cfg.workdir, "frontier_log"))
+            seeded = self.seed_frontier(seeds)
+            seed_seen = seeded.select(
                 "url_canon", "url_hash", "host_hash", F.lit(0).alias("first_round")
             )
-            # the log's first delta: the seed urls (written once, up front)
+            # both logs' first entries: the seed rows (written once)
+            self._frontier_log = {
+                "base": self._write_delta(seeded, "base_seed", log="frontier_log"),
+                "adds": [],
+                "dels": [],
+            }
+            frontier = self._read_frontier(self._frontier_log, -1)
             self._seen_rels = [self._write_delta(seed_seen, "delta_seed")]
             seen = self._read_seen(self._seen_rels)
             host_state = spark.createDataFrame([], _HOST_STATE_SCHEMA)
@@ -893,17 +980,16 @@ class CrawlEngine:
         for r in range(start_round, max_rounds):
             if frontier.isEmpty():
                 break
-            (frontier_n, seen_delta, host_state_n, errors_df, extracted,
-             transcript_df, c, transcript, n_valid) = self._round(
+            (frontier_adds, frontier_dels, seen_delta, host_state_n, errors_df,
+             extracted, transcript_df, c, transcript, n_valid) = self._round(
                 r, frontier, seen, host_state
             )
 
             # materialize snapshot (truncates lineage; enables resume).
-            # `seen` is NOT here: it goes to the append-only delta log —
-            # this loop's write volume is O(frontier + batch outputs),
-            # never O(|seen|).
+            # `seen` and `frontier` are NOT here: both go to append-only
+            # delta logs — this loop's write volume is O(batch outputs),
+            # never O(|seen|) or O(|frontier|).
             manifest_tables = {
-                "frontier": frontier_n,
                 "host_state": host_state_n,
                 "errors": errors_df,
                 "extracted": extracted.select(
@@ -936,6 +1022,33 @@ class CrawlEngine:
                 f for f in os.listdir(delta_abs) if f.endswith(".parquet")
             )
             tick("write_seen_delta")
+            # frontier log: append this round's add/del deltas (bounded by
+            # the batch's links and batch_cap respectively); materialize a
+            # new base only every `frontier_compact_every` rounds
+            add_rel = self._write_delta(frontier_adds, "add_%05d" % r, log="frontier_log")
+            del_rel = self._write_delta(frontier_dels, "del_%05d" % r, log="frontier_log")
+            lineage["frontier"] = sorted(
+                f
+                for f in os.listdir(os.path.join(cfg.workdir, add_rel))
+                if f.endswith(".parquet")
+            )
+            frontier_log_next = {
+                "base": self._frontier_log["base"],
+                "adds": self._frontier_log["adds"] + [add_rel],
+                "dels": self._frontier_log["dels"] + [del_rel],
+            }
+            frontier_compacted_away: list[str] = []
+            if len(frontier_log_next["adds"]) >= max(cfg.frontier_compact_every, 1):
+                merged = self._read_frontier(frontier_log_next, r)
+                new_base = self._write_delta(merged, "base_%05d" % r, log="frontier_log")
+                frontier_compacted_away = [
+                    frontier_log_next["base"],
+                    *frontier_log_next["adds"],
+                    *frontier_log_next["dels"],
+                ]
+                frontier_log_next = {"base": new_base, "adds": [], "dels": []}
+                tick("compact_frontier")
+            tick("write_frontier_deltas")
             seen_rels_next = self._seen_rels + [delta_rel]
             compacted_away: list[str] = []
             if (
@@ -984,6 +1097,7 @@ class CrawlEngine:
                 "parent_snapshot": ("r%05d" % (r - 1)) if r > start_round or resume else None,
                 "counters": c,
                 "seen_deltas": seen_rels_next,
+                "frontier_log": frontier_log_next,
                 "lineage": {
                     "input_snapshot": ("r%05d" % (r - 1)) if r > 0 else "seeds",
                     "output_files": lineage,
@@ -997,29 +1111,30 @@ class CrawlEngine:
             os.rename(tmp, base)  # atomic commit
             res.rounds = r + 1
             self._seen_rels = seen_rels_next
+            self._frontier_log = frontier_log_next
             # only NOW is it safe to drop compacted deltas: the committed
-            # manifest references the compact dir, not them (older
-            # manifests lose seen time-travel — documented retention)
-            for rel in compacted_away:
+            # manifest references the compact dirs, not them (older
+            # manifests lose time-travel — documented retention)
+            for rel in compacted_away + frontier_compacted_away:
                 p = os.path.join(cfg.workdir, rel)
                 if os.path.exists(p):
                     shutil.rmtree(p)
 
-            # re-open state from the COMMITTED path (the .tmp dir is gone)
-            frontier = spark.read.schema(_FRONTIER_SCHEMA).parquet(os.path.join(base, "frontier"))
+            # re-open state from the COMMITTED logs/paths (.tmp is gone)
+            frontier = self._read_frontier(self._frontier_log, r)
             seen = self._read_seen(self._seen_rels)
             host_state = spark.read.schema(_HOST_STATE_SCHEMA).parquet(
                 os.path.join(base, "host_state")
             )
 
             # retention: keep the last `keep_rounds` full state snapshots
-            # (seen lives in the shared delta log and is never pruned —
-            # it IS the resume state)
+            # (seen + frontier live in the shared delta logs and are only
+            # pruned by their own compaction — they ARE the resume state)
             for d in sorted(os.listdir(cfg.workdir)):
                 if d.startswith("round_") and not d.endswith(".tmp"):
                     rr = int(d.split("_")[1])
                     if rr <= r - cfg.keep_rounds:
-                        for t in ("frontier", "host_state"):
+                        for t in ("host_state",):
                             p = os.path.join(cfg.workdir, d, t)
                             if os.path.exists(p):
                                 shutil.rmtree(p)

@@ -241,6 +241,60 @@ def test_seen_compaction_and_resume(spark, tiny_fixture, tmp_path_factory):
     assert len(os.listdir(droot)) <= 2
 
 
+def test_frontier_log_bounded_writes(crawl_pair, spark):
+    """The frontier is a merge-on-read log: per-round writes are the add
+    delta (this round's new links) and del delta (the dequeued batch) —
+    bounded by batch outputs, never O(|frontier|) — and read_table
+    reconstructs the exact frontier."""
+    import os
+
+    golden, result, engine = crawl_pair
+    droot = os.path.join(result.workdir, "frontier_log")
+    names = sorted(os.listdir(droot))
+    # no full materialization happened (default compact_every=8 > rounds)
+    assert not any(n.startswith("base_0") for n in names)
+    for c in result.counters:
+        r = c["round"]
+        n_add = spark.read.parquet(os.path.join(droot, "add_%05d" % r)).count()
+        assert n_add == c["scheduled"]
+        n_del = spark.read.parquet(os.path.join(droot, "del_%05d" % r)).count()
+        assert n_del <= 40  # batch_cap
+    # merged view at the last snapshot: every url is either unfetched or
+    # pending; none of the dequeued urls remain
+    frontier = engine.read_table("frontier").toPandas()
+    dequeued = {u for roundlist in result.transcript for u in roundlist}
+    assert not (set(frontier.url_canon) & dequeued)
+
+
+def test_frontier_compaction_and_resume(spark, tiny_fixture, tmp_path_factory):
+    """Frontier-log compaction must not change semantics: transcript
+    equals the reference model and a killed run resumes across a
+    compacted log (base rewritten every 2 rounds)."""
+    import os
+
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=5)
+    wd = str(tmp_path_factory.mktemp("fcompact_work"))
+    mk = lambda: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=40, max_rounds=5, workdir=wd, keep_rounds=99,
+            frontier_compact_every=2,
+        ),
+    )
+    mk().run(seeds, max_rounds=3)
+    engine = mk()
+    result = engine.run(seeds, max_rounds=5, resume=True)
+    assert result.transcript == golden.transcript
+    # compaction ran and consumed dirs were dropped: the log stays small
+    droot = os.path.join(wd, "frontier_log")
+    assert any(n.startswith("base_0") for n in os.listdir(droot))
+    assert len(os.listdir(droot)) <= 5  # base + ≤2 adds + ≤2 dels
+
+
 def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_factory):
     """Middleware semantics (crawler.go:153-158): runs after dequeue, so
     aborted rows appear in the transcript but are never fetched; errors
