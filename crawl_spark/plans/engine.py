@@ -164,6 +164,14 @@ class EngineConfig:
     # frontier as a new base (amortizes the O(|frontier|) write to 1/k
     # rounds). 1 = materialize every round (legacy behavior).
     frontier_compact_every: int = 8
+    # optionally cache the merged frontier view for each round: the round
+    # scans it ~4× (counts, politeness rank, batch selection, errors) and
+    # each scan re-runs the log merge. Measured at bench scale the merge
+    # is NOT the bottleneck (union + broadcast anti-join over parquet
+    # scans — identical A/B walls), and at 10^10 rows pinning the
+    # frontier in executor memory is its own cost — so default OFF; turn
+    # on for memory-rich clusters to trade cache space for scan I/O.
+    cache_frontier: bool = False
 
 
 @dataclass
@@ -301,6 +309,7 @@ class CrawlEngine:
         n = len(seeds)
         if n == 0:
             self._seed_errors, self._seed_dups = [], 0
+            self._n_seeded = 0
             return self.spark.createDataFrame([], _FRONTIER_SCHEMA)
 
         def col_or(name, default):
@@ -373,7 +382,8 @@ class CrawlEngine:
             .select(*_FRONTIER_COLS)
         )
         frontier = frontier.localCheckpoint(eager=True)
-        self._seed_dups = n - frontier.count() - n_invalid
+        self._n_seeded = frontier.count()
+        self._seed_dups = n - self._n_seeded - n_invalid
         return frontier
 
     # -- one round ---------------------------------------------------------
@@ -931,6 +941,10 @@ class CrawlEngine:
                 # manifests are O(1): rebuild run history from the
                 # per-round manifests + transcript tables (never embedded)
                 res.counters = [m["counters"] for m in self.snapshots()]
+                # next-frontier size is derivable from the last counters —
+                # saves a count job (deferred rows + newly scheduled)
+                lc = manifest["counters"]
+                n_frontier = lc["deferred_by_politeness"] + lc["scheduled"]
                 if cfg.collect_transcript:
                     for rr in range(last + 1):
                         tp = os.path.join(cfg.workdir, "round_%05d" % rr, "transcript")
@@ -969,6 +983,7 @@ class CrawlEngine:
                 "dels": [],
             }
             frontier = self._read_frontier(self._frontier_log, -1)
+            n_frontier = self._n_seeded
             self._seen_rels = [self._write_delta(seed_seen, "delta_seed")]
             seen = self._read_seen(self._seen_rels)
             host_state = spark.createDataFrame([], _HOST_STATE_SCHEMA)
@@ -978,8 +993,12 @@ class CrawlEngine:
                 self._bloom = build_bitmaps(seen, self._bloom_cfg)
 
         for r in range(start_round, max_rounds):
-            if frontier.isEmpty():
+            # fixpoint check costs no job: the next frontier size is
+            # deferred + newly-scheduled, both already counted
+            if n_frontier == 0:
                 break
+            if cfg.cache_frontier:
+                frontier = frontier.persist()
             (frontier_adds, frontier_dels, seen_delta, host_state_n, errors_df,
              extracted, transcript_df, c, transcript, n_valid) = self._round(
                 r, frontier, seen, host_state
@@ -1121,7 +1140,10 @@ class CrawlEngine:
                     shutil.rmtree(p)
 
             # re-open state from the COMMITTED logs/paths (.tmp is gone)
+            if cfg.cache_frontier:
+                frontier.unpersist()
             frontier = self._read_frontier(self._frontier_log, r)
+            n_frontier = c["deferred_by_politeness"] + c["scheduled"]
             seen = self._read_seen(self._seen_rels)
             host_state = spark.read.schema(_HOST_STATE_SCHEMA).parquet(
                 os.path.join(base, "host_state")
