@@ -1,0 +1,134 @@
+"""robots.txt parsing → the engine's politeness table.
+
+The reference delegates politeness to its operator (no robots parsing in
+crackcomm/crawl); the driver mandate adds robots-rule enforcement, and
+this module closes the loop from RAW robots.txt bodies (as a crawler
+actually fetches them) to the `(host, disallow, crawl_delay)` table
+`CrawlEngine(robots_df=...)` consumes.
+
+Parsing follows the de-facto robots.txt contract (REP, RFC 9309
+essentials) for the subset the engine enforces:
+
+- group selection: the group whose ``User-agent`` matches ``agent`` most
+  specifically wins (longest matching token; ``*`` matches anything);
+  multiple consecutive UA lines share one group;
+- ``Disallow``: path prefixes (empty value = allow all — dropped);
+  the engine's prefix-match semantics, so no ``$``/``*`` wildcard
+  expansion (wildcard rules are kept literally; a stricter matcher can
+  post-process);
+- ``Crawl-delay``: seconds as float (non-standard but widely used —
+  and the engine's budget input);
+- comments (``#``), blank lines, unknown directives, and BOM are
+  ignored; field names are case-insensitive.
+
+The per-file parse is pure Python over small text bodies, Arrow-batched
+via mapInPandas (one robots.txt per host — a bounded dimension table,
+never the 100 TB side).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("disallow", T.ArrayType(T.StringType())),
+        T.StructField("crawl_delay", T.DoubleType()),
+    ]
+)
+
+
+def parse_robots_txt(body: str | bytes | None, agent: str = "crawl-spark") -> dict:
+    """Parse one robots.txt body for ``agent``.
+
+    Returns {"disallow": [prefixes...], "crawl_delay": float_or_0}.
+    """
+    if body is None:
+        return {"disallow": [], "crawl_delay": 0.0}
+    if isinstance(body, bytes):
+        body = body.decode("utf-8", "replace")
+    body = body.lstrip("﻿")
+    agent_l = agent.lower()
+
+    # collect groups: [(ua_tokens, rules)]
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    cur_uas: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    in_ua_run = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_ua_run:
+                if cur_uas:
+                    groups.append((cur_uas, cur_rules))
+                cur_uas, cur_rules = [], []  # also discards pre-UA orphan rules
+            cur_uas.append(value.lower())
+            in_ua_run = True
+        else:
+            in_ua_run = False
+            cur_rules.append((field, value))
+    if cur_uas:
+        groups.append((cur_uas, cur_rules))
+
+    # most-specific matching UA token wins ('*' = wildcard, length 0)
+    best_len, best_rules = -1, []
+    for uas, rules in groups:
+        for ua in uas:
+            if ua == "*":
+                match_len = 0
+            elif ua and ua in agent_l:
+                match_len = len(ua)
+            else:
+                continue
+            if match_len > best_len:
+                best_len, best_rules = match_len, rules
+
+    disallow: list[str] = []
+    delay = 0.0
+    for field, value in best_rules:
+        if field == "disallow" and value:
+            disallow.append(value)
+        elif field == "crawl-delay":
+            try:
+                delay = float(value)
+            except ValueError:
+                pass
+    return {"disallow": disallow, "crawl_delay": delay}
+
+
+def robots_table(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str = "crawl-spark",
+) -> DataFrame:
+    """(host, robots.txt body) rows → the engine's robots table
+    ``(host, disallow array<string>, crawl_delay double)``.
+
+    Arrow-batched mapInPandas; bodies never leave their batch. Feed the
+    result straight to ``CrawlEngine(robots_df=...)`` (it is broadcast —
+    one row per host, a dimension table by construction).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dis, delays = [], []
+            for body in pdf[body_col]:
+                parsed = parse_robots_txt(body, agent)
+                dis.append(parsed["disallow"])
+                delays.append(parsed["crawl_delay"])
+            yield pd.DataFrame(
+                {"host": pdf[host_col], "disallow": dis, "crawl_delay": delays}
+            )
+
+    return df.select(host_col, body_col).mapInPandas(fn, ROBOTS_SCHEMA)

@@ -1,0 +1,86 @@
+"""robots.txt parsing → engine politeness table (REP group selection,
+prefix rules, crawl-delay) and end-to-end enforcement equivalence."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from crawl_spark.functions.robots import parse_robots_txt, robots_table
+
+SAMPLE = """
+# comment line
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: crawl-spark
+User-agent: otherbot
+Disallow: /private/
+Disallow: /tmp
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /all-blocked/
+Crawl-delay: 9
+"""
+
+
+def test_group_selection_most_specific_wins():
+    got = parse_robots_txt(SAMPLE, agent="crawl-spark")
+    assert got["disallow"] == ["/private/", "/tmp"]
+    assert got["crawl_delay"] == 2.5
+    # unknown agent falls back to the * group
+    star = parse_robots_txt(SAMPLE, agent="nobody")
+    assert star["disallow"] == ["/all-blocked/"]
+    assert star["crawl_delay"] == 9.0
+    # longest UA token wins over *
+    goog = parse_robots_txt(SAMPLE, agent="Googlebot/2.1")
+    assert goog["disallow"] == ["/google-only/"]
+
+
+def test_parse_edge_cases():
+    assert parse_robots_txt(None) == {"disallow": [], "crawl_delay": 0.0}
+    assert parse_robots_txt("") == {"disallow": [], "crawl_delay": 0.0}
+    # bytes bodies, BOM, case-insensitive fields, empty Disallow = allow
+    body = b"\xef\xbb\xbfUSER-AGENT: *\nDISALLOW:\ndisallow: /x\nCRAWL-DELAY: zzz\n"
+    got = parse_robots_txt(body)
+    assert got["disallow"] == ["/x"]
+    assert got["crawl_delay"] == 0.0  # malformed delay ignored
+    # rules before any UA line are ignored (no active group)
+    assert parse_robots_txt("Disallow: /early\nUser-agent: *\nDisallow: /ok\n")[
+        "disallow"
+    ] == ["/ok"]
+
+
+def test_robots_table_feeds_engine(spark, tiny_fixture, tmp_path_factory):
+    """Parsing raw robots.txt bodies must enforce identically to the
+    pre-parsed robots fixture table."""
+    from crawl_spark.plans.engine import CrawlEngine, EngineConfig
+    from crawl_spark.plans.handlers import Handler, HandlerRegistry
+
+    fixture = pd.read_parquet(tiny_fixture["robots"])
+    bodies = []
+    for r in fixture.to_dict("records"):
+        lines = ["User-agent: *"]
+        lines += ["Disallow: %s" % p for p in r["disallow"]]
+        if r["crawl_delay"]:
+            lines.append("Crawl-delay: %s" % r["crawl_delay"])
+        bodies.append({"host": r["host"], "body": "\n".join(lines)})
+    parsed = robots_table(spark.createDataFrame(pd.DataFrame(bodies)))
+
+    reg = HandlerRegistry()
+    reg.register("page", Handler(name="page", text_selector="body", link_selector="a"))
+    mk = lambda robots_df, wd: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        reg,
+        robots_df=robots_df,
+        config=EngineConfig(batch_cap=40, max_rounds=3, workdir=wd),
+    )
+    seeds = pd.read_parquet(tiny_fixture["seeds"])
+    base = mk(
+        spark.read.parquet(tiny_fixture["robots"]),
+        str(tmp_path_factory.mktemp("rb_base")),
+    ).run(seeds)
+    via_txt = mk(parsed, str(tmp_path_factory.mktemp("rb_txt"))).run(seeds)
+    assert via_txt.transcript == base.transcript
+    assert via_txt.counters == base.counters
