@@ -122,6 +122,40 @@ def main() -> None:
         minhash_candidates(docs),
     )
 
+    # 8. merge-on-read frontier: a real engine run's log, read back
+    import tempfile
+
+    import pandas as pd
+
+    from crawl_spark.plans.engine import CrawlEngine, EngineConfig
+    from crawl_spark.plans.handlers import Handler, HandlerRegistry
+    from crawl_spark.sources.fixtures import write_fixture
+
+    fxd = tempfile.mkdtemp(prefix="plans_fx_")
+    fx = write_fixture(fxd, "tiny")
+    reg = HandlerRegistry()
+    reg.register("page", Handler(name="page"))
+    eng = CrawlEngine(
+        spark,
+        spark.read.parquet(fx["pages"]),
+        reg,
+        robots_df=spark.read.parquet(fx["robots"]),
+        config=EngineConfig(
+            batch_cap=25, max_rounds=3, workdir=tempfile.mkdtemp(prefix="plans_wd_")
+        ),
+    )
+    eng.run(pd.read_parquet(fx["seeds"]))
+    cap(
+        "Merge-on-read frontier reconstruction",
+        "The frontier after 3 rounds = base ∪ add-deltas, anti-joined "
+        "against the BROADCAST del-deltas (BroadcastHashJoin LeftAnti — "
+        "dels are bounded by batch_cap), with expired/robots drops as "
+        "plain filters over a broadcast robots join. Union + broadcast "
+        "joins + filters only: NO shuffle, no serial exchange; per-round "
+        "durability cost is the deltas, never the merged state.",
+        eng.read_table("frontier"),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
