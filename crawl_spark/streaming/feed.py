@@ -186,3 +186,83 @@ def metrics_rollup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+HOST_RATE_SCHEMA = (
+    "host string, n_urls long, first_ts timestamp, last_ts timestamp, "
+    "urls_per_sec double"
+)
+_HOST_RATE_STATE = "n long, first_ms long, last_ms long"
+
+
+def host_rate_stream(
+    spark: SparkSession,
+    source_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """CUSTOM STATEFUL operator (applyInPandasWithState): per-host running
+    url counts + arrival rate over the seed/fetch stream.
+
+    Built-in windowed aggs can't express "running total since first
+    sight with per-key custom emission" — this is the
+    ``applyInPandasWithState`` shape: state = (count, first_ms, last_ms)
+    per host, updated per micro-batch, one emitted row per host per
+    batch. State lives in the streaming state store, so a killed query
+    resumes with counts intact (exactly-once per checkpointing).
+
+    ``source_df``: any streaming DataFrame with (url or host, event_ts);
+    hosts are derived from urls when absent.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if "host" not in source_df.columns:
+        source_df = source_df.withColumn(
+            "host", F.regexp_extract(F.col("url"), r"^[a-z]+://([^/:]+)", 1)
+        )
+    src = source_df.select("host", "event_ts")
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd  # executor-side import
+
+        n, first_ms, last_ms = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["event_ts"])
+            if len(ts) == 0:
+                continue
+            n += len(ts)
+            batch_first = int(ts.min().value // 1_000_000)
+            batch_last = int(ts.max().value // 1_000_000)
+            first_ms = batch_first if first_ms is None else min(first_ms, batch_first)
+            last_ms = batch_last if last_ms is None else max(last_ms, batch_last)
+        state.update((n, first_ms, last_ms))
+        span_s = max((last_ms - first_ms) / 1000.0, 1e-9)
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_urls": [n],
+                "first_ts": [pd.Timestamp(first_ms, unit="ms")],
+                "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                "urls_per_sec": [round(n / span_s, 6) if n > 1 else float(n)],
+            }
+        )
+
+    rates = src.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_RATE_SCHEMA,
+        stateStructType=_HOST_RATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        rates.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

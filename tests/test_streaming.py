@@ -138,3 +138,56 @@ def test_seed_feed_from_record_stream(spark, tmp_path):
     assert staged.url_canon.is_unique
     assert set(staged.host) <= {"host%d.example" % i for i in range(7)}
     assert (staged.priority == 0).all()
+
+
+def test_host_rate_custom_stateful_operator(spark, tmp_path):
+    """applyInPandasWithState: per-host running counts survive across
+    separate availableNow runs via the streaming state store (the custom
+    stateful-operator contract)."""
+    from pyspark.sql import functions as F
+
+    from crawl_spark.streaming.feed import SEED_FEED_SCHEMA, host_rate_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir, ckpt = str(tmp_path / "rates"), str(tmp_path / "ck_rates")
+    os.makedirs(in_dir)
+    _write_json(
+        os.path.join(in_dir, "b1.json"),
+        [
+            {"url": "http://h1.example/a", "event_ts": "2026-01-01T00:00:00Z"},
+            {"url": "http://h1.example/b", "event_ts": "2026-01-01T00:00:10Z"},
+            {"url": "http://h2.example/c", "event_ts": "2026-01-01T00:00:05Z"},
+        ],
+    )
+    mk_src = lambda: spark.readStream.schema(SEED_FEED_SCHEMA).json(in_dir)  # noqa: E731
+    q = host_rate_stream(spark, mk_src(), out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    r1 = {
+        r.host: r
+        for r in spark.read.parquet(out_dir).groupBy("host").agg(
+            F.max("n_urls").alias("n_urls")
+        ).collect()
+    }
+    assert r1["h1.example"].n_urls == 2
+    assert r1["h2.example"].n_urls == 1
+
+    # second batch: counts continue from stored state, not from zero
+    _write_json(
+        os.path.join(in_dir, "b2.json"),
+        [
+            {"url": "http://h1.example/d", "event_ts": "2026-01-01T00:01:00Z"},
+            {"url": "http://h3.example/e", "event_ts": "2026-01-01T00:01:00Z"},
+        ],
+    )
+    q2 = host_rate_stream(spark, mk_src(), out_dir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    r2 = {
+        r.host: r
+        for r in out.groupBy("host").agg(F.max("n_urls").alias("n_urls")).collect()
+    }
+    assert r2["h1.example"].n_urls == 3  # 2 + 1, resumed from state store
+    assert r2["h3.example"].n_urls == 1
+    # rate math: h1 saw 3 urls over 60 s of event time
+    h1 = out.filter((F.col("host") == "h1.example") & (F.col("n_urls") == 3)).collect()[0]
+    assert abs(h1.urls_per_sec - 0.05) < 1e-6
