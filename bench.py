@@ -155,6 +155,13 @@ def main() -> None:
     n_pages = max(2000, int(PAGES_PER_SF * sf))
     pages_dir = ensure_pages_fixture(n_pages)
 
+    # warm-up: a small untimed crawl first. The first crawl in a fresh
+    # JVM pays JIT/codegen/Arrow-path warm-up worth ~20% of its wall
+    # (measured: 51 s first run vs ~40 s repeats of the identical job);
+    # the steady-state number is the one that scales to a long-running
+    # cluster job, so the measured run starts warm.
+    run_crawl(spark, pages_dir, max(2000, n_pages // 10), rounds=1)
+
     t_suite = time.time()
     crawl = run_crawl(spark, pages_dir, n_pages)
 
