@@ -295,6 +295,74 @@ def test_frontier_compaction_and_resume(spark, tiny_fixture, tmp_path_factory):
     assert len(os.listdir(droot)) <= 5  # base + ≤2 adds + ≤2 dels
 
 
+@pytest.mark.parametrize(
+    "cap,rounds,kw",
+    [
+        (7, 5, {}),  # tiny batches: many deferrals, deep rounds
+        (120, 3, {"seen_compact_min_deltas": 2, "frontier_compact_every": 1}),
+        (40, 4, {"hot_host_threshold": 2, "max_hot_hosts": 4,
+                 "frontier_compact_every": 2}),
+    ],
+)
+def test_engine_matches_refmodel_across_configs(
+    spark, tiny_fixture, tmp_path_factory, cap, rounds, kw
+):
+    """Config matrix: odd batch caps, per-round compaction of BOTH delta
+    logs, and near-universal hot-host routing must all reproduce the
+    sequential reference model exactly."""
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots, batch_cap=cap, max_rounds=rounds)
+    engine = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=cap, max_rounds=rounds,
+            workdir=str(tmp_path_factory.mktemp("cfg_work")), **kw,
+        ),
+    )
+    result = engine.run(seeds)
+    assert result.transcript == golden.transcript
+    keys = ["fetched", "deduped", "deferred_by_politeness", "expired"]
+    for got, exp in zip(result.counters, golden.counters):
+        assert {k: got[k] for k in keys} == {k: exp[k] for k in keys}
+
+
+def test_crash_between_delta_write_and_commit_replays_cleanly(
+    spark, tiny_fixture, tmp_path_factory
+):
+    """Crash-window semantics: if a round dies AFTER its seen/frontier
+    delta dirs are renamed but BEFORE the manifest commit, the deltas
+    are unreferenced orphans; resume must replay the round, overwrite
+    them, and end bit-identical to an uninterrupted run (Iceberg
+    orphan-file semantics)."""
+    import os
+    import shutil
+
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=4)
+    wd = str(tmp_path_factory.mktemp("crash_work"))
+    mk = lambda: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(batch_cap=40, max_rounds=4, workdir=wd, keep_rounds=99),
+    )
+    mk().run(seeds, max_rounds=3)  # rounds 0..2 committed
+    # simulate the crash window during round 2: delete the committed
+    # round dir (manifest gone) but leave its delta dirs as orphans
+    shutil.rmtree(os.path.join(wd, "round_00002"))
+    assert os.path.isdir(os.path.join(wd, "seen_deltas", "delta_00002"))  # orphan
+    assert os.path.isdir(os.path.join(wd, "frontier_log", "add_00002"))  # orphan
+    engine = mk()
+    result = engine.run(seeds, max_rounds=4, resume=True)  # replays r2, runs r3
+    assert result.transcript == golden.transcript
+    seen = {row.url_canon for row in engine.read_table("seen").collect()}
+    assert seen == golden.seen
+
+
 def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_factory):
     """Middleware semantics (crawler.go:153-158): runs after dequeue, so
     aborted rows appear in the transcript but are never fetched; errors
