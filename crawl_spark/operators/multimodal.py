@@ -188,6 +188,118 @@ def extract_media_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def decode_video_frame(payload: bytes, ts_ms: int) -> bytes:
+    """CODEC BOUNDARY — real frame extraction needs pyav/ffmpeg (absent
+    here)."""
+    raise NotImplementedError("video decode requires a codec library")
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    duration_ms: int = 10_000,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Frame sampling plumbing: one video row → ``n_frames`` frame rows
+    at evenly spaced timestamps.
+
+    The Spark machinery is real (mapInPandas fan-out, one output row per
+    (video, frame), Arrow-batched, frames as opaque binary); the codec
+    step is the documented boundary — ``fake_decode=True`` emits a
+    deterministic 64-byte pseudo-frame (md5-seeded from payload+ts) so
+    the pipeline shape is testable, ``False`` hits the
+    ``NotImplementedError`` a real deployment replaces with pyav.
+    Timestamps: frame i ↦ floor(i · duration/n), the uniform-sampling
+    contract a training pipeline uses for video."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, tss, frames = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                for i in range(n_frames):
+                    ts = i * duration_ms // n_frames
+                    if fake_decode:
+                        seed = hashlib.md5(
+                            payload[:64] + str(ts).encode()
+                        ).digest()
+                        frame = (seed * 4)[:64]
+                    else:
+                        frame = decode_video_frame(payload, ts)
+                    mids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(fn, FRAME_SCHEMA)
+    )
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, fake_decode: bool = True
+) -> DataFrame:
+    """Resize plumbing: image rows → fixed-size pixel buffers
+    (width·height bytes, grayscale contract).
+
+    Real machinery: prefix sniff for dimensions (PNG/JPEG headers),
+    mapInPandas batch shape, bounded output buffers. The decode+resample
+    itself is the codec boundary: ``fake_decode=True`` produces a
+    deterministic byte-tiled buffer seeded from the payload (stable
+    across runs — usable to test downstream batch/shuffle logic);
+    ``False`` raises at the Pillow-shaped hole."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, pixels = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if not fake_decode:
+                    decode_image(payload)  # raises: codec boundary
+                reps = (width * height) // max(len(payload), 1) + 1
+                pixels.append((payload * reps)[: width * height])
+                mids.append(int(mid))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "width": [width] * len(mids),
+                    "height": [height] * len(mids),
+                    "pixels": pixels,
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(fn, RESIZED_SCHEMA)
+    )
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table (valid PNG/WAV/MP4 headers with
     junk payloads) for testing the plumbing without codec libs."""

@@ -69,3 +69,38 @@ def test_feature_stub_deterministic_and_normalized(spark):
         assert abs(sum(v) - 1.0) < 1e-3  # histogram normalized
     assert fake_feature(b"abc", 4) == fake_feature(b"abc", 4)
     assert fake_feature(None, 4) == [0.0] * 4
+
+
+def test_frame_sampling_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 12)  # 4 videos (every 3rd row)
+    frames = sample_frames(media, n_frames=4, duration_ms=8000).toPandas()
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert len(frames) == n_videos * 4
+    per = frames[frames.media_id == frames.media_id.iloc[0]].sort_values("frame_idx")
+    assert list(per.ts_ms) == [0, 2000, 4000, 6000]  # uniform sampling
+    assert all(len(f) == 64 for f in frames.frame)
+    # deterministic: same payload+ts -> same fake frame
+    again = sample_frames(media, n_frames=4, duration_ms=8000).toPandas()
+    merged = frames.merge(again, on=["media_id", "frame_idx"])
+    assert all(a == b for a, b in zip(merged.frame_x, merged.frame_y))
+    # the honest codec boundary
+    with pytest.raises(Exception):
+        sample_frames(media, n_frames=1, fake_decode=False).collect()
+
+
+def test_resize_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, 12)
+    out = resize_images(media, width=16, height=8).toPandas()
+    assert len(out) == media.filter(F.col("kind") == "image").count()
+    assert all(len(p) == 16 * 8 for p in out.pixels)
+    assert (out.width == 16).all() and (out.height == 8).all()
+    with pytest.raises(Exception):
+        resize_images(media, fake_decode=False).collect()
