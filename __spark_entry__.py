@@ -397,6 +397,27 @@ def q_embed_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
 
 
+def q_signbit_buckets(spark, sf_dir):
+    """Random-hyperplane LSH buckets (operators/similarity.py
+    simhash_sign_buckets): 16 sign bits against md5-parity
+    pseudo-hyperplanes — the non-IVF ANN blocking path."""
+    from crawl_spark.operators.similarity import simhash_sign_buckets
+
+    return simhash_sign_buckets(
+        _t(spark, sf_dir, "embeddings"), n_bits=16, dim=64
+    )
+
+
+def q_signbit_neardup(spark, sf_dir):
+    """Near-dup pairs blocked by sign-bucket LSH (candidate-then-verify:
+    only same-bucket pairs pay the exact cosine)."""
+    from crawl_spark.operators.similarity import signbit_neardup_pairs
+
+    return signbit_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_bits=8, dim=64
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal binary-column plumbing (rows-only check: no binary
     driver table exists, so payloads are synthesized deterministically
@@ -447,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train": q_ivf_train,
         "ivf_topk": q_ivf_topk,
         "embed_neardup": q_embed_neardup,
+        "signbit_buckets": q_signbit_buckets,
+        "signbit_neardup": q_signbit_neardup,
         "multimodal_meta": q_multimodal_meta,  # rows-only: binary plumbing
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
@@ -882,6 +905,47 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
              / (sqrt(x.nn) * sqrt(y.nn)), 6) AS cos
 FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+JOIN n x ON x.vec_id = a.vec_id
+JOIN n y ON y.vec_id = b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
+            / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.25
+""",
+        "signbit_buckets": f"""
+WITH {_COSINE_CTES},
+planes AS (
+  SELECT j, list_transform(range(0, 64), d ->
+    CASE WHEN substr(md5(j || '_' || d), 1, 1) BETWEEN '0' AND '7'
+         THEN 1.0 ELSE -1.0 END) AS h
+  FROM range(0, 16) t(j)
+),
+bits AS (
+  SELECT v.vec_id, p.j,
+         CASE WHEN round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*p.h[i])), 6) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM v, planes p
+)
+SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+FROM bits GROUP BY vec_id
+""",
+        "signbit_neardup": f"""
+WITH {_COSINE_CTES},
+planes AS (
+  SELECT j, list_transform(range(0, 64), d ->
+    CASE WHEN substr(md5(j || '_' || d), 1, 1) BETWEEN '0' AND '7'
+         THEN 1.0 ELSE -1.0 END) AS h
+  FROM range(0, 8) t(j)
+),
+bits AS (
+  SELECT v.vec_id, p.j,
+         CASE WHEN round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*p.h[i])), 6) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM v, planes p
+),
+bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket FROM bits GROUP BY vec_id)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
+             / (sqrt(x.nn) * sqrt(y.nn)), 6) AS cos
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 JOIN n x ON x.vec_id = a.vec_id
 JOIN n y ON y.vec_id = b.vec_id
 WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))

@@ -238,6 +238,77 @@ def ivf_topk(
     )
 
 
+def _hyperplane_signs(n_bits: int, dim: int) -> list[list[float]]:
+    """±1 pseudo-hyperplanes from md5 parity — deterministic and
+    engine-portable (DuckDB derives the identical planes from the same
+    md5 strings), so the LSH is oracle-checkable."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(("%d_%d" % (j, d)).encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def simhash_sign_buckets(
+    vectors: DataFrame,
+    n_bits: int = 16,
+    dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = the n_bits sign bits of the
+    vector against fixed pseudo-hyperplanes (sign of ⟨v, h_j⟩).
+
+    Cosine-similar vectors agree on each bit with probability
+    1 − θ/π, so near-duplicates collide in the same bucket — the
+    embedding analog of MinHash banding, and the second (non-IVF) ANN
+    blocking path. Hyperplanes are ±1 literals baked into the plan
+    (row-independent — never recomputed per row); each bit is one
+    zip_with/aggregate dot product in codegen. The dot is rounded to
+    6dp before the sign so the bucket string is bit-stable across
+    engines (the module's float contract)."""
+    signs = _hyperplane_signs(n_bits, dim)
+    v = _vecd(F.col(vec_col))
+    bits = [
+        F.when(
+            F.round(dot(v, F.array(*[F.lit(s) for s in signs[j]])), 6) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(n_bits)
+    ]
+    return vectors.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def signbit_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    n_bits: int = 16,
+    dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs blocked by sign-bucket LSH (candidate-then-verify):
+    only same-bucket pairs pay the exact cosine — O(Σ bucket²), the
+    LSH twin of the IVF-blocked ``embedding_neardup_pairs``."""
+    b = simhash_sign_buckets(vectors, n_bits, dim, id_col, vec_col)
+    v = vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("vv"))
+    bv = b.join(v, id_col)
+    a = bv.select(F.col(id_col).alias("id_a"), "bucket", F.col("vv").alias("va"))
+    c = bv.select(F.col(id_col).alias("id_b"), "bucket", F.col("vv").alias("vb"))
+    return (
+        a.join(c, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.99,

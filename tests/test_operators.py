@@ -270,3 +270,32 @@ def test_trained_ivf_beats_untrained_codebook(spark):
     r_untrained = recall(ivf_topk(emb, q, k=1, nprobe=1, centroid_mod=41))
     assert r_trained >= r_untrained
     assert r_trained >= 0.9, (r_trained, r_untrained)
+
+
+def test_signbit_lsh_buckets_and_neardup(spark):
+    """Random-hyperplane LSH: a vector and its tiny perturbation share a
+    bucket (high cosine ⇒ same sign bits); the blocked near-dup pass
+    finds every planted pair without an all-pairs join."""
+    from crawl_spark.operators.similarity import (
+        signbit_neardup_pairs,
+        simhash_sign_buckets,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 16)).astype(np.float64) * 4
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        noisy = v + rng.normal(scale=1e-4, size=16)
+        rows.append((i * 2 + 1, [float(x) for x in noisy]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    b = simhash_sign_buckets(emb, n_bits=12, dim=16).toPandas().set_index("vec_id")
+    same = sum(int(b.loc[2 * i].bucket == b.loc[2 * i + 1].bucket) for i in range(40))
+    assert same >= 38  # near-identical vectors collide (ε bit-flip rate)
+    assert b.bucket.nunique() > 10  # but the space is genuinely spread
+
+    pairs = signbit_neardup_pairs(emb, threshold=0.999, n_bits=12, dim=16).toPandas()
+    found = {(r.id_a, r.id_b) for _, r in pairs.iterrows()}
+    planted_found = sum(int((2 * i, 2 * i + 1) in found) for i in range(40))
+    assert planted_found == same  # every colliding planted pair verified
