@@ -397,6 +397,15 @@ def q_embed_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
 
 
+def q_block_dedup(spark, sf_dir):
+    """Token-block exact dedup (chunk-level boilerplate removal):
+    per-doc surviving-block counts after corpus-wide first-occurrence
+    dedup of 16-token chunks (operators/dedup.block_dedup)."""
+    from crawl_spark.operators.dedup import block_dedup
+
+    return block_dedup(_t(spark, sf_dir, "documents"), block=16)
+
+
 def q_signbit_buckets(spark, sf_dir):
     """Random-hyperplane LSH buckets (operators/similarity.py
     simhash_sign_buckets): 16 sign bits against md5-parity
@@ -453,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "request_construct": q_request_construct,
         "dedup_exact": q_dedup_exact,
+        "block_dedup": q_block_dedup,
         "minhash_bands": q_minhash_bands,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -614,6 +624,24 @@ SELECT doc_id, content_md5, n_copies FROM (
          CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT) AS n_copies
   FROM tk
 ) WHERE rn = 1
+""",
+        "block_dedup": f"""
+WITH tkn AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk, unnest(range(0, len(t))) AS pos FROM tkn),
+blk AS (
+  SELECT doc_id, CAST(floor(pos / 16) AS INT) AS blk,
+         md5(string_agg(tk, ' ' ORDER BY pos)) AS chunk_md5
+  FROM tok GROUP BY doc_id, blk
+),
+flagged AS (
+  SELECT doc_id, blk, chunk_md5,
+         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, blk) AS rn
+  FROM blk
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+       round(CAST(count(CASE WHEN rn = 1 THEN 1 END) AS DOUBLE) / count(*), 6) AS kept_ratio
+FROM flagged GROUP BY doc_id
 """,
         "minhash_bands": f"""
 WITH {_MINHASH_CTES}

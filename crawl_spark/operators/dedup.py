@@ -52,6 +52,63 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def block_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 16,
+) -> DataFrame:
+    """Token-block exact dedup (chunk-level boilerplate removal — the
+    sub-document analog of ``exact_dedup``, the op training pipelines
+    run to strip repeated navigation/footer/license chunks).
+
+    Split each doc's token stream into fixed ``block``-token chunks,
+    hash each chunk (md5), and keep only the FIRST occurrence of each
+    chunk corpus-wide (ordered by (doc_id, block index) — deterministic
+    first-writer-wins). Emits per-doc (n_blocks, n_kept, kept_ratio).
+
+    Plan shape at 100 TB: posexplode → partial-aggregated groupBy
+    (doc, block) that reassembles chunk text via array_sort(collect_list)
+    — a deliberate shuffle-based build, because the slice-in-transform
+    alternative re-evaluates the token array per element (the module's
+    HOF outer-reference trap); then ONE window on the 16-byte chunk
+    digest (never on text) and a per-doc partial aggregate. kept_ratio
+    is rounded to 6dp (cross-engine float contract)."""
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tk")
+    )
+    blocks = (
+        tok.withColumn("blk", F.floor(F.col("pos") / block).cast("int"))
+        .groupBy(id_col, "blk")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tk"))),
+                        lambda s: s["tk"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5")
+        )
+    )
+    w = Window.partitionBy("chunk_md5").orderBy(F.col(id_col), F.col("blk"))
+    flagged = blocks.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        )
+        .select(
+            F.col(id_col),
+            "n_blocks",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_blocks"), 6).alias("kept_ratio"),
+        )
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -299,3 +299,29 @@ def test_signbit_lsh_buckets_and_neardup(spark):
     found = {(r.id_a, r.id_b) for _, r in pairs.iterrows()}
     planted_found = sum(int((2 * i, 2 * i + 1) in found) for i in range(40))
     assert planted_found == same  # every colliding planted pair verified
+
+
+def test_block_dedup_removes_repeated_chunks(spark):
+    """Token-block dedup: a boilerplate chunk shared by many docs
+    survives only in the first (doc_id, block) position; unique chunks
+    all survive."""
+    from crawl_spark.operators.dedup import block_dedup
+
+    boiler = " ".join("b%d" % i for i in range(16))  # one exact block
+    docs = [
+        (0, boiler + " " + " ".join("u0x%d" % i for i in range(16))),
+        (1, boiler + " " + " ".join("u1x%d" % i for i in range(16))),
+        (2, " ".join("u2x%d" % i for i in range(16)) + " " + boiler),
+        (3, " ".join("u3x%d" % i for i in range(32))),
+    ]
+    out = (
+        block_dedup(spark.createDataFrame(docs, "doc_id long, text string"), block=16)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.n_blocks) == [2, 2, 2, 2]
+    # doc 0 keeps both (first writer of the boilerplate); docs 1 and 2
+    # lose exactly the boilerplate block; doc 3 is untouched
+    assert list(out.n_kept) == [2, 1, 1, 2]
+    assert list(out.kept_ratio) == [1.0, 0.5, 0.5, 1.0]
