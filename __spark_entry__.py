@@ -397,6 +397,15 @@ def q_embed_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
 
 
+def q_tfidf(spark, sf_dir):
+    """Per-doc top-5 terms by smoothed TF-IDF (textops.tfidf_top_terms):
+    keyword extraction over the corpus, ranked on the 6dp-rounded score
+    so ordering is bit-stable across engines."""
+    from crawl_spark.operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=5)
+
+
 def q_block_dedup(spark, sf_dir):
     """Token-block exact dedup (chunk-level boilerplate removal):
     per-doc surviving-block counts after corpus-wide first-occurrence
@@ -471,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "vocabulary": q_vocabulary,
+        "tfidf": q_tfidf,
         "clean_corpus": q_clean_corpus,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -624,6 +634,23 @@ SELECT doc_id, content_md5, n_copies FROM (
          CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT) AS n_copies
   FROM tk
 ) WHERE rn = 1
+""",
+        "tfidf": f"""
+WITH tkn AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM tkn),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+nn AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * (ln((nn.n + 1) / (dfq.dfreq + 1)) + 1), 6) AS tfidf
+  FROM tf JOIN dfq USING (token) CROSS JOIN nn
+)
+SELECT doc_id, rank, token, tf, tfidf FROM (
+  SELECT doc_id, token, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
 """,
         "block_dedup": f"""
 WITH tkn AS (SELECT doc_id, {_TOKS} AS t FROM documents),

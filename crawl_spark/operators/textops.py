@@ -17,7 +17,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword sets for the n-gram/stopword language-ID heuristic.  Tiny and
@@ -182,6 +182,42 @@ def vocabulary(
     )
     return ranked.select(
         F.col("rank").cast("int").alias("rank"), "token", "count", "doc_freq"
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn-style smoothing — keyword
+    extraction / doc-representation precursor).
+
+    Two partial-aggregated groupBys (term frequency per doc, document
+    frequency per token — both shuffle only (key, count) pairs), one
+    broadcast-sized scalar N, and a PER-DOC window (bounded by the doc's
+    vocabulary, never a global sort). tfidf is rounded to 6dp BEFORE the
+    ranking so ordering is bit-stable across engines (ties break by
+    token asc)."""
+    n_docs = df.count()
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1) / (F.col("dfreq") + 1)) + 1),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col(id_col), "rank", "token", "tf", "tfidf")
     )
 
 

@@ -325,3 +325,27 @@ def test_block_dedup_removes_repeated_chunks(spark):
     # lose exactly the boilerplate block; doc 3 is untouched
     assert list(out.n_kept) == [2, 1, 1, 2]
     assert list(out.kept_ratio) == [1.0, 0.5, 0.5, 1.0]
+
+
+def test_tfidf_top_terms_matches_python(spark):
+    from crawl_spark.operators.textops import tfidf_top_terms
+
+    docs = [(1, "a a b c"), (2, "a b b"), (3, "c d d d")]
+    out = tfidf_top_terms(
+        spark.createDataFrame(docs, "doc_id long, text string"), top_k=2
+    ).toPandas()
+    N = 3
+    dfreq = {"a": 2, "b": 2, "c": 2, "d": 1}
+    tfs = {1: {"a": 2, "b": 1, "c": 1}, 2: {"a": 1, "b": 2}, 3: {"c": 1, "d": 3}}
+    for doc, tf in tfs.items():
+        exp = sorted(
+            (
+                (round(tf[t] * (math.log((N + 1) / (dfreq[t] + 1)) + 1), 6), t)
+                for t in tf
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        got = out[out.doc_id == doc].sort_values("rank")
+        assert list(got.token) == [t for _, t in exp], doc
+        for (_, row), (score, _) in zip(got.iterrows(), exp):
+            assert abs(row.tfidf - score) < 1e-9
