@@ -164,6 +164,11 @@ class EngineConfig:
     # frontier as a new base (amortizes the O(|frontier|) write to 1/k
     # rounds). 1 = materialize every round (legacy behavior).
     frontier_compact_every: int = 8
+    # out-of-band seed pickup: when set, every round boundary drains the
+    # streaming staging dir (streaming/feed.py) and unions not-yet-seen
+    # staged urls into the frontier — the reference's NSQ-topic "picked
+    # up at the next round boundary" semantics (SURVEY §3.3)
+    staged_seeds_dir: str | None = None
     # optionally cache the merged frontier view for each round: the round
     # scans it ~4× (counts, politeness rank, batch selection, errors) and
     # each scan re-runs the log merge. Measured at bench scale the merge
@@ -912,6 +917,77 @@ class CrawlEngine:
         ]
         return max(rounds) if rounds else None
 
+    # -- out-of-band staged-seed pickup ------------------------------------
+    _STAGED_SEQ_BASE = 1 << 50  # after every link seq of the same round
+
+    def _pickup_staged(self, r: int, frontier: DataFrame):
+        """Round-boundary pickup of out-of-band seeds (the NSQ-topic
+        analog): drain the staging table, drop urls already seen,
+        seq-stamp deterministically (after all link seqs of the round —
+        url_canon order; the staged batch is bounded out-of-band input,
+        so its single-partition stamp window is bounded too), append
+        them to BOTH delta logs, and union them into this round's
+        frontier. Re-drained rows are idempotent: once picked up they
+        are in `seen`, so later drains drop them."""
+        from ..streaming.feed import drain_staged_seeds
+
+        staged = drain_staged_seeds(self.spark, self.config.staged_seeds_dir)
+        seen_now = self._read_seen(self._seen_rels)
+        w_dup = Window.partitionBy("url_canon").orderBy("event_ts", "url")
+        fresh = (
+            staged.join(seen_now.select("url_canon"), "url_canon", "left_anti")
+            .withColumn("rn", F.row_number().over(w_dup))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        ).localCheckpoint(eager=True)  # bounded by the staged batch
+        n = fresh.count()
+        if n == 0:
+            return frontier, 0
+        w = Window.orderBy("url_canon")
+        rows = fresh.select(
+            "url",
+            "url_canon",
+            "host",
+            "path",
+            "host_hash",
+            "url_hash",
+            F.coalesce(F.col("priority"), F.lit(0)).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(r).alias("round_added"),
+            (F.lit(self._STAGED_SEQ_BASE) + F.row_number().over(w)).alias("seq"),
+            F.coalesce(F.col("callbacks"), F.array().cast("array<string>")).alias(
+                "callbacks"
+            ),
+            F.lit(None).cast("string").alias("referer"),
+            "deadline",
+            F.lit(False).alias("raw"),
+            F.lit(None).cast("string").alias("method"),
+            F.lit(None).cast(_MULTIMAP).alias("form"),
+            F.lit(None).cast(_MULTIMAP).alias("query"),
+            F.lit(None).cast(_MULTIMAP).alias("cookies"),
+            F.lit(None).cast("map<string,string>").alias("header"),
+        ).select(*_FRONTIER_COLS)
+        rows = rows.localCheckpoint(eager=True)
+        # append to both logs NOW; the round's manifest commit references
+        # them (a crash before commit leaves overwritable orphans — the
+        # same replay semantics as the round deltas)
+        self._seen_rels = self._seen_rels + [
+            self._write_delta(
+                rows.select(
+                    "url_canon", "url_hash", "host_hash",
+                    F.col("round_added").alias("first_round"),
+                ),
+                "delta_%05d_staged" % r,
+            )
+        ]
+        self._frontier_log = {
+            "base": self._frontier_log["base"],
+            "adds": self._frontier_log["adds"]
+            + [self._write_delta(rows, "add_%05d_staged" % r, log="frontier_log")],
+            "dels": self._frontier_log["dels"],
+        }
+        return frontier.unionByName(rows), n
+
     # -- the crawl ---------------------------------------------------------
     def run(
         self,
@@ -993,8 +1069,14 @@ class CrawlEngine:
                 self._bloom = build_bitmaps(seen, self._bloom_cfg)
 
         for r in range(start_round, max_rounds):
+            n_staged = 0
+            if cfg.staged_seeds_dir:
+                frontier, n_staged = self._pickup_staged(r, frontier)
+                if n_staged:
+                    n_frontier += n_staged
+                    seen = self._read_seen(self._seen_rels)
             # fixpoint check costs no job: the next frontier size is
-            # deferred + newly-scheduled, both already counted
+            # deferred + newly-scheduled (+ staged), all already counted
             if n_frontier == 0:
                 break
             if cfg.cache_frontier:
@@ -1003,6 +1085,7 @@ class CrawlEngine:
              extracted, transcript_df, c, transcript, n_valid) = self._round(
                 r, frontier, seen, host_state
             )
+            c["staged"] = n_staged
 
             # materialize snapshot (truncates lineage; enables resume).
             # `seen` and `frontier` are NOT here: both go to append-only

@@ -429,6 +429,62 @@ def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_fact
     assert not any(u.startswith("http://host0.example/") for u in ext.url_canon)
 
 
+def test_staged_seed_pickup_at_round_boundary(spark, tiny_fixture, tmp_path_factory):
+    """SURVEY §3.3: out-of-band seeds staged by the streaming feed are
+    picked up at the next round boundary — including into an EMPTY
+    frontier — exactly once (re-drains are dropped by the seen set)."""
+    import json
+    import os
+
+    from crawl_spark.streaming.feed import seed_feed_stream
+
+    pages = pd.read_parquet(tiny_fixture["pages"])
+    urls = sorted(pages["url"])
+    base = str(tmp_path_factory.mktemp("staged_pickup"))
+    in_dir, staging, ck = [os.path.join(base, d) for d in ("in", "staged", "ck")]
+    os.makedirs(in_dir)
+
+    def stage(batch_name, stage_urls):
+        with open(os.path.join(in_dir, batch_name), "w") as f:
+            for u in stage_urls:
+                f.write(json.dumps({"url": u, "callbacks": ["page"],
+                                    "event_ts": "2026-01-01T00:00:00Z"}) + "\n")
+        q = seed_feed_stream(spark, in_dir, staging, ck, available_now=True)
+        q.awaitTermination(120)
+
+    stage("b1.json", [urls[0], urls[0], urls[1]])  # dup collapses in-stream
+    wd = os.path.join(base, "wd")
+    mk = lambda: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        config=EngineConfig(batch_cap=40, max_rounds=2, workdir=wd,
+                            keep_rounds=99, staged_seeds_dir=staging),
+    )
+    res = mk().run([])  # NO direct seeds: frontier starts empty
+    assert res.counters[0]["staged"] == 2
+    assert res.transcript[0] == sorted([urls[0], urls[1]])
+    assert res.rounds == 2  # their links crawl in round 1
+
+    # second out-of-band batch lands while "the job was down"; resume
+    # must pick up ONLY the not-yet-seen url (urls[0] is in seen)
+    seen_mid = {r.url_canon for r in mk().read_table("seen").collect()}
+    fresh_url = next(u for u in urls if u not in seen_mid)
+    stage("b2.json", [urls[0], fresh_url])
+    res2 = mk().run([], max_rounds=4, resume=True)
+    assert res2.counters[2]["staged"] == 1
+    assert urls[0] not in {u for t in res2.transcript[2:] for u in t}
+    engine = mk()
+    seen = {r.url_canon for r in engine.read_table("seen").collect()}
+    assert {urls[0], urls[1], fresh_url} <= seen
+    # the staged row entered the crawl: either already fetched (FIFO
+    # places staged seqs after the same round's links, so it may wait
+    # behind the batch cap) or still queued in the frontier
+    crawled = {u for t in res2.transcript[2:] for u in t}
+    queued = {r.url_canon for r in engine.read_table("frontier").collect()}
+    assert fresh_url in (crawled | queued)
+
+
 def test_request_fields_ride_the_frontier(spark, tiny_fixture, tmp_path_factory):
     """Full Request parity (request.go:13-32): method/form/query/cookies/
     header survive seed stamping with exact values; scheduled links get

@@ -106,20 +106,15 @@ def main(argv=None) -> int:
             workdir=args.workdir,
             collect_transcript=False,
             use_bloom=args.bloom,
+            # engine-side pickup: EVERY round boundary drains the
+            # staging table (not just job start), so seeds scheduled
+            # while the job runs are honored mid-crawl
+            staged_seeds_dir=args.staging,
         ),
     )
     import pandas as pd
 
     seeds = pd.read_parquet(args.seeds)
-    if args.staging:
-        from crawl_spark.streaming.feed import drain_staged_seeds
-
-        staged = drain_staged_seeds(spark, args.staging).toPandas()
-        if len(staged):
-            seeds = pd.concat(
-                [seeds, staged[["url", "priority", "callbacks", "deadline"]]],
-                ignore_index=True,
-            )
     res = eng.run(seeds, max_rounds=args.rounds, resume=args.resume)
     print(json.dumps({"rounds": res.rounds, "fetched": res.total_fetched,
                       "scheduled": res.total_scheduled}))
