@@ -939,7 +939,7 @@ SELECT query_id, rank, nbr_id, cos FROM (
 SELECT doc_id AS media_id,
        'application/octet-stream' AS detected_mime,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-       md5(text) AS payload_md5
+       CASE WHEN octet_length(CAST(text AS BLOB)) > 0 THEN md5(text) END AS payload_md5
 FROM documents
 """,
         "embed_neardup": f"""

@@ -71,9 +71,16 @@ def block_dedup(
     (doc, block) that reassembles chunk text via array_sort(collect_list)
     — a deliberate shuffle-based build, because the slice-in-transform
     alternative re-evaluates the token array per element (the module's
-    HOF outer-reference trap); then ONE window on the 16-byte chunk
-    digest (never on text) and a per-doc partial aggregate. kept_ratio
-    is rounded to 6dp (cross-engine float contract)."""
+    HOF outer-reference trap). The first-occurrence flag is a
+    ``min(struct(doc_id, blk))`` groupBy per chunk digest — a PARTIAL
+    aggregate, so the op's own target case (one boilerplate chunk
+    repeated across the corpus) combines map-side instead of funneling
+    every occurrence of the hot digest into a single window task; the
+    survivor counts then come from a second partial groupBy on doc_id
+    (docs have bounded chunk counts — no hot key), and per-doc n_blocks
+    is ceil(n_tokens/block) computed directly from the token array, so
+    the chunk table is built exactly ONCE. kept_ratio is rounded to 6dp
+    (cross-engine float contract)."""
     tok = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tk")
     )
@@ -92,20 +99,25 @@ def block_dedup(
             ).alias("chunk_md5")
         )
     )
-    w = Window.partitionBy("chunk_md5").orderBy(F.col(id_col), F.col("blk"))
-    flagged = blocks.withColumn("rn", F.row_number().over(w))
-    return (
-        flagged.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_blocks"),
-            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
-        )
-        .select(
-            F.col(id_col),
-            "n_blocks",
-            "n_kept",
-            F.round(F.col("n_kept") / F.col("n_blocks"), 6).alias("kept_ratio"),
-        )
+    # first occurrence per chunk = min (doc_id, blk) — struct ordering is
+    # field-by-field, identical to ORDER BY doc_id, blk
+    first = blocks.groupBy("chunk_md5").agg(
+        F.min(F.struct(F.col(id_col), F.col("blk"))).alias("__first")
+    )
+    kept = first.groupBy(F.col("__first").getField(id_col).alias(id_col)).agg(
+        F.count("*").alias("n_kept")
+    )
+    nblk = df.select(
+        F.col(id_col),
+        F.ceil(F.size(tokens(F.col(text_col))) / block).cast("long").alias("n_blocks"),
+    ).filter(F.col("n_blocks") > 0)
+    return nblk.join(kept, id_col, "left").select(
+        F.col(id_col),
+        "n_blocks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.round(F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_blocks"), 6).alias(
+            "kept_ratio"
+        ),
     )
 
 

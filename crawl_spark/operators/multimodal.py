@@ -48,6 +48,7 @@ META_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("payload_md5", T.StringType()),
     ]
 )
@@ -72,7 +73,14 @@ def _jpeg_sof_dims(b: bytes):
             i += 1  # resync on stray bytes between segments
             continue
         marker = b[i + 1]
-        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xFF:
+            # fill byte (standard FF-padding before a marker): consume ONE
+            # byte and re-test the next as the marker code — advancing by
+            # 2 here would swallow the marker itself (FF FF C0 would skip
+            # the SOF segment and lose the dimensions)
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
             i += 2  # standalone markers carry no length field
             continue
         seglen = (b[i + 2] << 8) | b[i + 3]
@@ -88,27 +96,93 @@ def _jpeg_sof_dims(b: bytes):
     return (None, None)
 
 
+def _wav_info(b: bytes):
+    """Walk RIFF chunks for `fmt ` (sample rate, byte rate) and `data`
+    (payload size); duration_ms = data_size · 1000 / byte_rate — the
+    header-math way to get audio duration without any codec."""
+    rate = byte_rate = data_size = None
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and i + 20 <= n:
+            # fmt payload: format(2) channels(2) sample_rate(4) byte_rate(4)
+            rate, byte_rate = struct.unpack("<II", b[i + 12 : i + 20])
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    dur = (
+        data_size * 1000 // byte_rate
+        if data_size is not None and byte_rate
+        else None
+    )
+    return (int(rate) if rate else None, dur)
+
+
+def _mp4_duration_ms(b: bytes):
+    """ISO-BMFF box walk: top-level → `moov` → `mvhd`; duration_ms =
+    mvhd.duration · 1000 / mvhd.timescale (version 0 and 1 layouts).
+    Pure struct parsing, robust to prefix truncation (returns None)."""
+
+    def walk(lo: int, hi: int, name: bytes):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            btype = b[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return None
+                (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+                hdr = 16
+            if size < hdr:
+                return None  # malformed box
+            if btype == name:
+                return (i + hdr, min(i + size, hi))
+            i += size
+        return None
+
+    moov = walk(0, len(b), b"moov")
+    if not moov:
+        return None
+    mvhd = walk(moov[0], moov[1], b"mvhd")
+    if not mvhd:
+        return None
+    p, q = mvhd
+    if q - p < 4:
+        return None
+    version = b[p]
+    try:
+        if version == 1:
+            timescale, duration = struct.unpack(">IQ", b[p + 20 : p + 32])
+        else:
+            timescale, duration = struct.unpack(">II", b[p + 12 : p + 20])
+    except struct.error:
+        return None
+    return int(duration) * 1000 // timescale if timescale else None
+
+
 def sniff_container(payload: bytes | None):
     """Parse container headers (real implementation — pure byte parsing).
 
-    Returns (mime, width, height, sample_rate); unknown fields None.
-    A bounded PREFIX of the payload suffices (headers live up front), so
-    callers can avoid shipping full blobs into Python.
+    Returns (mime, width, height, sample_rate, duration_ms); unknown
+    fields None. A bounded PREFIX of the payload suffices (headers live
+    up front), so callers can avoid shipping full blobs into Python.
     """
     if not payload:
-        return (None, None, None, None)
+        return (None, None, None, None, None)
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         w, h = struct.unpack(">II", payload[16:24])
-        return ("image/png", int(w), int(h), None)
+        return ("image/png", int(w), int(h), None, None)
     if payload[:2] == b"\xff\xd8":
         w, h = _jpeg_sof_dims(payload)
-        return ("image/jpeg", w, h, None)
+        return ("image/jpeg", w, h, None, None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 28:
-        (rate,) = struct.unpack("<I", payload[24:28])
-        return ("audio/wav", None, None, int(rate))
+        rate, dur = _wav_info(payload)
+        return ("audio/wav", None, None, rate, dur)
     if len(payload) > 11 and payload[4:8] == b"ftyp":
-        return ("video/mp4", None, None, None)
-    return ("application/octet-stream", None, None, None)
+        return ("video/mp4", None, None, None, _mp4_duration_ms(payload))
+    return ("application/octet-stream", None, None, None, None)
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
@@ -138,15 +212,16 @@ def extract_media_meta(df: DataFrame, prefix_bytes: int = 65536) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mimes, ws, hs, rates = [], [], [], []
+            mimes, ws, hs, rates, durs = [], [], [], [], []
             for prefix in pdf["__prefix"]:
-                mime, w, h, rate = sniff_container(
+                mime, w, h, rate, dur = sniff_container(
                     bytes(prefix) if prefix is not None else None
                 )
                 mimes.append(mime)
                 ws.append(w)
                 hs.append(h)
                 rates.append(rate)
+                durs.append(dur)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -156,6 +231,7 @@ def extract_media_meta(df: DataFrame, prefix_bytes: int = 65536) -> DataFrame:
                     "width": ws,
                     "height": hs,
                     "sample_rate": rates,
+                    "duration_ms": durs,
                     "payload_md5": pdf["payload_md5"],
                 }
             )
@@ -165,7 +241,10 @@ def extract_media_meta(df: DataFrame, prefix_bytes: int = 65536) -> DataFrame:
         "kind",
         F.substring(F.col("payload"), 1, prefix_bytes).alias("__prefix"),
         F.coalesce(F.length("payload").cast("long"), F.lit(0)).alias("n_bytes"),
-        F.md5("payload").alias("payload_md5"),
+        # NULL-for-empty contract: consumers use a null payload_md5 as the
+        # "no payload" signal, so zero-length blobs must NOT hash to
+        # d41d8cd9... (the bare F.md5 of b"") — gate on length > 0
+        F.when(F.length("payload") > 0, F.md5("payload")).alias("payload_md5"),
     )
     return prepared.mapInPandas(fn, META_SCHEMA)
 
@@ -321,10 +400,29 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             payload = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", 16 + i, 9 + i) + body
             mime = "image/png"
         elif kind == "audio":
-            payload = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"fmt " + b"\x00" * 8 + struct.pack("<I", 8000 * (1 + i % 3)) + body
+            # proper RIFF layout: fmt chunk (rate + byte_rate) then a data
+            # chunk whose size/byte_rate ratio IS the duration
+            rate = 8000 * (1 + i % 3)
+            byte_rate = rate * 2  # mono 16-bit
+            data = body * 8
+            fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+                "<HHIIHH", 1, 1, rate, byte_rate, 2, 16
+            )
+            datach = b"data" + struct.pack("<I", len(data)) + data
+            payload = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(datach)) + b"WAVE" + fmt + datach
             mime = "audio/wav"
         else:
-            payload = b"\x00\x00\x00\x18ftypisom" + body
+            # ftyp + moov/mvhd (v0): timescale 1000, duration (i+1)*500 ms
+            ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x00\x00"
+            mvhd_payload = (
+                b"\x00" + b"\x00\x00\x00"          # version 0 + flags
+                + b"\x00" * 8                        # ctime + mtime
+                + struct.pack(">II", 1000, (i + 1) * 500)  # timescale, duration
+                + b"\x00" * 80
+            )
+            mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+            moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+            payload = ftyp + moov + body
             mime = "video/mp4"
         rows.append((i, kind, payload, mime, {"src": f"synth:{i}"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

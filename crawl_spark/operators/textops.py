@@ -165,9 +165,10 @@ def vocabulary(
     from .topk import ranked_topk
 
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    # doc_freq = one exploded row per (doc, distinct token), counted per
+    # token — no doc-id column needed (one row of the source IS one doc)
     agg = (
-        df.select(F.monotonically_increasing_id().alias("__doc"), F.col(text_col))
-        .select("__doc", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"))
+        df.select(F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("doc_freq"))
     )

@@ -509,6 +509,12 @@ class CrawlEngine:
                     hot = allowed.select(*_FRONTIER_COLS).join(
                         F.broadcast(budgets_df), "host"
                     )
+                    # grouped_topk's contract: the input must recompute
+                    # DETERMINISTICALLY (its monotonic-id rank is evaluated
+                    # on both sides of a self-aggregate-join). Holds here:
+                    # `allowed` derives from parquet scans of the committed
+                    # frontier log through deterministic filters/joins, and
+                    # FIFO keys are unique (seq stamping).
                     hot_top = grouped_topk(hot, ["host"], FIFO_KEY, "__k").select(
                         *_FRONTIER_COLS
                     )

@@ -20,20 +20,50 @@ def test_sniff_container_headers():
     import struct
 
     png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", 640, 480)
-    assert sniff_container(png) == ("image/png", 640, 480, None)
-    wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"fmt " + b"\x00" * 8 + struct.pack("<I", 44100)
-    assert sniff_container(wav) == ("audio/wav", None, None, 44100)
-    assert sniff_container(b"\x00\x00\x00\x18ftypisom")[0] == "video/mp4"
+    assert sniff_container(png) == ("image/png", 640, 480, None, None)
+    # proper RIFF chunk walk: fmt carries (rate, byte_rate), data size /
+    # byte_rate is the duration
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    datach = b"data" + struct.pack("<I", 44100) + b"\x00" * 4  # truncated data is fine
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(datach)) + b"WAVE" + fmt + datach
+    assert sniff_container(wav) == ("audio/wav", None, None, 44100, 500)
+    assert sniff_container(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 8)[0] == "video/mp4"
     assert sniff_container(b"\xff\xd8rest")[0] == "image/jpeg"
     # JPEG SOF scan: dimensions come from the first SOFn segment
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 1) + b"\x01\x11\x00"
     jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xda\x00\x02junk"
-    assert sniff_container(jpg) == ("image/jpeg", 640, 480, None)
+    assert sniff_container(jpg) == ("image/jpeg", 640, 480, None, None)
+    # FF fill-byte padding before the SOF marker (FF FF C0 ...) must not
+    # swallow the marker — the fill byte is consumed one at a time
+    padded = b"\xff\xd8" + app0 + b"\xff" + sof0 + b"\xff\xda\x00\x02junk"
+    assert sniff_container(padded) == ("image/jpeg", 640, 480, None, None)
     # truncated-before-SOF JPEG: mime detected, dims unknown
-    assert sniff_container(b"\xff\xd8" + app0) == ("image/jpeg", None, None, None)
-    assert sniff_container(None) == (None, None, None, None)
+    assert sniff_container(b"\xff\xd8" + app0) == ("image/jpeg", None, None, None, None)
+    assert sniff_container(None) == (None, None, None, None, None)
     assert sniff_container(b"junk")[0] == "application/octet-stream"
+
+
+def test_mp4_mvhd_duration():
+    import struct
+
+    from crawl_spark.operators.multimodal import _mp4_duration_ms
+
+    mvhd_payload = (
+        b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", 600, 1800) + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    assert _mp4_duration_ms(ftyp + moov) == 3000  # 1800/600 s
+    # version-1 mvhd: 64-bit duration at a different offset
+    v1 = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(">IQ", 1000, 2500) + b"\x00" * 80
+    mvhd1 = struct.pack(">I", 8 + len(v1)) + b"mvhd" + v1
+    moov1 = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    assert _mp4_duration_ms(ftyp + moov1) == 2500
+    # truncation robustness: prefix cut inside moov -> None, no raise
+    assert _mp4_duration_ms((ftyp + moov)[: len(ftyp) + 10]) is None
+    assert _mp4_duration_ms(ftyp) is None
 
 
 def test_codec_boundary_is_stubbed():
@@ -55,9 +85,36 @@ def test_meta_extraction_spark(spark):
         assert int(row.width) == 16 + mid and int(row.height) == 9 + mid
     wav = meta[meta.detected_mime == "audio/wav"]
     assert wav.sample_rate.astype(int).isin([8000, 16000, 24000]).all()
+    # WAV duration from the chunk walk: data = body*8 = 1024 B at
+    # byte_rate = rate*2 -> 1024*1000 // (rate*2)
+    for mid, row in wav.iterrows():
+        rate = int(row.sample_rate)
+        assert int(row.duration_ms) == 1024 * 1000 // (rate * 2)
+    mp4 = meta[meta.detected_mime == "video/mp4"]
+    # mvhd duration: media_id i -> (i+1)*500 ms at timescale 1000
+    for mid, row in mp4.iterrows():
+        assert int(row.duration_ms) == (mid + 1) * 500
     # md5 is per-payload deterministic
     meta2 = extract_media_meta(media).toPandas().set_index("media_id")
     assert (meta.payload_md5 == meta2.payload_md5).all()
+
+
+def test_empty_payload_md5_is_null(spark):
+    """NULL-for-no-payload contract: zero-length and null blobs both give
+    a null payload_md5 (not md5(b'') = d41d8cd9...)."""
+    from crawl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (0, "image", b"", "application/octet-stream", {}),
+        (1, "image", None, "application/octet-stream", {}),
+        (2, "image", b"x", "application/octet-stream", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = extract_media_meta(media).toPandas().set_index("media_id")
+    assert meta.loc[0].payload_md5 is None
+    assert meta.loc[1].payload_md5 is None
+    assert meta.loc[2].payload_md5 is not None
+    assert int(meta.loc[0].n_bytes) == 0 and int(meta.loc[1].n_bytes) == 0
 
 
 def test_feature_stub_deterministic_and_normalized(spark):
