@@ -77,8 +77,7 @@ def flagship_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         config=EngineConfig(
             batch_cap=64,
             workdir=tempfile.mkdtemp(prefix="crawl_flagship_"),
-            keep_rounds=1,
-        ),
+            keep_rounds=1, collect_transcript=True),
     )
     seeds = [
         {"url": "http://host%d.example/p/%d" % (i % 20, i), "callbacks": ["page"]}
@@ -310,6 +309,17 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the verified LSH
+    pair graph (iterative min-label propagation) + canonical-survivor
+    flag — the collapse step after pair detection. The oracle is a
+    recursive-CTE transitive closure, so even this ITERATIVE operator is
+    hash-checked against DuckDB."""
+    from crawl_spark.operators.dedup import neardup_clusters
+
+    return neardup_clusters(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
 def q_lang_id(spark, sf_dir):
     from crawl_spark.operators.textops import lang_id
 
@@ -476,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "neardup_clusters": q_neardup_clusters,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -702,6 +713,49 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
+""",
+        "neardup_clusters": f"""
+WITH RECURSIVE {_MINHASH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN shx x ON x.doc_id = c.id_a
+  JOIN shx y ON y.doc_id = c.id_b AND y.g = x.g
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+),
+comp AS (SELECT node, least(node, min(lbl)) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       l.doc_id = l.cluster_id AS is_canonical
+FROM lab l JOIN sz s USING (cluster_id)
 """,
         "simhash": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -287,3 +287,74 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         ).alias("simhash")
     )
     return sig
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the verified
+    LSH pair graph + canonical-survivor selection — the step a training
+    pipeline runs after pair detection (A~B, B~C must collapse to ONE
+    kept document, not two independent pair-wise drops).
+
+    cluster_id = min doc id reachable in the near-dup graph (docs with no
+    near-dups are their own singleton cluster); is_canonical flags the
+    per-cluster survivor; cluster_size supports dedup-rate accounting.
+
+    Algorithm: iterative min-label propagation. Each sweep is one
+    edge⨝label equi-join + a partial-aggregated groupBy(node) min — both
+    over the EDGE list (O(near-dup pairs), not O(corpus)); iterations are
+    bounded by component diameter (near-dup components are shallow in
+    practice) with an exact convergence check (stop when no label
+    changes), and every sweep localCheckpoints to truncate lineage —
+    the same iterate-materialize shape as the engine's round loop.
+    Deterministic: min() over unique ids has no ties.
+    """
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # reused every sweep
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("label"), F.col(id_col)))
+        .drop("label")
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -121,6 +121,13 @@ _SEEN_SCHEMA = T.StructType(
     ]
 )
 
+# on-disk layout of a seen delta dir: hive-partitioned by the url_hash
+# bucket (sb=pmod(url_hash, seen_buckets)/), files sorted by url_hash
+# within each bucket so parquet row-group min/max stats can skip
+_SEEN_BUCKETED_SCHEMA = T.StructType(
+    _SEEN_SCHEMA.fields + [T.StructField("sb", T.IntegerType())]
+)
+
 _HOST_STATE_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),
@@ -134,7 +141,12 @@ class EngineConfig:
     batch_cap: int = 1000
     max_rounds: int = 50
     workdir: str = "/tmp/crawl_spark_work"
-    collect_transcript: bool = True
+    # driver-side transcript copy: OFF by default — it grows
+    # O(rounds × batch_cap) in driver memory. The parquet `transcript`
+    # table per round is the durable record; use
+    # ``CrawlResult.read_transcript(spark)`` to reconstruct the list, or
+    # opt in here for tests/small crawls.
+    collect_transcript: bool = False
     keep_rounds: int = 2  # older round snapshots are deleted (resume keeps last)
     default_crawl_delay: float = 0.0
     timing: bool = False  # print per-phase wall times (perf debugging)
@@ -158,7 +170,27 @@ class EngineConfig:
     # dir and the manifest references only that (bounds reader file
     # count; older manifests lose seen time-travel, same contract as
     # keep_rounds retention). 0 disables.
-    seen_compact_min_deltas: int = 0
+    # default 32: a 1,000-round crawl would otherwise union 1,000 delta
+    # dirs on every seen read (file-listing cost grows per round);
+    # compacting every ~32 rounds amortizes the O(|seen|) rewrite to
+    # 1/32 of rounds while keeping reads at ≤32 dirs. 0 disables.
+    seen_compact_min_deltas: int = 32
+    # seen-set hash-bucket count: every seen delta dir is hive-partitioned
+    # by sb = pmod(url_hash, seen_buckets) (SURVEY §4.2's bucket(hash, B)
+    # layout). The per-round membership check prunes its scan to the
+    # buckets the round's links actually touch, and the Bloom bitmaps
+    # share the same idea per host bucket.
+    seen_buckets: int = 64
+    # membership-check strategy threshold: when the round's candidate
+    # links are at most this many rows, the check runs as
+    #   hits  = seen ⋉ broadcast(links)      (seen SCANNED, never shuffled)
+    #   unseen = links ⋉̸ broadcast(hits)     (both joins build the bounded side)
+    # — per-round cost is one pruned scan of seen, flat in rounds, vs the
+    # classic anti-join that re-shuffles the ENTIRE seen set every round
+    # (O(|seen|) network at a 10^10-row seen set). Candidate sets larger
+    # than this (bounded by batch_cap × links/page — tune together) fall
+    # back to the shuffle anti-join, which AQE can still skew-split.
+    seen_probe_broadcast_max: int = 4_000_000
     # frontier merge-on-read log: rounds append add/del deltas; once the
     # log holds this many add deltas the commit materializes the merged
     # frontier as a new base (amortizes the O(|frontier|) write to 1/k
@@ -193,6 +225,21 @@ class CrawlResult:
     @property
     def total_scheduled(self) -> int:
         return sum(c.get("scheduled", 0) for c in self.counters)
+
+    def read_transcript(self, spark: SparkSession) -> list[list[str]]:
+        """Reconstruct the per-round dequeue transcript from the durable
+        parquet `transcript` tables (the O(batch_cap)-per-round record) —
+        the opt-in replacement for ``collect_transcript=True``."""
+        out = []
+        for rr in range(self.rounds):
+            tp = os.path.join(self.workdir, "round_%05d" % rr, "transcript")
+            out.append(
+                [
+                    row.url_canon
+                    for row in spark.read.parquet(tp).orderBy("batch_pos").collect()
+                ]
+            )
+        return out
 
 
 def _make_extract_fn(registry: HandlerRegistry):
@@ -291,6 +338,8 @@ class CrawlEngine:
         )
         self._errors_schema = "url string, round int, error_class string, message string"
         self._parallelism = spark.sparkContext.defaultParallelism
+        self._robots_fp: dict | None = None
+        self._staged_drained: set[str] = set()
         self._bloom = None
         if self.config.use_bloom:
             from ..operators.bloom import BloomConfig
@@ -405,25 +454,43 @@ class CrawlEngine:
         errors_parts = []
         tick = self._make_tick(r)
 
-        # 1. expire (deadline drop, nsq/nsqcrawl/queue.go:90-94) — counts
-        # for the whole frontier come from ONE aggregation job
+        # 1. expire (deadline drop, nsq/nsqcrawl/queue.go:90-94).
         expired_cond = F.col("deadline").isNotNull() & (F.col("deadline") <= r)
-        agg = frontier.agg(
-            F.count("*").alias("n"),
-            F.count(F.when(expired_cond, 1)).alias("n_expired"),
-        ).collect()[0]
-        live = frontier.filter(~expired_cond)
-        c["expired"] = agg.n_expired
-        tick("counts_agg")
 
         if self._politeness_active:
             # 2. robots disallow (broadcast: robots is a per-host dim table)
             rb = F.broadcast(self.robots)
-            live_r = live.join(rb, "host", "left")
+            fr = frontier.join(rb, "host", "left")
             denied_cond = F.exists(
                 F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
                 lambda p: F.col("path").startswith(p),
             )
+            # ONE full-frontier counting job per round: a per-host partial
+            # aggregate (map-side combine — the shuffle carries ≤ one row
+            # per host, never frontier rows) feeds (a) the global
+            # expired/allowed totals and (b) heavy-hitter detection. This
+            # replaces the three separate full-frontier scans the round
+            # used to run (expiry agg + hot-host groupBy + n_allowed
+            # count). The ≤|hosts|-row result is checkpointed and reused.
+            per_host = (
+                fr.groupBy("host")
+                .agg(
+                    F.count("*").alias("__n"),
+                    F.count(F.when(expired_cond, 1)).alias("__n_exp"),
+                    F.count(F.when(~expired_cond & denied_cond, 1)).alias("__n_den"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            tot = per_host.agg(
+                F.sum("__n").alias("n"),
+                F.sum("__n_exp").alias("n_expired"),
+                F.sum("__n_den").alias("n_denied"),
+            ).collect()[0]
+            c["expired"] = int(tot.n_expired or 0)
+            n_allowed = int((tot.n or 0) - (tot.n_expired or 0) - (tot.n_denied or 0))
+            tick("counts_agg")
+
+            live_r = fr.filter(~expired_cond)
             denied = live_r.filter(denied_cond)
             errors_parts.append(
                 denied.select(
@@ -437,7 +504,7 @@ class CrawlEngine:
             # `host`, so a mega-host (hot domain) lands its ENTIRE
             # frontier slice in one task — the classic skew the
             # north_rule calls out. Mitigation with EXACT semantics:
-            # detect heavy hitters with one partial-aggregated count,
+            # detect heavy hitters from the per-host aggregate above,
             # route each hot host through a distributed per-host top-k
             # (its budget is a pure function of (robots, host_state, r),
             # computed driver-side from the same formula), and keep the
@@ -447,8 +514,10 @@ class CrawlEngine:
             if cfg.hot_host_threshold:
                 hot_hosts = [
                     row.host
-                    for row in allowed.groupBy("host")
-                    .agg(F.count("*").alias("n"))
+                    for row in per_host.select(
+                        "host",
+                        (F.col("__n") - F.col("__n_exp") - F.col("__n_den")).alias("n"),
+                    )
                     .filter(F.col("n") >= cfg.hot_host_threshold)
                     .orderBy(F.col("n").desc())
                     .limit(cfg.max_hot_hosts)
@@ -519,8 +588,15 @@ class CrawlEngine:
                         *_FRONTIER_COLS
                     )
                     survivors = survivors.unionByName(hot_top)
-            n_allowed = allowed.count()
         else:
+            # no politeness: counts still come from ONE aggregation job
+            agg = frontier.agg(
+                F.count("*").alias("n"),
+                F.count(F.when(expired_cond, 1)).alias("n_expired"),
+            ).collect()[0]
+            c["expired"] = agg.n_expired
+            tick("counts_agg")
+            live = frontier.filter(~expired_cond)
             errors_parts.append(
                 self.spark.createDataFrame([], self._errors_schema)
             )
@@ -693,13 +769,14 @@ class CrawlEngine:
             definite_new = tagged.filter(~F.col("possibly_seen")).drop("possibly_seen")
             candidates = tagged.filter(F.col("possibly_seen")).drop("possibly_seen")
             # shuffle-reduction evidence: only these rows pay the exact
-            # anti-join against the seen set (cheap count: checkpointed)
+            # membership check against the seen set (cheap count:
+            # checkpointed)
             c["bloom_exact_checked"] = candidates.count()
             unseen = definite_new.unionByName(
-                candidates.join(seen.select("url_canon"), "url_canon", "left_anti")
+                self._links_minus_seen(candidates, seen, c["bloom_exact_checked"])
             )
         else:
-            unseen = deduped_links.join(seen.select("url_canon"), "url_canon", "left_anti")
+            unseen = self._links_minus_seen(deduped_links, seen, n_valid)
         new_rows = (
             unseen
             .select(
@@ -776,6 +853,43 @@ class CrawlEngine:
 
         return tick
 
+    def robots_fingerprint(self) -> dict:
+        """Order-independent fingerprint of the politeness inputs the
+        merge-on-read frontier's predicate-deletes depend on. Stored in
+        every manifest and asserted on resume/read: a workdir replayed
+        under DIFFERENT robots rules (or default delay) would silently
+        reconstruct a different frontier than was committed — fail loudly
+        instead. Computed in Spark (bit_xor of per-row xxhash64), never
+        collected: robots is a per-host dim table that can be huge."""
+        if self._robots_fp is None:
+            row = self.robots.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.expr(
+                        "bit_xor(xxhash64(host, concat_ws('|', disallow), crawl_delay))"
+                    ),
+                    F.lit(0),
+                ).alias("fp"),
+            ).collect()[0]
+            self._robots_fp = {
+                "n": int(row.n),
+                "fp": int(row.fp),
+                "default_crawl_delay": self.config.default_crawl_delay,
+            }
+        return self._robots_fp
+
+    def _check_robots_fp(self, manifest: dict, what: str) -> None:
+        committed = manifest.get("robots")
+        if committed is not None and committed != self.robots_fingerprint():
+            raise ValueError(
+                "%s: robots/politeness inputs differ from the ones snapshot "
+                "%s was committed under (committed %s, engine has %s) — the "
+                "frontier log's predicate-deletes would reconstruct a "
+                "different frontier. Rebuild the engine with the original "
+                "robots table, or start a fresh workdir."
+                % (what, manifest.get("snapshot_id"), committed, self._robots_fp)
+            )
+
     # -- snapshot catalog (Iceberg-style: ids, lineage, time travel) -------
     def snapshots(self) -> list[dict]:
         """All committed snapshot manifests, oldest first."""
@@ -804,7 +918,9 @@ class CrawlEngine:
         if name == "frontier":
             mf = os.path.join(self.config.workdir, "round_%05d" % r, "manifest.json")
             with open(mf) as f:
-                log = json.load(f)["frontier_log"]
+                manifest = json.load(f)
+            self._check_robots_fp(manifest, "read_table('frontier')")
+            log = manifest["frontier_log"]
             missing = [
                 p
                 for p in [log["base"], *log["adds"], *log["dels"]]
@@ -839,16 +955,109 @@ class CrawlEngine:
         return reader.parquet(path)
 
     # -- seen delta log ----------------------------------------------------
+    # The seen set is an append-only log of hash-BUCKETED delta dirs:
+    # each dir is hive-partitioned by sb = pmod(url_hash, seen_buckets),
+    # with files range-laid-out and sorted by url_hash (parquet min/max
+    # row-group stats line up with the probe key). This is SURVEY §4.2's
+    # "partition seen by bucket(hash, B)" promise: the per-round
+    # membership check (``_links_minus_seen``) prunes its scan to the
+    # buckets the round's links touch and probes with a broadcast hash
+    # join — the seen side is only ever SCANNED, never shuffled.
     def _read_seen(self, rels: list[str]) -> DataFrame:
-        """The seen set = union of the delta-log dirs (merge-on-read)."""
+        """The seen set = union of the delta-log dirs (merge-on-read);
+        carries the ``sb`` bucket column for partition pruning."""
         if not rels:
-            return self.spark.createDataFrame([], _SEEN_SCHEMA)
-        paths = [os.path.join(self.config.workdir, p) for p in rels]
-        return self.spark.read.schema(_SEEN_SCHEMA).parquet(*paths)
+            return self.spark.createDataFrame([], _SEEN_BUCKETED_SCHEMA)
+        import functools
+
+        parts = []
+        for rel in rels:
+            p = os.path.join(self.config.workdir, rel)
+            parts.append(
+                self.spark.read.option("basePath", p)
+                .schema(_SEEN_BUCKETED_SCHEMA)
+                .parquet(p)
+            )
+        return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _write_seen_delta(self, df: DataFrame, name: str) -> str:
+        """Write one bucketed seen delta dir atomically; returns the
+        workdir-relative path the manifest should reference.
+
+        Layout: partitionBy(sb) subdirs; the range-repartition on
+        (sb, url_hash) keeps big writes (compaction: the whole seen set)
+        parallel across ALL cores while small per-round deltas collapse
+        to ~1 file per non-empty task — no P×B file explosion."""
+        rel = os.path.join("seen_deltas", name)
+        final = os.path.join(self.config.workdir, rel)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        B = self.config.seen_buckets
+        out = (
+            df.select(*[f.name for f in _SEEN_SCHEMA.fields])
+            .withColumn("sb", F.pmod(F.col("url_hash"), F.lit(B)).cast("int"))
+            .repartitionByRange(max(B, self._parallelism), "sb", "url_hash")
+            .sortWithinPartitions("sb", "url_hash")
+        )
+        out.write.mode("overwrite").partitionBy("sb").parquet(tmp)
+        if os.path.exists(final):  # replay of an uncommitted round
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return rel
+
+    def _links_minus_seen(
+        self, links: DataFrame, seen: DataFrame, n_probe: int
+    ) -> DataFrame:
+        """links ∖ seen — the per-round membership check.
+
+        Scan-side strategy (the 10^10-row plan): a plain
+        ``links.join(seen, "left_anti")`` shuffles BOTH sides, i.e. the
+        entire seen set re-crosses the network every round (measured
+        linear in |seen|: 61.9 s at 128M rows). Instead, since the links
+        side is bounded by one batch's fan-out:
+
+          1. prune: collect the ≤seen_buckets distinct ``sb`` values the
+             links hash into (tiny job) and filter the seen scan to those
+             hive partitions;
+          2. hits = pruned_seen ⋉ broadcast(links)  — a broadcast hash
+             LEFT-SEMI join that streams the seen scan past a hash table
+             of the links' (url_hash, url_canon) keys: no shuffle, no
+             sort, and |hits| ≤ |links|;
+          3. unseen = links ⋉̸ broadcast(hits) — exact anti semantics.
+
+        Equality is checked on url_canon (url_hash rides along for the
+        cheap 64-bit reject), so this is EXACTLY the anti-join. Above
+        ``seen_probe_broadcast_max`` candidates the classic shuffle
+        anti-join takes over (AQE skew-split applies there)."""
+        if n_probe > self.config.seen_probe_broadcast_max:
+            return links.join(seen.select("url_canon"), "url_canon", "left_anti")
+        B = self.config.seen_buckets
+        probe = links.select("url_hash", "url_canon")
+        touched = [
+            r.sb
+            for r in probe.select(
+                F.pmod(F.col("url_hash"), F.lit(B)).cast("int").alias("sb")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return links
+        pruned = seen if len(touched) >= B else seen.filter(F.col("sb").isin(touched))
+        hits = pruned.select("url_hash", "url_canon").join(
+            F.broadcast(probe), ["url_hash", "url_canon"], "leftsemi"
+        )
+        return links.join(
+            F.broadcast(hits.select("url_canon")), "url_canon", "left_anti"
+        )
 
     def _write_delta(self, df: DataFrame, name: str, log: str = "seen_deltas") -> str:
         """Write one delta dir atomically (tmp + rename); returns the
-        workdir-relative path the manifest should reference."""
+        workdir-relative path the manifest should reference. Seen deltas
+        route through the bucketed writer."""
+        if log == "seen_deltas":
+            return self._write_seen_delta(df, name)
         rel = os.path.join(log, name)
         final = os.path.join(self.config.workdir, rel)
         tmp = final + ".tmp"
@@ -937,11 +1146,26 @@ class CrawlEngine:
         are in `seen`, so later drains drop them."""
         from ..streaming.feed import drain_staged_seeds
 
-        staged = drain_staged_seeds(self.spark, self.config.staged_seeds_dir)
+        staged, new_files = drain_staged_seeds(
+            self.spark, self.config.staged_seeds_dir, self._staged_drained
+        )
+        # high-watermark: mark the files drained NOW (persisted by this
+        # round's manifest commit; a crash before commit forgets them and
+        # the replay re-drains — idempotent via the seen check)
+        self._staged_drained |= set(new_files)
+        if not new_files:
+            return frontier, 0
+        # bounded out-of-band batch: checkpoint once, count, then run the
+        # scan-side membership check (same no-shuffle-of-seen plan as the
+        # round's link dedup)
+        staged = staged.localCheckpoint(eager=True)
+        n_staged_raw = staged.count()
+        if n_staged_raw == 0:
+            return frontier, 0
         seen_now = self._read_seen(self._seen_rels)
         w_dup = Window.partitionBy("url_canon").orderBy("event_ts", "url")
         fresh = (
-            staged.join(seen_now.select("url_canon"), "url_canon", "left_anti")
+            self._links_minus_seen(staged, seen_now, n_staged_raw)
             .withColumn("rn", F.row_number().over(w_dup))
             .filter(F.col("rn") == 1)
             .drop("rn")
@@ -1013,6 +1237,8 @@ class CrawlEngine:
                 base = os.path.join(cfg.workdir, "round_%05d" % last)
                 with open(os.path.join(base, "manifest.json")) as f:
                     manifest = json.load(f)
+                self._check_robots_fp(manifest, "resume")
+                self._staged_drained = set(manifest.get("staged_drained", []))
                 self._frontier_log = manifest["frontier_log"]
                 frontier = self._read_frontier(self._frontier_log, last)
                 self._seen_rels = manifest["seen_deltas"]
@@ -1126,8 +1352,13 @@ class CrawlEngine:
             # semantics)
             delta_rel = self._write_delta(seen_delta, "delta_%05d" % r)
             delta_abs = os.path.join(cfg.workdir, delta_rel)
+            # bucketed layout: parquet files live under sb=*/ subdirs —
+            # lineage records bucket-relative paths
             lineage["seen"] = sorted(
-                f for f in os.listdir(delta_abs) if f.endswith(".parquet")
+                os.path.join(os.path.relpath(dirpath, delta_abs), f)
+                for dirpath, _, files in os.walk(delta_abs)
+                for f in files
+                if f.endswith(".parquet")
             )
             tick("write_seen_delta")
             # frontier log: append this round's add/del deltas (bounded by
@@ -1178,7 +1409,7 @@ class CrawlEngine:
                 ).agg(F.count("*").alias("n")).collect()
             }
 
-            new_df = spark.read.schema(_SEEN_SCHEMA).parquet(delta_abs)
+            new_df = self._read_seen([delta_rel])
             n_new = new_df.count()
             c["scheduled"] = n_new
             c["deduped"] = n_valid - n_new
@@ -1206,6 +1437,13 @@ class CrawlEngine:
                 "counters": c,
                 "seen_deltas": seen_rels_next,
                 "frontier_log": frontier_log_next,
+                # politeness-input fingerprint: predicate-deletes in the
+                # frontier log are only valid under these robots rules
+                "robots": self.robots_fingerprint(),
+                # staged-seed high-watermark: files already drained from
+                # staged_seeds_dir (skipped by later drains — the pickup
+                # cost stays O(new files), not O(all files ever staged))
+                "staged_drained": sorted(self._staged_drained),
                 "lineage": {
                     "input_snapshot": ("r%05d" % (r - 1)) if r > 0 else "seeds",
                     "output_files": lineage,

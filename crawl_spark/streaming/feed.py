@@ -139,15 +139,29 @@ def seed_feed_stream(
     return writer.start()
 
 
-def drain_staged_seeds(spark: SparkSession, staging_dir: str) -> DataFrame:
-    """Read everything staged so far (engine calls this at a round
-    boundary and unions it into the frontier — snapshot isolation makes
-    the pickup atomic)."""
-    if not os.path.isdir(staging_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(staging_dir)
-    ):
-        return spark.createDataFrame([], STAGED_SCHEMA)
-    return spark.read.schema(STAGED_SCHEMA).parquet(staging_dir)
+def drain_staged_seeds(
+    spark: SparkSession, staging_dir: str, exclude=()
+) -> tuple[DataFrame, list[str]]:
+    """Read the NOT-yet-drained staged seed files (engine calls this at a
+    round boundary and unions the rows into the frontier — snapshot
+    isolation makes the pickup atomic).
+
+    ``exclude`` is the high-watermark: file names previous rounds already
+    drained (recorded in each round manifest), so a long-running crawl's
+    per-round pickup cost is O(new files), not O(all files ever staged).
+    Returns (rows, newly-drained file names); re-draining after a crash
+    before commit is idempotent via the seen-set membership check."""
+    if not os.path.isdir(staging_dir):
+        return spark.createDataFrame([], STAGED_SCHEMA), []
+    new = sorted(
+        f
+        for f in os.listdir(staging_dir)
+        if f.endswith(".parquet") and f not in exclude
+    )
+    if not new:
+        return spark.createDataFrame([], STAGED_SCHEMA), []
+    paths = [os.path.join(staging_dir, f) for f in new]
+    return spark.read.schema(STAGED_SCHEMA).parquet(*paths), new
 
 
 def metrics_rollup_stream(

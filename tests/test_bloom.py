@@ -93,8 +93,7 @@ def test_engine_bloom_path_equals_exact_path(spark, tiny_fixture, tmp_path_facto
                 workdir=str(tmp_path_factory.mktemp(f"bloom_{use_bloom}")),
                 use_bloom=use_bloom,
                 bloom_buckets=8,
-                bloom_bits=1 << 14,
-            ),
+                bloom_bits=1 << 14, collect_transcript=True),
         )
         return eng.run(seeds)
 

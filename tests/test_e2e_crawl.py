@@ -61,8 +61,7 @@ def crawl_pair(spark, tiny_fixture, tmp_path_factory):
         config=EngineConfig(
             batch_cap=40,
             max_rounds=6,
-            workdir=str(tmp_path_factory.mktemp("crawl_work")),
-        ),
+            workdir=str(tmp_path_factory.mktemp("crawl_work")), collect_transcript=True),
     )
     result = engine.run(seeds)
     return golden, result, engine
@@ -73,6 +72,36 @@ def test_crawl_ordering_exact(crawl_pair):
     assert len(result.transcript) == len(golden.transcript)
     for r, (got, exp) in enumerate(zip(result.transcript, golden.transcript)):
         assert got == exp, "round %d ordering mismatch:\ngot  %s\nwant %s" % (r, got, exp)
+
+
+def test_read_transcript_matches_driver_copy(crawl_pair, spark):
+    """The durable parquet transcript reconstructs the driver-side list
+    exactly (collect_transcript=False is the production default — this is
+    the opt-in read-back path)."""
+    _, result, _ = crawl_pair
+    assert result.read_transcript(spark) == result.transcript
+
+
+def test_seen_deltas_hash_bucketed(crawl_pair, spark):
+    """SURVEY §4.2 layout promise: every seen delta dir is hive-
+    partitioned by sb = pmod(url_hash, seen_buckets), so the membership
+    check can prune its scan to the buckets a round's links touch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    _, result, engine = crawl_pair
+    droot = os.path.join(result.workdir, "seen_deltas")
+    for d in os.listdir(droot):
+        subs = [s for s in os.listdir(os.path.join(droot, d)) if s.startswith("sb=")]
+        assert subs, "delta dir %s is not bucketed" % d
+    # the sb column equals pmod(url_hash, B) for every row
+    B = engine.config.seen_buckets
+    seen = engine.read_table("seen")
+    bad = seen.filter(
+        F.col("sb") != F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
+    ).count()
+    assert bad == 0
 
 
 def test_seen_set_exact(crawl_pair, spark):
@@ -128,7 +157,7 @@ def test_resume_identical_ordering(spark, tiny_fixture, tmp_path_factory):
         spark.read.parquet(tiny_fixture["pages"]),
         _registry(),
         robots_df=spark.read.parquet(tiny_fixture["robots"]),
-        config=EngineConfig(batch_cap=40, max_rounds=5, workdir=wd, keep_rounds=99),
+        config=EngineConfig(batch_cap=40, max_rounds=5, workdir=wd, keep_rounds=99, collect_transcript=True),
     )
     mk().run(seeds, max_rounds=2)  # "killed" after round 2
     result = mk().run(seeds, max_rounds=5, resume=True)
@@ -153,8 +182,7 @@ def test_hot_host_path_equals_window_path(spark, tiny_fixture, tmp_path_factory)
             max_rounds=5,
             workdir=str(tmp_path_factory.mktemp("hot_work")),
             hot_host_threshold=3,
-            max_hot_hosts=8,
-        ),
+            max_hot_hosts=8, collect_transcript=True),
     )
     result = engine.run(seeds)
     assert result.transcript == golden.transcript
@@ -227,8 +255,7 @@ def test_seen_compaction_and_resume(spark, tiny_fixture, tmp_path_factory):
         robots_df=spark.read.parquet(tiny_fixture["robots"]),
         config=EngineConfig(
             batch_cap=40, max_rounds=5, workdir=wd, keep_rounds=99,
-            seen_compact_min_deltas=2,
-        ),
+            seen_compact_min_deltas=2, collect_transcript=True),
     )
     mk().run(seeds, max_rounds=2)
     engine = mk()
@@ -282,8 +309,7 @@ def test_frontier_compaction_and_resume(spark, tiny_fixture, tmp_path_factory):
         robots_df=spark.read.parquet(tiny_fixture["robots"]),
         config=EngineConfig(
             batch_cap=40, max_rounds=5, workdir=wd, keep_rounds=99,
-            frontier_compact_every=2,
-        ),
+            frontier_compact_every=2, collect_transcript=True),
     )
     mk().run(seeds, max_rounds=3)
     engine = mk()
@@ -302,6 +328,11 @@ def test_frontier_compaction_and_resume(spark, tiny_fixture, tmp_path_factory):
         (120, 3, {"seen_compact_min_deltas": 2, "frontier_compact_every": 1}),
         (40, 4, {"hot_host_threshold": 2, "max_hot_hosts": 4,
                  "frontier_compact_every": 2}),
+        # membership-check strategy matrix: force the classic shuffle
+        # anti-join (broadcast-probe disabled) and a single-bucket seen
+        # layout (no pruning possible) — all must be transcript-identical
+        (40, 4, {"seen_probe_broadcast_max": 0}),
+        (40, 4, {"seen_buckets": 1}),
     ],
 )
 def test_engine_matches_refmodel_across_configs(
@@ -319,8 +350,7 @@ def test_engine_matches_refmodel_across_configs(
         robots_df=spark.read.parquet(tiny_fixture["robots"]),
         config=EngineConfig(
             batch_cap=cap, max_rounds=rounds,
-            workdir=str(tmp_path_factory.mktemp("cfg_work")), **kw,
-        ),
+            workdir=str(tmp_path_factory.mktemp("cfg_work")), **kw, collect_transcript=True),
     )
     result = engine.run(seeds)
     assert result.transcript == golden.transcript
@@ -348,7 +378,7 @@ def test_crash_between_delta_write_and_commit_replays_cleanly(
         spark.read.parquet(tiny_fixture["pages"]),
         _registry(),
         robots_df=spark.read.parquet(tiny_fixture["robots"]),
-        config=EngineConfig(batch_cap=40, max_rounds=4, workdir=wd, keep_rounds=99),
+        config=EngineConfig(batch_cap=40, max_rounds=4, workdir=wd, keep_rounds=99, collect_transcript=True),
     )
     mk().run(seeds, max_rounds=3)  # rounds 0..2 committed
     # simulate the crash window during round 2: delete the committed
@@ -394,8 +424,7 @@ def test_middleware_chain_aborts_before_fetch(spark, tiny_fixture, tmp_path_fact
         robots_df=spark.read.parquet(tiny_fixture["robots"]),
         config=EngineConfig(
             batch_cap=40, max_rounds=2,
-            workdir=str(tmp_path_factory.mktemp("mw_work")),
-        ),
+            workdir=str(tmp_path_factory.mktemp("mw_work")), collect_transcript=True),
         middlewares=[block_host0, block_host2],
     )
     result = engine.run(seeds)
@@ -459,7 +488,7 @@ def test_staged_seed_pickup_at_round_boundary(spark, tiny_fixture, tmp_path_fact
         spark.read.parquet(tiny_fixture["pages"]),
         _registry(),
         config=EngineConfig(batch_cap=40, max_rounds=2, workdir=wd,
-                            keep_rounds=99, staged_seeds_dir=staging),
+                            keep_rounds=99, staged_seeds_dir=staging, collect_transcript=True),
     )
     res = mk().run([])  # NO direct seeds: frontier starts empty
     assert res.counters[0]["staged"] == 2
@@ -483,6 +512,16 @@ def test_staged_seed_pickup_at_round_boundary(spark, tiny_fixture, tmp_path_fact
     crawled = {u for t in res2.transcript[2:] for u in t}
     queued = {r.url_canon for r in engine.read_table("frontier").collect()}
     assert fresh_url in (crawled | queued)
+    # high-watermark: the latest manifest records every drained staged
+    # file, so later drains never re-read them (ADVICE r2: pickup cost is
+    # O(new files), not O(all files ever staged))
+    last = max(
+        d for d in os.listdir(wd) if d.startswith("round_") and not d.endswith(".tmp")
+    )
+    with open(os.path.join(wd, last, "manifest.json")) as f:
+        drained = set(json.load(f)["staged_drained"])
+    staged_files = {f for f in os.listdir(staging) if f.endswith(".parquet")}
+    assert staged_files <= drained and len(staged_files) >= 2
 
 
 def test_request_fields_ride_the_frontier(spark, tiny_fixture, tmp_path_factory):
@@ -493,7 +532,7 @@ def test_request_fields_ride_the_frontier(spark, tiny_fixture, tmp_path_factory)
         spark,
         spark.read.parquet(tiny_fixture["pages"]),
         _registry(),
-        config=EngineConfig(workdir=str(tmp_path_factory.mktemp("req_work"))),
+        config=EngineConfig(workdir=str(tmp_path_factory.mktemp("req_work")), collect_transcript=True),
     )
     seeds = [
         {

@@ -349,3 +349,44 @@ def test_tfidf_top_terms_matches_python(spark):
         assert list(got.token) == [t for _, t in exp], doc
         for (_, row), (score, _) in zip(got.iterrows(), exp):
             assert abs(row.tfidf - score) < 1e-9
+
+
+def test_neardup_clusters_transitive_closure(spark):
+    """Clusters must be the exact transitive closure of the verified pair
+    graph: cluster_id = min reachable doc id (BFS oracle in plain
+    Python), singletons are their own canonical cluster."""
+    from crawl_spark.operators.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(DOCS)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    adj: dict[int, set[int]] = {}
+    for row in pairs:
+        adj.setdefault(row.id_a, set()).add(row.id_b)
+        adj.setdefault(row.id_b, set()).add(row.id_a)
+    expect: dict[int, int] = {}
+    for start in adj:
+        if start in expect:
+            continue
+        comp, todo = {start}, [start]
+        while todo:
+            n = todo.pop()
+            for m in adj.get(n, ()):
+                if m not in comp:
+                    comp.add(m)
+                    todo.append(m)
+        lbl = min(comp)
+        for n in comp:
+            expect[n] = lbl
+    got = neardup_clusters(docs, threshold=0.1).collect()
+    assert len(got) == docs.count()
+    assert len(pairs) > 0  # the fixture corpus must exercise real merges
+    by_id = {r.doc_id: r for r in got}
+    sizes: dict[int, int] = {}
+    for r in got:
+        cid = expect.get(r.doc_id, r.doc_id)  # singleton -> own id
+        assert r.cluster_id == cid, (r.doc_id, r.cluster_id, cid)
+        assert r.is_canonical == (r.doc_id == cid)
+        sizes[cid] = sizes.get(cid, 0) + 1
+    for r in got:
+        assert r.cluster_size == sizes[r.cluster_id]
+    assert max(sizes.values()) >= 3  # at least one transitive (A-B-C) merge

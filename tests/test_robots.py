@@ -74,7 +74,7 @@ def test_robots_table_feeds_engine(spark, tiny_fixture, tmp_path_factory):
         spark.read.parquet(tiny_fixture["pages"]),
         reg,
         robots_df=robots_df,
-        config=EngineConfig(batch_cap=40, max_rounds=3, workdir=wd),
+        config=EngineConfig(batch_cap=40, max_rounds=3, workdir=wd, collect_transcript=True),
     )
     seeds = pd.read_parquet(tiny_fixture["seeds"])
     base = mk(
@@ -84,3 +84,36 @@ def test_robots_table_feeds_engine(spark, tiny_fixture, tmp_path_factory):
     via_txt = mk(parsed, str(tmp_path_factory.mktemp("rb_txt"))).run(seeds)
     assert via_txt.transcript == base.transcript
     assert via_txt.counters == base.counters
+
+
+def test_resume_rejects_changed_robots(spark, tiny_fixture, tmp_path_factory):
+    """The manifest pins a fingerprint of the politeness inputs: resuming
+    a workdir under DIFFERENT robots rules must fail loudly (the frontier
+    log's predicate-deletes would silently reconstruct a different
+    frontier), while resuming with the SAME rules works."""
+    import pytest
+
+    from crawl_spark.plans.engine import CrawlEngine, EngineConfig
+    from crawl_spark.plans.handlers import Handler, HandlerRegistry
+
+    reg = HandlerRegistry()
+    reg.register("page", Handler(name="page", text_selector="body", link_selector="a"))
+    wd = str(tmp_path_factory.mktemp("rb_fp"))
+    mk = lambda robots_df: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        reg,
+        robots_df=robots_df,
+        config=EngineConfig(batch_cap=40, max_rounds=4, workdir=wd),
+    )
+    robots = spark.read.parquet(tiny_fixture["robots"])
+    seeds = pd.read_parquet(tiny_fixture["seeds"])
+    mk(robots).run(seeds, max_rounds=2)
+    # same robots -> resume OK
+    mk(robots).run(seeds, max_rounds=3, resume=True)
+    # different rules -> refused (resume AND frontier read)
+    other = robots.limit(1)
+    with pytest.raises(ValueError, match="robots"):
+        mk(other).run(seeds, max_rounds=4, resume=True)
+    with pytest.raises(ValueError, match="robots"):
+        mk(other).read_table("frontier")

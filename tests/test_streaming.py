@@ -9,6 +9,7 @@ import os
 import pytest
 
 from crawl_spark.streaming.feed import (
+    STAGED_SCHEMA,
     drain_staged_seeds,
     metrics_rollup_stream,
     seed_feed_stream,
@@ -39,7 +40,7 @@ def test_seed_feed_canonicalizes_and_dedups(spark, tmp_path):
     )
     q = seed_feed_stream(spark, in_dir, staging, ckpt, available_now=True)
     q.awaitTermination(120)
-    staged = drain_staged_seeds(spark, staging).toPandas()
+    staged = drain_staged_seeds(spark, staging)[0].toPandas()
     # two messy variants of /p/1 collapse to one canonical row; bad URL dropped
     assert sorted(staged.url_canon) == [
         "http://host0.example/p/1",
@@ -55,13 +56,13 @@ def test_seed_feed_canonicalizes_and_dedups(spark, tmp_path):
     )
     q2 = seed_feed_stream(spark, in_dir, staging, ckpt, available_now=True)
     q2.awaitTermination(120)
-    staged2 = drain_staged_seeds(spark, staging).toPandas()
+    staged2 = drain_staged_seeds(spark, staging)[0].toPandas()
     assert len(staged2) == 3
 
 
 def test_drain_empty_staging(spark, tmp_path):
-    df = drain_staged_seeds(spark, str(tmp_path / "nope"))
-    assert df.count() == 0
+    df, files = drain_staged_seeds(spark, str(tmp_path / "nope"))
+    assert df.count() == 0 and files == []
 
 
 def test_metrics_rollup_windows(spark, tmp_path):
@@ -124,14 +125,14 @@ def test_seed_feed_from_record_stream(spark, tmp_path):
         import time
 
         while deadline > 0:
-            staged = drain_staged_seeds(spark, staging)
+            staged = drain_staged_seeds(spark, staging)[0]
             if staged.count() >= 10:
                 break
             time.sleep(1)
             deadline -= 1
     finally:
         q.stop()
-    staged = drain_staged_seeds(spark, staging).toPandas()
+    staged = drain_staged_seeds(spark, staging)[0].toPandas()
     assert len(staged) >= 10
     # canonicalization ran (host parsed) and stateful dedup held (rate
     # values are unique, so canonical urls must be too)
@@ -191,3 +192,25 @@ def test_host_rate_custom_stateful_operator(spark, tmp_path):
     # rate math: h1 saw 3 urls over 60 s of event time
     h1 = out.filter((F.col("host") == "h1.example") & (F.col("n_urls") == 3)).collect()[0]
     assert abs(h1.urls_per_sec - 0.05) < 1e-6
+
+
+def test_drain_high_watermark(spark, tmp_path):
+    """Drained files are skipped on later drains (the engine records them
+    per round manifest) — pickup cost is O(new files), and a re-drain
+    with the same watermark returns nothing."""
+    staging = str(tmp_path / "staged_w")
+    row = [("http://h.example/a", "http://h.example/a", "h.example", "/a",
+            1, 1, 0, [], None, None)]
+    spark.createDataFrame(row, STAGED_SCHEMA).coalesce(1).write.mode("append").parquet(staging)
+    df1, f1 = drain_staged_seeds(spark, staging)
+    assert df1.count() == 1 and len(f1) >= 1
+    # same watermark, nothing new -> empty
+    df2, f2 = drain_staged_seeds(spark, staging, exclude=set(f1))
+    assert f2 == [] and df2.count() == 0
+    # a new file arrives -> only it is read
+    row2 = [("http://h.example/b", "http://h.example/b", "h.example", "/b",
+             1, 2, 0, [], None, None)]
+    spark.createDataFrame(row2, STAGED_SCHEMA).coalesce(1).write.mode("append").parquet(staging)
+    df3, f3 = drain_staged_seeds(spark, staging, exclude=set(f1))
+    assert df3.count() == 1 and set(f3).isdisjoint(f1)
+    assert df3.collect()[0].url_canon == "http://h.example/b"

@@ -79,8 +79,7 @@ def test_crawl_over_warc_pages(spark, tmp_path, tmp_path_factory):
         spark, pages, reg,
         config=EngineConfig(
             batch_cap=10, max_rounds=3,
-            workdir=str(tmp_path_factory.mktemp("warc_crawl")),
-        ),
+            workdir=str(tmp_path_factory.mktemp("warc_crawl")), collect_transcript=True),
     )
     res = eng.run([{"url": "http://w0.example/p/0", "callbacks": ["page"]}])
     assert res.total_fetched >= 3  # follows /p/1, /p/2 … through rounds
