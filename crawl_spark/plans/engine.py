@@ -201,6 +201,17 @@ class EngineConfig:
     # staged urls into the frontier — the reference's NSQ-topic "picked
     # up at the next round boundary" semantics (SURVEY §3.3)
     staged_seeds_dir: str | None = None
+    # bucketed pages layout (SURVEY §4.2, fetch side): when set, pages_df
+    # must carry a hive-partition column `pages_bucket_col` with value
+    # pmod(F.hash(url), pages_buckets) (sources.fixtures.
+    # write_bucketed_pages writes this layout). Each round collects the
+    # batch's ≤batch_cap distinct bucket ids (tiny job over the
+    # checkpointed batch) and filters the pages scan on them BEFORE the
+    # fetch joins — partition pruning skips every other bucket's files,
+    # so the two per-round pages scans read O(batch buckets / B) of the
+    # 100 TB table instead of all of it. None disables (flat layout).
+    pages_buckets: int | None = None
+    pages_bucket_col: str = "pb"
     # optionally cache the merged frontier view for each round: the round
     # scans it ~4× (counts, politeness rank, batch selection, errors) and
     # each scan re-runs the log merge. Measured at bench scale the merge
@@ -321,9 +332,11 @@ class CrawlEngine:
                 "url", canonicalize_udf(F.col("url"), F.lit(None).cast("string"))["url_canon"]
             )
         # only url+html ever reach the engine: column pruning at the scan
-        self.pages = pages_df.select(
-            F.col("url").alias("page_url"), F.col("html").alias("html")
-        )
+        # (+ the bucket partition column when the layout is bucketed)
+        page_cols = [F.col("url").alias("page_url"), F.col("html").alias("html")]
+        if self.config.pages_buckets:
+            page_cols.append(F.col(self.config.pages_bucket_col))
+        self.pages = pages_df.select(*page_cols)
         if robots_df is None:
             robots_df = spark.createDataFrame(
                 [], "host string, disallow array<string>, crawl_delay double"
@@ -690,7 +703,24 @@ class CrawlEngine:
         # scan happens exactly once, streamed straight into extraction
         # below (never checkpointed: materializing per-round page bodies
         # would write+read the whole fetched batch's html to disk).
-        hit_urls = self.pages.select("page_url").join(
+        pages_src = self.pages
+        if cfg.pages_buckets:
+            # bucket-pruned fetch: the batch touches ≤batch_cap buckets —
+            # collect their ids (tiny job over the checkpointed batch) and
+            # let partition pruning skip every other bucket's files in
+            # BOTH per-round pages scans (url-only hit join + html scan)
+            bucket_ids = [
+                row.b
+                for row in fetch_batch.select(
+                    F.pmod(F.hash("url_canon"), F.lit(cfg.pages_buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            pages_src = self.pages.filter(
+                F.col(cfg.pages_bucket_col).isin(bucket_ids)
+            )
+        hit_urls = pages_src.select("page_url").join(
             F.broadcast(fetch_batch.select(F.col("url_canon"))),
             F.col("url_canon") == F.col("page_url"),
             "inner",
@@ -713,7 +743,7 @@ class CrawlEngine:
         # Arrow-batched). Parallelism comes from the pages scan splits —
         # make_session caps files.maxPartitionBytes so local fixtures
         # split like a real many-file corpus does naturally.
-        hits = self.pages.join(
+        hits = pages_src.join(
             F.broadcast(fetch_batch.select(*fetch_cols)),
             F.col("url_canon") == F.col("page_url"),
             "inner",

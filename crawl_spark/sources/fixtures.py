@@ -309,3 +309,22 @@ def gen_embeddings(n: int, dim: int = 32, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(
         {"vec_id": np.arange(n), "embedding": list(vecs), "label": rs.randint(0, 10, n)}
     )
+
+
+def write_bucketed_pages(pages_df, out_dir: str, buckets: int, col: str = "pb"):
+    """Write the pages table in the engine's bucketed fetch layout:
+    hive-partitioned by ``col = pmod(hash(url), buckets)`` (Spark murmur3,
+    the same expression ``EngineConfig.pages_buckets`` prunes on). On a
+    real deployment the Iceberg table spec declares
+    ``bucket(buckets, url)``; over plain parquet the hive partition column
+    carries the identical pruning semantics. Returns ``out_dir``."""
+    from pyspark.sql import functions as F
+
+    (
+        pages_df.withColumn(col, F.pmod(F.hash("url"), F.lit(buckets)).cast("int"))
+        .repartition(col)
+        .write.mode("overwrite")
+        .partitionBy(col)
+        .parquet(out_dir)
+    )
+    return out_dir

@@ -81,6 +81,79 @@ def rate_seed_source(
     )
 
 
+_KAFKA_SEED_JSON = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("referer", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("callbacks", T.ArrayType(T.StringType())),
+        T.StructField("deadline", T.DoubleType()),
+    ]
+)
+
+
+def kafka_seed_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    extra_options: dict | None = None,
+):
+    """The documented Kafka swap for the seed feed (the reference's NSQ
+    topic, ``nsq/nsqcrawl/queue.go:38-55`` analog): builds the
+    ``readStream.format("kafka")`` reader with the standard options.
+    ``.load()`` needs the spark-sql-kafka connector on the classpath (a
+    spark-submit ``--packages`` line on a real cluster; absent in this
+    sandbox, which tests the projection on a kafka-SHAPED static frame
+    instead — ``parse_kafka_seed_records`` is identical for both)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def parse_kafka_seed_records(df: DataFrame) -> DataFrame:
+    """Kafka record frame (key/value/timestamp…) → SEED_FEED_SCHEMA.
+
+    The value payload is the JSON seed message; event_ts is the broker
+    timestamp. Feed the result to ``seed_feed_stream(source_df=...)`` —
+    the whole downstream pipeline (canonicalize → stateful dedup →
+    staged parquet → round-boundary drain) is source-agnostic, so the
+    NSQ→Kafka swap is exactly these two calls."""
+    v = F.from_json(F.col("value").cast("string"), _KAFKA_SEED_JSON)
+    return df.select(
+        v.getField("url").alias("url"),
+        v.getField("referer").alias("referer"),
+        v.getField("priority").alias("priority"),
+        v.getField("callbacks").alias("callbacks"),
+        v.getField("deadline").alias("deadline"),
+        F.col("timestamp").alias("event_ts"),
+    )
+
+
+def kafka_seed_feed(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+):
+    """One-call Kafka deployment path: kafka source → seed pipeline."""
+    records = kafka_seed_source(spark, bootstrap_servers, topic).load()
+    return seed_feed_stream(
+        spark,
+        staging_dir=staging_dir,
+        checkpoint_dir=checkpoint_dir,
+        source_df=parse_kafka_seed_records(records),
+    )
+
+
 def seed_feed_stream(
     spark: SparkSession,
     in_dir: str | None = None,

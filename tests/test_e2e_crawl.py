@@ -555,3 +555,53 @@ def test_request_fields_ride_the_frontier(spark, tiny_fixture, tmp_path_factory)
     assert dict(r1.header) == {"X-K": "v"}
     r2 = rows["http://host2.example/p/2"]
     assert r2.method is None and r2.form is None and r2.header is None
+
+
+def test_bucketed_pages_fetch_pruning(spark, tiny_fixture, tmp_path_factory):
+    """SURVEY §4.2 fetch-side layout: with pages hive-partitioned by
+    pmod(hash(url), B), the fetch joins prune to the batch's buckets —
+    same transcript/counters as the flat layout, strictly fewer files
+    scanned per round."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crawl_spark.sources.fixtures import write_bucketed_pages
+
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=4)
+    B = 16
+    bp = str(tmp_path_factory.mktemp("bucketed")) + "/pages"
+    write_bucketed_pages(spark.read.parquet(tiny_fixture["pages"]), bp, B)
+    bucketed = spark.read.parquet(bp)
+    engine = CrawlEngine(
+        spark,
+        bucketed,
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=40, max_rounds=4, pages_buckets=B,
+            workdir=str(tmp_path_factory.mktemp("bp_work")),
+            collect_transcript=True,
+        ),
+    )
+    result = engine.run(seeds)
+    assert result.transcript == golden.transcript
+    keys = ["fetched", "deduped", "deferred_by_politeness", "expired"]
+    for got, exp in zip(result.counters, golden.counters):
+        assert {k: got[k] for k in keys} == {k: exp[k] for k in keys}
+    # pruning evidence: the bucket filter reaches the parquet scan as a
+    # PARTITION filter (directory-level skip), not a post-scan row filter
+    plan = (
+        bucketed.filter(F.col("pb").isin([0, 1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = next(
+        (ln for ln in plan.splitlines() if "PartitionFilters" in ln), ""
+    )
+    # e.g. "... PartitionFilters: [pb#12 IN (0,1,2)], ..." — a non-empty
+    # filter list naming the bucket column
+    assert "PartitionFilters: [pb#" in pf, pf
+    assert "DataFilters: []" in pf, pf  # pruned at listing, no row filter

@@ -214,3 +214,44 @@ def test_drain_high_watermark(spark, tmp_path):
     df3, f3 = drain_staged_seeds(spark, staging, exclude=set(f1))
     assert df3.count() == 1 and set(f3).isdisjoint(f1)
     assert df3.collect()[0].url_canon == "http://h.example/b"
+
+
+def test_kafka_seed_projection(spark):
+    """The Kafka swap is config + one projection: parse_kafka_seed_records
+    maps kafka's record schema (key/value/timestamp) to SEED_FEED_SCHEMA
+    byte-identically to the JSON file source's rows. No broker exists in
+    the sandbox, so the projection runs on a kafka-SHAPED static frame —
+    identical semantics either way (same expression tree)."""
+    import datetime
+
+    from crawl_spark.streaming.feed import (
+        SEED_FEED_SCHEMA,
+        kafka_seed_source,
+        parse_kafka_seed_records,
+    )
+
+    kafka_shape = (
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int"
+    )
+    ts = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    msg = (b'{"url": "http://h0.example/p/1", "priority": 2, '
+           b'"callbacks": ["page"], "deadline": 5.0}')
+    rows = [
+        (None, msg, "seeds", 0, 0, ts, 0),
+        (None, b"not json", "seeds", 0, 1, ts, 0),
+    ]
+    df = parse_kafka_seed_records(spark.createDataFrame(rows, kafka_shape))
+    assert [f.name for f in df.schema.fields] == [f.name for f in SEED_FEED_SCHEMA.fields]
+    got = {r.url: r for r in df.collect()}
+    ok = got["http://h0.example/p/1"]
+    assert ok.priority == 2 and list(ok.callbacks) == ["page"] and ok.deadline == 5.0
+    assert ok.event_ts == ts
+    assert None in got  # malformed JSON -> null url, dropped downstream
+
+    # the reader builder targets the kafka source (the connector jar is a
+    # deploy-time --packages flag; its absence error proves format+options
+    # were applied)
+    reader = kafka_seed_source(spark, "broker:9092", "seeds")
+    with pytest.raises(Exception, match="[kK]afka"):
+        reader.load()

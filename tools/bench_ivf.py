@@ -1,0 +1,82 @@
+"""Trained vs untrained IVF codebook: recall@10 and wall at sf0.1.
+
+Round-2 verdict item #5: the recall TEST exists
+(test_trained_ivf_beats_untrained_codebook); this records the measured
+NUMBERS for BENCH.md — recall@10 against the exact brute-force top-k,
+plus search wall, for (a) the deterministic `% 41` id-subset codebook
+the DuckDB oracle uses and (b) the spherical-k-means codebook from
+train_ivf_centroids.
+
+Usage: python tools/bench_ivf.py [sf_dir] (default $SPARK_GRAFT_SF_DIR
+or /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def recall_at_k(spark, approx, exact, k: int = 10) -> float:
+    from pyspark.sql import functions as F
+
+    truth = exact.select("query_id", "nbr_id")
+    hits = approx.select("query_id", "nbr_id").join(
+        truth, ["query_id", "nbr_id"], "inner"
+    ).count()
+    total = truth.count()
+    return round(hits / total, 4) if total else 0.0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from crawl_spark.session import make_session
+
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    spark = make_session(
+        "bench_ivf", master="local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint(True)
+    queries = emb.filter(F.col("vec_id") < 64).localCheckpoint(True)
+    k, nprobe = 10, 4
+
+    exact = brute_force_topk(emb, queries, k=k).localCheckpoint(True)
+
+    t0 = time.time()
+    trained = train_ivf_centroids(emb, k=64, iters=5).localCheckpoint(True)
+    t_train = time.time() - t0
+
+    results = {"sf_dir": sf_dir, "queries": 64, "k": k, "nprobe": nprobe,
+               "train_s": round(t_train, 2)}
+    for name, cents in (("untrained_mod41", None), ("trained_kmeans64", trained)):
+        def run():
+            return ivf_topk(emb, queries, k=k, nprobe=nprobe, centroids=cents)
+
+        run().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        run().write.format("noop").mode("overwrite").save()
+        wall = round(time.time() - t0, 2)
+        results[name] = {
+            "search_s": wall,
+            "recall_at_10": recall_at_k(spark, run(), exact, k),
+        }
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -156,6 +156,61 @@ def main() -> None:
         eng.read_table("frontier"),
     )
 
+    # 9. scan-side seen membership check over the real bucketed layout
+    links_demo = (
+        eng.read_table("seen")
+        .select("url_canon", "url_hash")
+        .limit(40)
+        .localCheckpoint(eager=True)
+    )
+    cap(
+        "Seen membership check (bucketed scan-probe)",
+        "The round-3 plan for `links ∖ seen` (engine._links_minus_seen): "
+        "the seen FileScan carries PartitionFilters on the sb bucket "
+        "column (pruned to the buckets the links hash into), feeds a "
+        "BroadcastHashJoin LeftSemi whose BUILD side is the bounded "
+        "links batch, and the final LeftAnti builds the (≤|links|) hit "
+        "set. The seen side is scanned once — NO exchange/sort of seen "
+        "anywhere in the plan, vs the classic SortMergeJoin LeftAnti "
+        "that re-shuffles the whole seen set every round.",
+        eng._links_minus_seen(links_demo, eng.read_table("seen"), 40),
+    )
+
+    # 10. bucket-pruned pages fetch scan (SURVEY §4.2 fetch-side layout)
+    from crawl_spark.sources.fixtures import write_bucketed_pages
+
+    bp_dir = tempfile.mkdtemp(prefix="plans_bp_") + "/pages"
+    write_bucketed_pages(spark.read.parquet(fx["pages"]), bp_dir, 16)
+    bpages = spark.read.parquet(bp_dir)
+    batch_demo = (
+        bpages.select(F.col("url").alias("url_canon")).limit(25)
+        .localCheckpoint(eager=True)
+    )
+    bucket_ids = [
+        r.b
+        for r in batch_demo.select(
+            F.pmod(F.hash("url_canon"), F.lit(16)).alias("b")
+        ).distinct().collect()
+    ]
+    pruned_hit = (
+        bpages.filter(F.col("pb").isin(bucket_ids))
+        .select(F.col("url").alias("page_url"))
+        .join(
+            F.broadcast(batch_demo),
+            F.col("url_canon") == F.col("page_url"),
+            "inner",
+        )
+    )
+    cap(
+        "Bucket-pruned fetch join (pages partitioned by pmod(hash(url), B))",
+        "EngineConfig.pages_buckets: the batch's bucket ids become a "
+        "PartitionFilters IN-list on the pages FileScan — whole bucket "
+        "directories skip at file-listing time, BEFORE any row is read; "
+        "ReadSchema stays url-only for hit accounting and the bounded "
+        "batch is still the broadcast build side.",
+        pruned_hit,
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
