@@ -191,6 +191,13 @@ class EngineConfig:
     # than this (bounded by batch_cap × links/page — tune together) fall
     # back to the shuffle anti-join, which AQE can still skew-split.
     seen_probe_broadcast_max: int = 4_000_000
+    # bucket-prune the seen scan only when the probe side is small enough
+    # for pruning to have a chance: ≥ ~B·ln(B) uniformly-hashed links
+    # touch every bucket w.h.p. (coupon collector), so collecting their
+    # distinct buckets is a wasted per-round job that always answers
+    # "all of them". Probes at or below this threshold (staged trickles,
+    # small batches, resume replays) still prune — where it matters.
+    seen_prune_max_probe: int = 2_048
     # frontier merge-on-read log: rounds append add/del deltas; once the
     # log holds this many add deltas the commit materializes the merged
     # frontier as a new base (amortizes the O(|frontier|) write to 1/k
@@ -1010,26 +1017,32 @@ class CrawlEngine:
             )
         return functools.reduce(lambda a, b: a.unionByName(b), parts)
 
-    def _write_seen_delta(self, df: DataFrame, name: str) -> str:
+    def _write_seen_delta(self, df: DataFrame, name: str, large: bool = False) -> str:
         """Write one bucketed seen delta dir atomically; returns the
         workdir-relative path the manifest should reference.
 
-        Layout: partitionBy(sb) subdirs; the range-repartition on
-        (sb, url_hash) keeps big writes (compaction: the whole seen set)
-        parallel across ALL cores while small per-round deltas collapse
-        to ~1 file per non-empty task — no P×B file explosion."""
+        Layout: partitionBy(sb) subdirs, files url_hash-sorted either
+        way. Per-round deltas (bounded by one batch's fan-out) hash-
+        repartition on sb alone — ≤B one-file tasks and, unlike a range
+        repartition, NO sampling pass over the input (a whole extra job
+        per round, measured ~0.6 s at bench scale). Compaction rewrites
+        the entire seen set, where intra-bucket parallelism matters more
+        than one saved job: `large=True` keeps the range layout on
+        (sb, url_hash) so every core gets a slice of the big buckets."""
         rel = os.path.join("seen_deltas", name)
         final = os.path.join(self.config.workdir, rel)
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         B = self.config.seen_buckets
-        out = (
-            df.select(*[f.name for f in _SEEN_SCHEMA.fields])
-            .withColumn("sb", F.pmod(F.col("url_hash"), F.lit(B)).cast("int"))
-            .repartitionByRange(max(B, self._parallelism), "sb", "url_hash")
-            .sortWithinPartitions("sb", "url_hash")
+        out = df.select(*[f.name for f in _SEEN_SCHEMA.fields]).withColumn(
+            "sb", F.pmod(F.col("url_hash"), F.lit(B)).cast("int")
         )
+        if large:
+            out = out.repartitionByRange(max(B, self._parallelism), "sb", "url_hash")
+        else:
+            out = out.repartition(B, "sb")
+        out = out.sortWithinPartitions("sb", "url_hash")
         out.write.mode("overwrite").partitionBy("sb").parquet(tmp)
         if os.path.exists(final):  # replay of an uncommitted round
             shutil.rmtree(final)
@@ -1064,17 +1077,22 @@ class CrawlEngine:
             return links.join(seen.select("url_canon"), "url_canon", "left_anti")
         B = self.config.seen_buckets
         probe = links.select("url_hash", "url_canon")
-        touched = [
-            r.sb
-            for r in probe.select(
-                F.pmod(F.col("url_hash"), F.lit(B)).cast("int").alias("sb")
-            )
-            .distinct()
-            .collect()
-        ]
-        if not touched:
-            return links
-        pruned = seen if len(touched) >= B else seen.filter(F.col("sb").isin(touched))
+        pruned = seen
+        if n_probe <= self.config.seen_prune_max_probe:
+            # small probe: its distinct buckets are worth a (tiny) job —
+            # the scan skips every other bucket's files entirely
+            touched = [
+                r.sb
+                for r in probe.select(
+                    F.pmod(F.col("url_hash"), F.lit(B)).cast("int").alias("sb")
+                )
+                .distinct()
+                .collect()
+            ]
+            if not touched:
+                return links
+            if len(touched) < B:
+                pruned = seen.filter(F.col("sb").isin(touched))
         hits = pruned.select("url_hash", "url_canon").join(
             F.broadcast(probe), ["url_hash", "url_canon"], "leftsemi"
         )
@@ -1082,12 +1100,14 @@ class CrawlEngine:
             F.broadcast(hits.select("url_canon")), "url_canon", "left_anti"
         )
 
-    def _write_delta(self, df: DataFrame, name: str, log: str = "seen_deltas") -> str:
+    def _write_delta(
+        self, df: DataFrame, name: str, log: str = "seen_deltas", large: bool = False
+    ) -> str:
         """Write one delta dir atomically (tmp + rename); returns the
         workdir-relative path the manifest should reference. Seen deltas
         route through the bucketed writer."""
         if log == "seen_deltas":
-            return self._write_seen_delta(df, name)
+            return self._write_seen_delta(df, name, large=large)
         rel = os.path.join(log, name)
         final = os.path.join(self.config.workdir, rel)
         tmp = final + ".tmp"
@@ -1425,7 +1445,7 @@ class CrawlEngine:
                 and len(seen_rels_next) >= cfg.seen_compact_min_deltas
             ):
                 compact_rel = self._write_delta(
-                    self._read_seen(seen_rels_next), "compact_%05d" % r
+                    self._read_seen(seen_rels_next), "compact_%05d" % r, large=True
                 )
                 compacted_away = seen_rels_next
                 seen_rels_next = [compact_rel]
@@ -1439,8 +1459,11 @@ class CrawlEngine:
                 ).agg(F.count("*").alias("n")).collect()
             }
 
-            new_df = self._read_seen([delta_rel])
-            n_new = new_df.count()
+            # seen_delta projects the localCheckpointed new_rows — count
+            # THAT (cheap RDD count), not a disk re-read of the freshly
+            # written 64-subdir delta (file listing + scan, a whole extra
+            # job per round for a number already in memory)
+            n_new = seen_delta.count()
             c["scheduled"] = n_new
             c["deduped"] = n_valid - n_new
             if self._bloom is not None:
@@ -1449,7 +1472,7 @@ class CrawlEngine:
                 if n_new:
                     self._bloom = update_bitmaps(
                         self._bloom,
-                        new_df.select("url_hash", "host_hash"),
+                        seen_delta.select("url_hash", "host_hash"),
                         self._bloom_cfg,
                     )
                 save_bitmaps(self._bloom, os.path.join(tmp, "bloom.npz"))
