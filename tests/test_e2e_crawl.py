@@ -605,3 +605,51 @@ def test_bucketed_pages_fetch_pruning(spark, tiny_fixture, tmp_path_factory):
     # filter list naming the bucket column
     assert "PartitionFilters: [pb#" in pf, pf
     assert "DataFilters: []" in pf, pf  # pruned at listing, no row filter
+
+
+def test_seen_probe_prune_threshold(spark, tiny_fixture, tmp_path_factory):
+    """_links_minus_seen: probes at or below seen_prune_max_probe prune
+    the seen scan to the touched sb buckets (PartitionFilters, no row
+    filter on sb); larger probes skip the bucket-collect job entirely.
+    Both strategies must equal the plain shuffle anti-join exactly."""
+    from pyspark.sql import functions as F
+
+    pages, seeds, robots = _load(tiny_fixture)
+    engine = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=40, max_rounds=3,
+            workdir=str(tmp_path_factory.mktemp("probe_work")),
+        ),
+    )
+    engine.run(seeds)
+    seen = engine.read_table("seen")
+    # probe = half already-seen urls, half fresh — exercises both join outcomes
+    half = seen.select("url_canon", "url_hash").limit(8)
+    fresh = spark.range(8).select(
+        F.concat(F.lit("http://new.example/x/"), F.col("id")).alias("url_canon"),
+        F.xxhash64(F.col("id")).alias("url_hash"),
+    )
+    links = half.unionByName(fresh).localCheckpoint(eager=True)
+    expected = sorted(
+        r.url_canon
+        for r in links.join(seen.select("url_canon"), "url_canon", "left_anti").collect()
+    )
+    n = links.count()
+
+    pruned = engine._links_minus_seen(links, seen, n)  # 16 ≤ 2048 → prunes
+    assert sorted(r.url_canon for r in pruned.select("url_canon").collect()) == expected
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters: [sb#" in ln]
+    assert pf, plan  # the seen scan is bucket-pruned at listing time
+    assert "Exchange hashpartitioning(url_canon" not in plan  # seen never shuffles
+
+    engine.config.seen_prune_max_probe = 0  # force the skip-prune branch
+    unpruned = engine._links_minus_seen(links, seen, n)
+    assert sorted(r.url_canon for r in unpruned.select("url_canon").collect()) == expected
+    plan2 = unpruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [sb#" not in plan2  # full scan, but still
+    assert "Exchange hashpartitioning(url_canon" not in plan2  # no seen shuffle
