@@ -1001,21 +1001,29 @@ class CrawlEngine:
     # buckets the round's links touch and probes with a broadcast hash
     # join — the seen side is only ever SCANNED, never shuffled.
     def _read_seen(self, rels: list[str]) -> DataFrame:
-        """The seen set = union of the delta-log dirs (merge-on-read);
-        carries the ``sb`` bucket column for partition pruning."""
+        """The seen set = the delta-log dirs (merge-on-read), read as ONE
+        multi-path scan; carries the ``sb`` bucket column for partition
+        pruning.
+
+        One scan, not a union of per-dir reads: the dirs are laid out as
+        hive partitions ``seen_deltas/delta=<name>/sb=NN`` so a single
+        ``parquet(p1, p2, …)`` with ``basePath=seen_deltas`` covers the
+        manifest's delta list.  A per-dir union would make every
+        downstream join fan out per branch — the membership check's
+        broadcast of the links batch was rebuilt once PER DELTA DIR
+        (measured: dedup_antijoin 2× slower by round 3 of a crawl) —
+        while the single scan keeps it one scan node + one broadcast
+        however many deltas the log holds."""
         if not rels:
             return self.spark.createDataFrame([], _SEEN_BUCKETED_SCHEMA)
-        import functools
-
-        parts = []
-        for rel in rels:
-            p = os.path.join(self.config.workdir, rel)
-            parts.append(
-                self.spark.read.option("basePath", p)
-                .schema(_SEEN_BUCKETED_SCHEMA)
-                .parquet(p)
-            )
-        return functools.reduce(lambda a, b: a.unionByName(b), parts)
+        base = os.path.join(self.config.workdir, "seen_deltas")
+        paths = [os.path.join(self.config.workdir, rel) for rel in rels]
+        return (
+            self.spark.read.option("basePath", base)
+            .schema(_SEEN_BUCKETED_SCHEMA)
+            .parquet(*paths)
+            .select(*[f.name for f in _SEEN_BUCKETED_SCHEMA.fields])
+        )
 
     def _write_seen_delta(self, df: DataFrame, name: str, large: bool = False) -> str:
         """Write one bucketed seen delta dir atomically; returns the
@@ -1029,7 +1037,7 @@ class CrawlEngine:
         the entire seen set, where intra-bucket parallelism matters more
         than one saved job: `large=True` keeps the range layout on
         (sb, url_hash) so every core gets a slice of the big buckets."""
-        rel = os.path.join("seen_deltas", name)
+        rel = os.path.join("seen_deltas", "delta=" + name)
         final = os.path.join(self.config.workdir, rel)
         tmp = final + ".tmp"
         if os.path.exists(tmp):

@@ -234,7 +234,7 @@ def test_seen_delta_log_append_only(crawl_pair, spark):
     }
     # one delta per round, sized by that round's scheduled (new) urls
     for c in result.counters:
-        assert per_delta["delta_%05d" % c["round"]] == c["scheduled"]
+        assert per_delta["delta=delta_%05d" % c["round"]] == c["scheduled"]
     # disjoint appends: sizes sum to the full seen set (no rewrite ever)
     assert sum(per_delta.values()) == len(golden.seen)
 
@@ -384,7 +384,7 @@ def test_crash_between_delta_write_and_commit_replays_cleanly(
     # simulate the crash window during round 2: delete the committed
     # round dir (manifest gone) but leave its delta dirs as orphans
     shutil.rmtree(os.path.join(wd, "round_00002"))
-    assert os.path.isdir(os.path.join(wd, "seen_deltas", "delta_00002"))  # orphan
+    assert os.path.isdir(os.path.join(wd, "seen_deltas", "delta=delta_00002"))  # orphan
     assert os.path.isdir(os.path.join(wd, "frontier_log", "add_00002"))  # orphan
     engine = mk()
     result = engine.run(seeds, max_rounds=4, resume=True)  # replays r2, runs r3
