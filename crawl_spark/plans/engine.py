@@ -1145,22 +1145,16 @@ class CrawlEngine:
     # previous snapshot.
     def _read_frontier(self, log: dict, upto_r: int) -> DataFrame:
         wd = self.config.workdir
-        scan = lambda rel: self.spark.read.schema(_FRONTIER_SCHEMA).parquet(  # noqa: E731
-            os.path.join(wd, rel)
+        # ONE multi-path scan for base+adds and one for dels (the dirs
+        # are flat, so no basePath gymnastics needed): a per-dir union
+        # adds a scan node + file listing per accumulated delta dir,
+        # growing the plan with crawl age for no benefit.
+        f = self.spark.read.schema(_FRONTIER_SCHEMA).parquet(
+            *[os.path.join(wd, rel) for rel in [log["base"]] + list(log["adds"])]
         )
-        parts = [scan(log["base"])] + [scan(a) for a in log["adds"]]
-        import functools
-
-        f = functools.reduce(lambda a, b: a.unionByName(b), parts)
         if log["dels"]:
-            dels = functools.reduce(
-                lambda a, b: a.unionByName(b),
-                [
-                    self.spark.read.schema("url_canon string").parquet(
-                        os.path.join(wd, d)
-                    )
-                    for d in log["dels"]
-                ],
+            dels = self.spark.read.schema("url_canon string").parquet(
+                *[os.path.join(wd, d) for d in log["dels"]]
             )
             f = f.join(F.broadcast(dels), "url_canon", "left_anti")
         processed = F.col("round_added") <= upto_r
