@@ -359,6 +359,75 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _docs_with_pii(spark, sf_dir):
+    """documents with deterministic synthetic PII appended — the sf
+    tables carry no emails/IPs/phones, so the oracle would only verify
+    the no-op path; appending ` user<id>@example.com 10.0.<id%256>.7
+    +1415<id>` (identical concat in both engines) makes the regex
+    engines' match/replace semantics part of the checked contract."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 +1415"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    from crawl_spark.operators.textops import pii_scrub
+
+    return pii_scrub(_docs_with_pii(spark, sf_dir))
+
+
+def _docs_relined(spark, sf_dir):
+    """documents re-lined into 2-token lines (regexp chunking, identical
+    leftmost/non-overlapping semantics in Java regex and RE2) — the sf
+    texts are single-line, so line-level operators need derived
+    newlines to exercise their non-trivial paths at oracle scale."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+ \S+) ", "$1\n").alias("text"),
+    )
+
+
+def q_gopher_repetition(spark, sf_dir):
+    from crawl_spark.operators.textops import gopher_repetition
+
+    # thresholds tuned so the verdict is MIXED at sf0.01 (≈15% dropped)
+    # — an all-keep oracle would never catch a broken comparison
+    return gopher_repetition(
+        _docs_relined(spark, sf_dir),
+        max_dup_line_frac=0.05,
+        max_top2gram_frac=0.06,
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    from crawl_spark.operators.dedup import line_dedup
+
+    return line_dedup(_docs_relined(spark, sf_dir), max_docs=3)
+
+
+def q_hash_sample(spark, sf_dir):
+    from crawl_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        _t(spark, sf_dir, "documents"), rates={"en": 0.5}, default_rate=0.25
+    )
+
+
+def q_domain_quota(spark, sf_dir):
+    from crawl_spark.operators.sampling import domain_quota
+
+    return domain_quota(_t(spark, sf_dir, "documents"), quota=10)
+
+
 def q_cosine_topk(spark, sf_dir):
     from crawl_spark.operators.similarity import brute_force_topk
 
@@ -494,6 +563,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "clean_corpus": q_clean_corpus,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "gopher_repetition": q_gopher_repetition,
+        "line_dedup": q_line_dedup,
+        "hash_sample": q_hash_sample,
+        "domain_quota": q_domain_quota,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_train": q_ivf_train,
@@ -510,6 +584,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracle SQL — shared fragments mirror crawl_spark/operators exactly
 
 _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+# PII regexes: the SAME literals the Spark side compiles (imported, not
+# copied — textops restricts them to the Java-regex ∩ RE2 common dialect)
+from crawl_spark.operators.textops import (  # noqa: E402
+    PII_EMAIL_RE as _PII_EMAIL,
+    PII_IPV4_RE as _PII_IPV4,
+    PII_PHONE_RE as _PII_PHONE,
+)
+
+# 2-token re-lining (the \1 backref is RE2 rewrite syntax; the Spark twin
+# uses $1 — same replacement, dialect-local spelling)
+_RELINED = r"regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g')"
 
 _SHINGLES = (
     "CASE WHEN len(t) >= 3 THEN "
@@ -890,6 +976,97 @@ fp AS (
 SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
        list_aggregate(fps, 'min') AS min_fingerprint
 FROM fp
+""",
+        # PII + line-level ops run over derived inputs (synthetic PII /
+        # re-lined text) so the regex-and-reassembly paths are actually
+        # exercised — see _docs_with_pii/_docs_relined for the rationale.
+        "pii_scrub": f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 +1415'
+              || CAST(doc_id AS VARCHAR) AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM d),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+         regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_emails, n_ipv4,
+         CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS INT) AS n_phones,
+         regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+  FROM s2)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       md5(t3) AS clean_md5, CAST(length(t3) AS INT) AS clean_len
+FROM s3
+""",
+        "gopher_repetition": f"""
+WITH d AS (SELECT doc_id, {_RELINED} AS text FROM documents),
+b AS (SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             {_TOKS} AS t
+      FROM d),
+base AS (
+  SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+         round(CASE WHEN len(lines) > 0
+               THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+               ELSE 0.0 END, 6) AS dup_line_frac,
+         t
+  FROM b),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(range(0, len(t)-1), i -> t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM base),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+top AS (SELECT doc_id, max(c) AS tp, sum(c) AS tot FROM pg GROUP BY doc_id)
+SELECT base.doc_id, n_lines, dup_line_frac,
+       round(coalesce(CAST(tp AS DOUBLE) / tot, 0.0), 6) AS top2gram_frac,
+       (dup_line_frac <= 0.05
+        AND round(coalesce(CAST(tp AS DOUBLE) / tot, 0.0), 6) <= 0.06) AS keep
+FROM base LEFT JOIN top USING (doc_id)
+""",
+        "line_dedup": f"""
+WITH d AS (SELECT doc_id, {_RELINED} AS text FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(0, len(string_split(text, chr(10))))) AS pos
+  FROM d),
+hot AS (
+  SELECT line FROM ex WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) > 3),
+kept AS (SELECT ex.* FROM ex ANTI JOIN hot USING (line)),
+reasm AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10))) AS INT) AS n_lines,
+       coalesce(reasm.n_kept, 0) AS n_kept,
+       coalesce(reasm.clean_md5, md5('')) AS clean_md5
+FROM d LEFT JOIN reasm USING (doc_id)
+""",
+        "hash_sample": """
+SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
+""",
+        "domain_quota": """
+SELECT doc_id, source, pick_hash FROM (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS pick_hash,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
 """,
         "cosine_topk": f"""
 WITH {_COSINE_CTES},

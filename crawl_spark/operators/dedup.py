@@ -358,3 +358,69 @@ def neardup_clusters(
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level repeated-line removal (the CCNet/RefinedWeb
+    boilerplate rule): a non-blank line that appears in MORE than
+    ``max_docs`` distinct documents is navigation/footer boilerplate —
+    strip every occurrence, everywhere, and reassemble the documents.
+
+    Plan shape at 100 TB:
+    - one posexplode pass emits (doc_id, pos, line);
+    - hot-line detection is a PARTIAL-aggregated count(DISTINCT doc)
+      per line (the shuffle carries (line, doc) pairs once — Spark
+      expands distinct aggregates map-side);
+    - removal is a left_anti join on the line value (hot lines are an
+      unbounded set at corpus scale, so no broadcast assumption);
+    - reassembly is one groupBy(doc_id) whose collect_list is bounded by
+      a single document's line count (no hot key), ordered exactly by
+      the original positions via array_sort over (pos, line) structs.
+
+    Emits per-doc (n_lines, n_kept, clean_md5) — clean_md5 hashes the
+    reassembled text so the oracle checks byte-level reassembly without
+    shipping documents around. Blank lines are never hot (they are not
+    boilerplate, they are layout) and are always kept; a doc whose every
+    line was removed reassembles to the empty string.
+    """
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    hot = (
+        exploded.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("line")
+    )
+    kept = exploded.join(hot, "line", "left_anti")
+    reasm = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), "\n")).cast("int").alias("n_lines"),
+        )
+        .join(reasm, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )

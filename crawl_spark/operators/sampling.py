@@ -1,0 +1,107 @@
+"""Deterministic corpus sampling / balancing operators.
+
+Training-data pipelines rarely train on the raw crawl mix: they
+down-sample over-represented strata (languages, sources) and cap the
+page count any single domain may contribute (domain balancing — the
+anti-SEO-farm rule). Both ops here are DETERMINISTIC — driven by md5 of
+the row id, never rand() — so a re-run of the pipeline (or a resumed
+round) selects the identical subset, and the DuckDB oracle can replay
+the selection bit-for-bit.
+
+Scale notes (100 TB corpus):
+- ``hash_sample`` is a pure per-row filter: no shuffle, no state, fully
+  pushed past the parquet scan's column pruning (only id + stratum are
+  read if the caller selects them).
+- ``domain_quota`` routes through ``grouped_topk`` (operators/topk.py):
+  per-group top-k WITHOUT funneling a hot domain's entire slice through
+  one window task — the same skew machinery the crawl engine uses for
+  hot hosts.
+
+md5 (not F.hash/murmur3) because the sampling decision is part of the
+cross-engine contract: Spark, DuckDB, and Python agree on md5 bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_hex(id_col: Column) -> Column:
+    """First 4 hex chars of md5(id) — a uniform 16-bit bucket in
+    ['0000','ffff']. Fixed-width lowercase hex compares lexicographically
+    == numerically, so thresholds are plain string compares (identical
+    semantics in every engine, no hex→int conversion dialects)."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 4)
+
+
+def rate_threshold(rate: float) -> str:
+    """The threshold under which a 4-hex-char bucket is kept to sample
+    ~``rate`` of rows: floor(rate · 2^16) zero-padded. rate=1.0 returns
+    'g', which sorts after every hex bucket (the compare is
+    LEXICOGRAPHIC on fixed-width hex — a 5-char '10000' would sort
+    BEFORE 'ffff', not after)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0,1]")
+    return "g" if rate >= 1.0 else "%04x" % int(rate * (1 << 16))
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified down-sampling: keep a row iff its md5
+    bucket falls under its stratum's rate threshold.
+
+    ``rates`` maps stratum value → keep rate; strata not listed use
+    ``default_rate``. Emits the surviving rows' (id, stratum, bucket).
+
+    SQL twin: substr(md5(CAST(id AS VARCHAR)), 1, 4) compared against a
+    CASE over the same thresholds.
+    """
+    rates = rates or {}
+    bucket = _bucket_hex(F.col(id_col))
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return (
+        df.select(F.col(id_col), F.col(strata_col), bucket.alias("bucket"))
+        .filter(F.col("bucket") < thr)
+    )
+
+
+def domain_quota(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    quota: int = 10,
+) -> DataFrame:
+    """Cap each domain/source at ``quota`` documents, picking the kept
+    subset deterministically (the ``quota`` smallest md5(id) per group —
+    an unbiased uniform pick, stable across runs/engines).
+
+    Exact per-group top-k via ``grouped_topk``: a domain with 10^8 pages
+    is pruned partition-locally to ≤ P·quota candidates before the one
+    bounded window — never a single task holding the whole hot group.
+
+    SQL twin: row_number() OVER (PARTITION BY grp ORDER BY md5(id), id)
+    ≤ quota.
+    """
+    from .topk import grouped_topk
+
+    picked = grouped_topk(
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.md5(F.col(id_col).cast("string")).alias("pick_hash"),
+        ),
+        [group_col],
+        ["pick_hash", id_col],  # md5 collisions: id breaks ties exactly
+        quota,
+    )
+    return picked.select(F.col(id_col), F.col(group_col), "pick_hash")

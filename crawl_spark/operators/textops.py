@@ -257,6 +257,98 @@ def clean_corpus(
     )
 
 
+# PII patterns: kept to syntax that Java regex (Spark) and RE2 (DuckDB)
+# interpret IDENTICALLY — character classes, \b, \d, bounded repeats; no
+# lookarounds (RE2 has none), no possessive quantifiers (Java-only).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{7,15}"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction: emails → <EMAIL>, IPv4s → <IP>, +intl phone
+    numbers → <PHONE>, applied IN THAT ORDER (emails are scrubbed before
+    the IP pass so digits inside an address are never double-counted;
+    counts are taken on the text each pass actually sees).
+
+    Pure regexp_count/regexp_replace column expressions — one
+    projection, no shuffle, whole-stage codegen; at 100 TB this is a
+    map-only pass that fuses with neighboring filters. Emits per-doc
+    counts plus md5/length of the scrubbed text (the full-text contract
+    without shipping text to the driver).
+    """
+    t0 = F.col(text_col)
+    n_em = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_ph = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_em.cast("int").alias("n_emails"),
+        n_ip.cast("int").alias("n_ipv4"),
+        n_ph.cast("int").alias("n_phones"),
+        F.md5(t3).alias("clean_md5"),
+        F.length(t3).cast("int").alias("clean_len"),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top2gram_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 class of
+    rules): fraction of duplicated (non-blank) lines and the share of
+    the most frequent word 2-gram, plus the keep/drop verdict.
+
+    Line stats are pure array expressions (no shuffle). The top-2-gram
+    share needs a per-(doc, gram) count — explode + two PARTIAL-
+    aggregated groupBys (doc_id keys are bounded, no hot key; the
+    shuffle carries (doc_id, gram, count), never text). Fractions are
+    rounded to 6dp (cross-engine float contract).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    n_lines = F.size(lines)
+    dup_frac = F.round(
+        F.when(
+            n_lines > 0,
+            1.0 - F.size(F.array_distinct(lines)) / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    base = df.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        dup_frac.alias("dup_line_frac"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(t), 2)).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    top = per_gram.groupBy(id_col).agg(
+        F.max("c").alias("__top"), F.sum("c").alias("__total")
+    )
+    out = base.join(top, id_col, "left").select(
+        F.col(id_col),
+        "n_lines",
+        "dup_line_frac",
+        F.round(
+            F.coalesce(F.col("__top") / F.col("__total"), F.lit(0.0)), 6
+        ).alias("top2gram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top2gram_frac") <= max_top2gram_frac),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",

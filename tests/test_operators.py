@@ -390,3 +390,120 @@ def test_neardup_clusters_transitive_closure(spark):
     for r in got:
         assert r.cluster_size == sizes[r.cluster_id]
     assert max(sizes.values()) >= 3  # at least one transitive (A-B-C) merge
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from crawl_spark.operators.textops import pii_scrub
+
+    rows = [
+        (1, "write to alice.smith+x@sub.example.org or bob@ex.io today"),
+        (2, "server at 10.0.42.7 and backup 192.168.1.255 online"),
+        (3, "call +14155551234 now"),
+        (4, "mixed bob@ex.io from 8.8.8.8 dials +4915123456789 ok"),
+        (5, "nothing sensitive here at all"),
+        (6, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (2, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 2, 0)
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (0, 0, 1)
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (1, 1, 1)
+    assert (out[5]["n_emails"], out[5]["n_ipv4"], out[5]["n_phones"]) == (0, 0, 0)
+    # byte-level contract: clean_md5 is md5 of the hand-redacted text
+    expected4 = "mixed <EMAIL> from <IP> dials <PHONE> ok"
+    assert out[4]["clean_md5"] == hashlib.md5(expected4.encode()).hexdigest()
+    assert out[4]["clean_len"] == len(expected4)
+    assert out[6]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_gopher_repetition_flags_repetitive_docs(spark):
+    from crawl_spark.operators.textops import gopher_repetition
+
+    clean = "the quick brown fox jumps over a lazy dog near the river bank"
+    spammy_lines = "buy now\n" * 10 + "unique tail"
+    spammy_grams = " ".join(["click here"] * 20)
+    rows = [(1, clean), (2, spammy_lines), (3, spammy_grams), (4, "")]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["keep"] is True and out[1]["dup_line_frac"] == 0.0
+    # 11 non-blank lines, 2 distinct -> dup frac 9/11
+    assert out[2]["n_lines"] == 11
+    assert out[2]["dup_line_frac"] == round(1 - 2 / 11, 6)
+    assert out[2]["keep"] is False
+    # "here click" and "click here" alternate; top 2-gram = 20 of 39
+    assert out[3]["top2gram_frac"] == round(20 / 39, 6)
+    assert out[3]["keep"] is False
+    assert out[4]["n_lines"] == 0 and out[4]["keep"] is True
+
+
+def test_line_dedup_removes_corpus_hot_lines(spark):
+    from crawl_spark.operators.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = []
+    for i in range(5):  # boilerplate line in 5 docs (> max_docs=3)
+        docs.append((i, f"unique opener {i}\n{boiler}\n\nunique closer {i}"))
+    docs.append((9, boiler))  # doc that is ONLY the hot line
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"), max_docs=3
+        ).collect()
+    }
+    for i in range(5):
+        assert out[i]["n_lines"] == 4
+        assert out[i]["n_kept"] == 3  # blank line is kept, boiler dropped
+        rebuilt = f"unique opener {i}\n\nunique closer {i}"
+        assert out[i]["clean_md5"] == hashlib.md5(rebuilt.encode()).hexdigest()
+    assert out[9]["n_kept"] == 0
+    assert out[9]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    # below the threshold nothing is removed
+    out3 = line_dedup(
+        spark.createDataFrame(docs[:3], "doc_id long, text string"), max_docs=3
+    ).collect()
+    assert all(r["n_kept"] == r["n_lines"] for r in out3)
+
+
+def test_hash_sample_matches_python_rule(spark):
+    from crawl_spark.operators.sampling import hash_sample, rate_threshold
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = hash_sample(df, rates={"en": 0.5}, default_rate=0.125).collect()
+    expect = set()
+    for i, lang in rows:
+        b = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        if b < rate_threshold(0.5 if lang == "en" else 0.125):
+            expect.add(i)
+    assert {r["doc_id"] for r in kept} == expect
+    n_en = sum(1 for r in kept if r["lang"] == "en")
+    n_de = len(kept) - n_en
+    assert 400 < n_en < 600 and 60 < n_de < 190  # ~0.5 / ~0.125 of 1000
+    # rate 1.0 keeps everything (threshold 'g' sorts after all hex)
+    assert hash_sample(df, default_rate=1.0).count() == 2000
+    assert hash_sample(df, default_rate=0.0).count() == 0
+
+
+def test_domain_quota_caps_groups_deterministically(spark):
+    from crawl_spark.operators.sampling import domain_quota
+
+    rows = [(i, "big") for i in range(100)] + [(100 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_quota(df, quota=10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 10 and len(by_src["small"]) == 4
+    expect_big = set(
+        sorted(range(100), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:10]
+    )
+    assert by_src["big"] == expect_big
