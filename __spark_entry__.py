@@ -428,6 +428,38 @@ def q_domain_quota(spark, sf_dir):
     return domain_quota(_t(spark, sf_dir, "documents"), quota=10)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Llama 13-gram rule, n=5 at
+    contract scale): the "benchmark" is every 37th document, so sampled
+    docs self-hit and their near-dups hit too — a deterministic nonzero
+    signal with both verdicts."""
+    from crawl_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(d, d.filter(F.col("doc_id") % 37 == 0), n=5)
+
+
+def q_url_filter(spark, sf_dir):
+    """UT1-style domain blocklist over synthetic urls: host{id%20}
+    .example with a www. subdomain variant, blocking two apex domains —
+    exercises exact-host, subdomain, and label-boundary (host12 must NOT
+    be blocked by host1) semantics."""
+    from crawl_spark.operators.urlfilter import url_blocklist_filter
+
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 20).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("http://www.host"), h, F.lit(".example/p/"), i),
+    ).otherwise(F.concat(F.lit("http://host"), h, F.lit(".example/p/"), i))
+    docs = d.select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("host1.example",), ("host7.example",)], ["host"]
+    )
+    return url_blocklist_filter(docs, blocked).select("doc_id", "url", "host")
+
+
 def q_cosine_topk(spark, sf_dir):
     from crawl_spark.operators.similarity import brute_force_topk
 
@@ -568,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
         "domain_quota": q_domain_quota,
+        "decontaminate": q_decontaminate,
+        "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_train": q_ivf_train,
@@ -1067,6 +1101,44 @@ SELECT doc_id, source, pick_hash FROM (
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 10
+""",
+        "decontaminate": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+gr AS (SELECT doc_id,
+         CASE WHEN len(t) >= 5 THEN
+           list_transform(range(0, len(t)-4),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])
+         ELSE CAST([] AS VARCHAR[]) END AS g
+       FROM tk),
+ug AS (SELECT doc_id, md5(unnest(g)) AS gram_md5 FROM gr),
+ev AS (SELECT DISTINCT gram_md5 FROM ug WHERE doc_id % 37 = 0),
+hits AS (SELECT doc_id, count(DISTINCT gram_md5) AS n
+         FROM ug WHERE gram_md5 IN (SELECT gram_md5 FROM ev) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.n, 0) AS n_hit_grams, COALESCE(h.n, 0) = 0 AS keep
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+        "url_filter": """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+           THEN 'http://www.host' || CAST(doc_id % 20 AS VARCHAR)
+                || '.example/p/' || CAST(doc_id AS VARCHAR)
+           ELSE 'http://host' || CAST(doc_id % 20 AS VARCHAR)
+                || '.example/p/' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents),
+h AS (SELECT doc_id, url,
+        regexp_extract(lower(url),
+          '^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
+      FROM docs),
+sfx AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
+            i -> array_to_string(list_slice(string_split(host, '.'), i,
+                                            len(string_split(host, '.'))), '.'))) AS s
+        FROM h),
+blocked AS (SELECT DISTINCT doc_id FROM sfx
+            WHERE s IN ('host1.example', 'host7.example'))
+SELECT doc_id, url, host FROM h
+WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
 """,
         "cosine_topk": f"""
 WITH {_COSINE_CTES},

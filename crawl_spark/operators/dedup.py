@@ -424,3 +424,53 @@ def line_dedup(
             F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any word
+    ``n``-gram with an evaluation/benchmark set (the GPT-3 appendix-C /
+    Llama training-data rule; 13-grams are the published default).
+
+    Plan shape at 100 TB:
+    - the eval side is tiny versus the corpus (benchmarks are MBs, the
+      corpus is TBs): its distinct gram digests broadcast;
+    - the corpus side explodes to (doc_id, gram_md5) map-side and
+      streams through the BROADCAST hash join — the corpus never
+      shuffles its grams, and only MATCHED pairs (bounded by the
+      contamination rate, not the corpus) reach the per-doc count;
+    - grams travel as 16-byte md5 digests, never as strings, so the
+      broadcast and the matched-pair shuffle stay narrow;
+    - the final left join back to the corpus is a join on ``id_col``
+      against a hit set bounded by the number of contaminated docs.
+
+    Emits per-doc (n_hit_grams, keep) over ALL input docs — docs shorter
+    than ``n`` tokens have no grams and always pass.
+    """
+    gram = lambda c: F.explode(shingles(tokens(c), n)).alias("g")  # noqa: E731
+    ev = (
+        eval_df.select(gram(F.col(text_col)))
+        .select(F.md5("g").alias("gram_md5"))
+        .distinct()
+    )
+    hits = (
+        df.select(F.col(id_col), gram(F.col(text_col)))
+        .select(id_col, F.md5("g").alias("gram_md5"))
+        .join(F.broadcast(ev), "gram_md5")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram_md5").alias("n_hit_grams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) == 0).alias("keep"),
+        )
+    )

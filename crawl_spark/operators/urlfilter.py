@@ -1,0 +1,102 @@
+"""URL blocklist filtering (UT1/adult-list style corpus hygiene).
+
+A crawl-scale corpus is filtered against a blocklist of registrable
+domains BEFORE any expensive text processing. The rule is the standard
+one: a URL is blocked when its host equals a blocked domain OR is any
+subdomain of one (``a.b.example.com`` is blocked by ``example.com``).
+
+Spark-first plan (no per-row Python, no O(rows x |blocklist|) scan):
+
+- host extraction is one JVM ``regexp_extract`` (scheme://[user@]HOST);
+- each host expands to its DOMAIN-SUFFIX CHAIN (``a.b.example.com`` ->
+  ``[a.b.example.com, b.example.com, example.com, com]``), built with
+  ``F.aggregate`` over the reversed label array — the accumulator/
+  element lambda params are the only references, so the interpreted
+  HOF path never re-evaluates an outer column per element (the repo's
+  measured O(len^2) trap);
+- blocked hosts broadcast (blocklists are millions of rows ~ tens of
+  MB — dimension-table sized); the suffix explode feeds a BROADCAST
+  left-semi hash join, so the corpus side never shuffles to find its
+  matches: matched ids come out of a map-side join + distinct bounded
+  by the blocked fraction;
+- survivors = corpus anti-join the matched-id set on ``id_col``.
+
+Suffix chains are capped at ``MAX_LABELS`` labels (hosts deeper than
+that are almost always garbage; the cap keeps the explode factor a
+constant). Matching is on full label boundaries only — ``notexample.com``
+is NOT blocked by ``example.com`` (the suffix chain never contains
+partial labels), which is the correctness trap in naive LIKE '%x'
+implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_LABELS = 10
+
+# scheme://[userinfo@]HOST[:port][/path...] -> HOST (lowercased upstream)
+_HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def host_expr(url: F.Column) -> F.Column:
+    """Registrable host of a URL, lowercased (empty string if unparsable).
+
+    SQL twin: regexp_extract(lower(url), <same pattern>, 1)."""
+    return F.regexp_extract(F.lower(url), _HOST_RE, 1)
+
+
+def suffix_chain(host: F.Column) -> F.Column:
+    """All dot-boundary suffixes of ``host``, shortest last.
+
+    ``a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+    com]`` (order not contractual). Built without outer-column refs in
+    the lambda: ``F.aggregate`` over the reversed labels grows the
+    accumulator ``[com] -> [com, example.com] -> ...`` using only the
+    lambda's own (acc, x) parameters."""
+    labels = F.slice(F.split(host, r"\."), 1, MAX_LABELS)
+    return F.aggregate(
+        F.reverse(labels),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, x).otherwise(
+                    F.concat(x, F.lit("."), F.element_at(acc, -1))
+                )
+            ),
+        ),
+    )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocked_df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    blocked_host_col: str = "host",
+) -> DataFrame:
+    """Drop rows whose URL host is a blocked domain or any subdomain of
+    one; survivors keep all their columns plus the extracted ``host``.
+
+    ``blocked_df`` is broadcast (dimension-table sized); the matched-id
+    set is bounded by the blocked fraction of the corpus and is
+    broadcast back for the anti-join, so the corpus itself crosses no
+    exchange. (For a pathological blocklist matching most of the
+    corpus, Spark's broadcast-size guard fails the job rather than
+    silently degrading — at that point the filter IS the corpus rewrite
+    and a plain shuffled anti-join on ``id_col`` is the right manual
+    fallback.)
+    """
+    blocked = F.broadcast(
+        blocked_df.select(F.lower(F.col(blocked_host_col)).alias("__bh")).distinct()
+    )
+    with_host = df.withColumn("host", host_expr(F.col(url_col)))
+    matched = (
+        with_host.select(F.col(id_col), F.explode(suffix_chain(F.col("host"))).alias("__sfx"))
+        .join(blocked, F.col("__sfx") == F.col("__bh"), "leftsemi")
+        .select(id_col)
+        .distinct()
+    )
+    return with_host.join(F.broadcast(matched), id_col, "left_anti")

@@ -507,3 +507,63 @@ def test_domain_quota_caps_groups_deterministically(spark):
         sorted(range(100), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:10]
     )
     assert by_src["big"] == expect_big
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from crawl_spark.operators.dedup import decontaminate
+
+    corpus = [
+        (0, "alpha beta gamma delta epsilon zeta"),   # contains the eval 5-gram
+        (1, "alpha beta gamma delta DIFFERENT zeta"), # breaks every 5-gram
+        (2, "totally unrelated text about other things entirely"),
+        (3, "x alpha beta gamma delta epsilon y"),    # eval gram mid-doc
+        (4, "too short"),                             # < n tokens: always passes
+    ]
+    ev = [(100, "alpha beta gamma delta epsilon")]
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            spark.createDataFrame(ev, "doc_id long, text string"),
+            n=5,
+        ).collect()
+    }
+    assert len(out) == 5  # every input doc gets a verdict
+    assert not out[0]["keep"] and out[0]["n_hit_grams"] == 1
+    assert out[1]["keep"] and out[1]["n_hit_grams"] == 0
+    assert out[2]["keep"]
+    assert not out[3]["keep"] and out[3]["n_hit_grams"] == 1
+    assert out[4]["keep"]
+    # n larger than every doc: nothing can hit
+    clean = decontaminate(
+        spark.createDataFrame(corpus, "doc_id long, text string"),
+        spark.createDataFrame(ev, "doc_id long, text string"),
+        n=50,
+    ).collect()
+    assert all(r["keep"] for r in clean)
+
+
+def test_url_blocklist_filter_subdomains_and_boundaries(spark):
+    from crawl_spark.operators.urlfilter import url_blocklist_filter
+
+    rows = [
+        (0, "http://bad.example/x"),               # exact blocked host
+        (1, "http://a.b.bad.example/x"),           # deep subdomain -> blocked
+        (2, "HTTP://BAD.EXAMPLE:8080/x"),          # case + port -> blocked
+        (3, "http://notbad.example/x"),            # label boundary: NOT blocked
+        (4, "http://bad.example.com/x"),           # different apex: NOT blocked
+        (5, "http://user:pw@bad.example/x"),       # userinfo form -> blocked
+        (6, "http://good.example/x"),
+        (7, "http://example/x"),                   # bare host, not in list
+    ]
+    blocked = spark.createDataFrame([("bad.example",), ("evil.test",)], ["host"])
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = url_blocklist_filter(df, blocked).collect()
+    assert {r["doc_id"] for r in out} == {3, 4, 6, 7}
+    hosts = {r["doc_id"]: r["host"] for r in out}
+    assert hosts[3] == "notbad.example" and hosts[4] == "bad.example.com"
+    # empty blocklist keeps everything
+    none_blocked = url_blocklist_filter(
+        df, spark.createDataFrame([], "host string")
+    )
+    assert none_blocked.count() == 8
