@@ -211,6 +211,30 @@ def main() -> None:
         pruned_hit,
     )
 
+    # 12. decontamination: corpus grams must stream through a BROADCAST
+    # join (eval side build), never shuffle
+    import __spark_entry__ as entry
+
+    cap(
+        "Benchmark decontamination (eval 13-gram broadcast)",
+        "The corpus side's Generate (gram explode) feeds a "
+        "BroadcastHashJoin with the eval set's distinct gram digests as "
+        "the build side — the corpus never shuffles its grams; the only "
+        "Exchange downstream of the corpus scan carries MATCHED "
+        "(doc_id, gram_md5) pairs, bounded by the contamination rate.",
+        entry.queries()["decontaminate"](spark, sf),
+    )
+
+    # 13. URL blocklist: suffix-chain explode -> broadcast semi-join
+    cap(
+        "URL blocklist filter (domain suffix-chain semi-join)",
+        "Host suffix chains explode map-side and probe the broadcast "
+        "blocklist (BroadcastHashJoin LeftSemi); the matched-id set is "
+        "broadcast back for the LeftAnti, so the corpus itself crosses "
+        "no exchange in either direction.",
+        entry.queries()["url_filter"](spark, sf),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
