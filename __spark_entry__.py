@@ -428,6 +428,12 @@ def q_domain_quota(spark, sf_dir):
     return domain_quota(_t(spark, sf_dir, "documents"), quota=10)
 
 
+def q_pack_sequences(spark, sf_dir):
+    from crawl_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048, streams=64)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/Llama 13-gram rule, n=5 at
     contract scale): the "benchmark" is every 37th document, so sampled
@@ -600,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
         "domain_quota": q_domain_quota,
+        "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
@@ -1101,6 +1108,21 @@ SELECT doc_id, source, pick_hash FROM (
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 10
+""",
+        "pack_sequences": f"""
+WITH b AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pick,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST((('0x'||substr(pick,1,8))::BIGINT % 64) AS INT) AS stream,
+         n_tokens, pick FROM b
+)
+SELECT doc_id, stream, n_tokens,
+       CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS bin
+FROM s
+WINDOW w AS (PARTITION BY stream ORDER BY pick, doc_id ROWS UNBOUNDED PRECEDING)
 """,
         "decontaminate": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -105,3 +105,69 @@ def domain_quota(
         quota,
     )
     return picked.select(F.col(id_col), F.col(group_col), "pick_hash")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    streams: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences (the standard
+    pretraining packing step: concatenate docs, chunk every ``seq_len``
+    tokens; docs may straddle a chunk boundary).
+
+    A single global concatenation order is a SinglePartition window — the
+    one plan shape this repo bans — so packing is SHARDED: each doc
+    hashes to one of ``streams`` independent packing streams (md5-based,
+    deterministic), and the concat order within a stream is
+    (md5(id), id) — also deterministic, so a re-run or a different
+    engine reproduces the exact same bins. Streams are independent by
+    construction; set ``streams`` >= cluster parallelism and the window
+    runs as ``streams`` bounded partition-local sorts. The ragged tail
+    (one partially-filled final bin per stream) is the standard cost of
+    sharded packing: bounded by streams · seq_len tokens TOTAL,
+    negligible against any real corpus.
+
+    Emits one row per doc: (id, stream, n_tokens, start_offset, bin) —
+    ``start_offset`` is the token offset where the doc begins inside its
+    stream's concatenation, ``bin = start_offset // seq_len`` the
+    training-sequence index it starts in. Tokens = whitespace tokens
+    (swap in a real tokenizer count upstream by renaming a column to
+    ``__n_tokens`` before calling).
+
+    SQL twin: sum(n) OVER (PARTITION BY stream ORDER BY md5(id), id
+    ROWS UNBOUNDED PRECEDING) - n.
+    """
+    from pyspark.sql import Window
+
+    from .textops import tokens
+
+    if "__n_tokens" in df.columns:
+        n_tok = F.col("__n_tokens")
+    else:
+        n_tok = F.size(tokens(F.col(text_col)))
+    pick = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(pick, 1, 8), 16, 10).cast("long"), F.lit(streams)
+        ).cast("int").alias("stream"),
+        n_tok.cast("long").alias("n_tokens"),
+        pick.alias("__pick"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("__pick", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        F.col(id_col),
+        "stream",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / seq_len
+        ).cast("long").alias("bin"),
+    )

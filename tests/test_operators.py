@@ -509,6 +509,35 @@ def test_domain_quota_caps_groups_deterministically(spark):
     assert by_src["big"] == expect_big
 
 
+def test_pack_sequences_matches_python_packer(spark):
+    from crawl_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join(f"tok{j}" for j in range((i * 7) % 50 + 1))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, seq_len=64, streams=8).collect()}
+
+    # Python reference: same md5 stream assignment + concat order.
+    streams = {}
+    for i, text in rows:
+        pick = hashlib.md5(str(i).encode()).hexdigest()
+        s = int(pick[:8], 16) % 8
+        streams.setdefault(s, []).append((pick, i, len(text.split())))
+    for s, docs in streams.items():
+        off = 0
+        for pick, i, n in sorted(docs):
+            r = out[i]
+            assert (r["stream"], r["n_tokens"], r["start_offset"], r["bin"]) == (
+                s, n, off, off // 64,
+            ), f"doc {i}"
+            off += n
+    assert len(out) == 300
+    # every doc placed exactly once; offsets within a stream are disjoint
+    for s, docs in streams.items():
+        total = sum(n for _, _, n in docs)
+        ends = [out[i]["start_offset"] + out[i]["n_tokens"] for _, i, _ in docs]
+        assert max(ends) == total
+
+
 def test_decontaminate_flags_eval_overlap(spark):
     from crawl_spark.operators.dedup import decontaminate
 
