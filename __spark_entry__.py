@@ -434,6 +434,27 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048, streams=64)
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (101 hosts):
+    two affine edge families per doc plus a hub edge to host 0 from
+    every 5th doc — exercises dup-edge dedup, a dangling-mass path and
+    an in-degree hub."""
+    from crawl_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    e = (
+        d.select((i % 101).alias("src"), ((i * 31 + 7) % 101).alias("dst"))
+        .union(d.select((i % 101).alias("src"), ((i * 13 + 3) % 101).alias("dst")))
+        .union(
+            d.filter(i % 5 == 0).select(
+                (i % 101).alias("src"), F.lit(0).cast("long").alias("dst")
+            )
+        )
+    )
+    return pagerank(e, iters=5)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/Llama 13-gram rule, n=5 at
     contract scale): the "benchmark" is every 37th document, so sampled
@@ -607,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
+        "pagerank": q_pagerank,
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
@@ -678,6 +700,8 @@ _LANGS_SQL = {
 
 
 def oracle_sql() -> dict[str, str]:
+    from crawl_spark.operators.graph import pagerank_oracle_sql
+
     score_cols = ", ".join(
         f"len(list_intersect(t, {arr})) AS s_{lang}" for lang, arr in _LANGS_SQL.items()
     )
@@ -1124,6 +1148,12 @@ SELECT doc_id, stream, n_tokens,
 FROM s
 WINDOW w AS (PARTITION BY stream ORDER BY pick, doc_id ROWS UNBOUNDED PRECEDING)
 """,
+        "pagerank": pagerank_oracle_sql(
+            """SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
+UNION ALL SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
+UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0""",
+            iters=5,
+        ),
         "decontaminate": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 gr AS (SELECT doc_id,

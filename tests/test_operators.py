@@ -509,6 +509,76 @@ def test_domain_quota_caps_groups_deterministically(spark):
     assert by_src["big"] == expect_big
 
 
+def test_pagerank_matches_power_iteration(spark):
+    import numpy as np
+
+    from crawl_spark.operators.graph import pagerank
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 2), (4, 3), (0, 1)]  # dup edge
+    df = spark.createDataFrame(E, "src long, dst long")
+    out = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+
+    ded = sorted(set(E))
+    nodes = sorted({u for e in ded for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    deg = {}
+    for s, _ in ded:
+        deg[s] = deg.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        dm = sum(r[idx[v]] for v in nodes if v not in deg)
+        s = np.zeros(n)
+        for u, v in ded:
+            s[idx[v]] += r[idx[u]] / deg[u]
+        r = (1 - d) / n + d * (s + dm / n)
+    assert out == {v: round(float(r[idx[v]]), 6) for v in nodes}
+    # rank is a distribution at every step (dangling mass redistributed)
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    # node 4 has no in-links: floor rank; dangling node 3 sits just above
+    assert out[4] == min(out.values()) and out[3] < out[2]
+
+
+def test_pagerank_bucketed_edges_never_shuffle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.graph import pagerank
+
+    e = spark.range(2000).select(
+        (F.col("id") % 97).alias("src"), ((F.col("id") * 31 + 7) % 97).alias("dst")
+    )
+    plain = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    # force the SMJ path so the plan question is real, not broadcast-hidden
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = pagerank(
+            e, iters=3, bucket_path=str(tmp_path / "edges"), n_buckets=8,
+            bucket_table="pr_edges_test",
+        )
+        bucketed = {r["node"]: r["rank"] for r in df.collect()}
+        # plan evidence: the per-iteration contribution join scans the
+        # bucketed table with no exchange on the edge side
+        ranks = spark.range(97).select(F.col("id").alias("src"), F.lit(1.0).alias("w"))
+        j = (
+            spark.table("pr_edges_test").join(ranks, "src")
+            .groupBy("dst").agg(F.sum("w").alias("s"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # left (edge) branch of the SMJ = the ":"-prefixed lines
+        after = plan.split("SortMergeJoin")[1].splitlines()[1:]
+        edge_side = [l for l in after if l.lstrip().startswith(":")]
+        assert edge_side and any("FileScan" in l for l in edge_side)
+        assert not any("Exchange" in l for l in edge_side)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS pr_edges_test")
+    assert bucketed == plain  # identical ranks from both layouts
+
+
 def test_pack_sequences_matches_python_packer(spark):
     from crawl_spark.operators.sampling import pack_sequences
 
