@@ -455,6 +455,22 @@ def q_pagerank(spark, sf_dir):
     return pagerank(e, iters=5)
 
 
+def q_connected_components(spark, sf_dir):
+    """Transitive near-dup grouping over a deterministic pair graph:
+    chains of 7 consecutive doc_ids plus bridge edges every 29th doc —
+    exercises multi-hop label propagation (diameter ≥ 6) and chain
+    merging."""
+    from crawl_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    p = (
+        d.filter(i % 7 != 6).select(i.alias("a"), (i + 1).alias("b"))
+        .union(d.filter(i % 29 == 0).select(i.alias("a"), (i + 13).alias("b")))
+    )
+    return connected_components(p)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/Llama 13-gram rule, n=5 at
     contract scale): the "benchmark" is every 37th document, so sampled
@@ -629,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
         "pagerank": q_pagerank,
+        "connected_components": q_connected_components,
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
@@ -700,7 +717,10 @@ _LANGS_SQL = {
 
 
 def oracle_sql() -> dict[str, str]:
-    from crawl_spark.operators.graph import pagerank_oracle_sql
+    from crawl_spark.operators.graph import (
+        connected_components_oracle_sql,
+        pagerank_oracle_sql,
+    )
 
     score_cols = ", ".join(
         f"len(list_intersect(t, {arr})) AS s_{lang}" for lang, arr in _LANGS_SQL.items()
@@ -1153,6 +1173,10 @@ WINDOW w AS (PARTITION BY stream ORDER BY pick, doc_id ROWS UNBOUNDED PRECEDING)
 UNION ALL SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
 UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0""",
             iters=5,
+        ),
+        "connected_components": connected_components_oracle_sql(
+            """SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 7 <> 6
+UNION ALL SELECT doc_id, doc_id + 13 FROM documents WHERE doc_id % 29 = 0"""
         ),
         "decontaminate": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),

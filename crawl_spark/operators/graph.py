@@ -136,6 +136,111 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iters: int = 20,
+    bucket_path: str | None = None,
+    n_buckets: int = 32,
+    bucket_table: str = "cc_edges",
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Input is an undirected pair table (e.g. the output of
+    ``minhash_candidates`` / ``signbit_neardup_pairs``); output is
+    (node, component) where ``component`` is the smallest node id in
+    the component — the canonical survivor a dedup pipeline keeps, so
+    ``docs ⋈ cc ON doc_id=node WHERE node = component`` collapses every
+    transitive near-dup group to one row.
+
+    Each iteration: label(v) ← min(label(v), min_{u~v} label(u)),
+    which converges in O(component diameter) rounds — near-dup
+    clusters are shallow (diameter ≤ a few), and the loop stops early
+    at the first iteration with zero label changes (one O(1)-row count
+    per iteration). Same scale layout as :func:`pagerank`: the
+    symmetrized edge table is laid out once (bucket-by-src when
+    ``bucket_path`` is given — scanned in place per iteration, no
+    edge shuffle), and only the O(nodes) label table moves.
+    """
+    p = pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    sym = (
+        p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(p.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    if bucket_path is not None:
+        spark = sym.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
+        (
+            sym.write.bucketBy(n_buckets, "src")
+            .sortBy("src")
+            .option("path", bucket_path)
+            .mode("overwrite")
+            .saveAsTable(bucket_table)
+        )
+        sym = spark.table(bucket_table)
+    else:
+        sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("component").alias("lc")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lc").alias("nm"))
+        )
+        nxt = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nm", "component")
+                ).alias("component"),
+                (F.coalesce("nm", "component") < F.col("component")).alias(
+                    "__chg"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = nxt.filter("__chg").count()
+        labels = nxt.drop("__chg")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def connected_components_oracle_sql(pairs_cte: str) -> str:
+    """DuckDB twin of :func:`connected_components`: component(v) =
+    min node reachable from v, via a recursive CTE over the
+    symmetrized (deduplicated) edge set. ``pairs_cte`` must produce
+    columns (a, b)."""
+    return f"""
+WITH RECURSIVE p AS ({pairs_cte}),
+sym AS (
+  SELECT a AS src, b AS dst FROM p
+  UNION
+  SELECT b, a FROM p
+),
+reach(v, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.v
+)
+SELECT v AS node, min(r) AS component FROM reach GROUP BY v
+"""
+
+
 def pagerank_oracle_sql(
     edges_cte: str, iters: int = 5, damping: float = 0.85
 ) -> str:

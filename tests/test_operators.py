@@ -579,6 +579,32 @@ def test_pagerank_bucketed_edges_never_shuffle(spark, tmp_path):
     assert bucketed == plain  # identical ranks from both layouts
 
 
+def test_connected_components_matches_union_find(spark):
+    from crawl_spark.operators.graph import connected_components
+
+    # two chains, a triangle, a merged pair of chains, and a dup edge
+    E = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 21), (21, 22),
+         (22, 20), (3, 10), (0, 1)]
+    df = spark.createDataFrame(E, "a long, b long")
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for u, v in E:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expect = {v: find(v) for v in parent}
+    assert out == expect
+    assert out[12] == 0  # chains merged through 3-10 bridge
+    assert out[22] == 20
+
+
 def test_pack_sequences_matches_python_packer(spark):
     from crawl_spark.operators.sampling import pack_sequences
 
