@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "hash_sample",
     "domain_quota",
     "signbit_neardup",
+    "pack_sequences",
+    "pagerank",
+    "connected_components",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -1,0 +1,96 @@
+"""Measure the graph operators' two edge layouts at a scale where the
+join strategy matters.
+
+pagerank/connected_components iterate `edges ⋈ ranks ON src`. The
+checkpoint layout re-shuffles the edge table every iteration under
+sort-merge join; the bucket-by-src layout pays one write up front and
+then scans the edges in place (no edge-side Exchange — see PLANS.md
+§14). This tool times both on the same synthetic graph so BENCH.md can
+carry the measured crossover instead of a claim.
+
+Broadcast is disabled: at bench scale Spark would broadcast the rank
+side and hide the edge shuffle the 100TB case hits (10^8+ nodes do not
+broadcast).
+
+    GRAPH_EDGES=20000000 GRAPH_NODES=2000000 python tools/bench_graph.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_EDGES = int(os.environ.get("GRAPH_EDGES", "20000000"))
+N_NODES = int(os.environ.get("GRAPH_NODES", "2000000"))
+ITERS = int(os.environ.get("GRAPH_ITERS", "5"))
+WORK = os.environ.get("GRAPH_WORK", "/tmp/bench_graph")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.graph import pagerank
+    from crawl_spark.session import make_session
+
+    spark = make_session("bench_graph", master="local[32]")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    e = spark.range(N_EDGES).select(
+        (F.col("id") % N_NODES).alias("src"),
+        ((F.col("id") * 6364136223846793005 + 1442695040888963407) % N_NODES).alias(
+            "dst"
+        ),
+    )
+    e = e.localCheckpoint(eager=True)  # fixed input for both layouts
+    results = {}
+
+    t0 = time.time()
+    r1 = pagerank(e, iters=ITERS)
+    r1.write.format("noop").mode("overwrite").save()
+    results["checkpoint_layout_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    r2 = pagerank(
+        e,
+        iters=ITERS,
+        bucket_path=f"{WORK}/edges",
+        n_buckets=32,
+        bucket_table="bench_pr_edges",
+    )
+    r2.write.format("noop").mode("overwrite").save()
+    results["bucketed_layout_sec"] = round(time.time() - t0, 2)
+
+    # parity spot-check on a deterministic node sample
+    s1 = {r["node"]: r["rank"] for r in r1.filter(F.col("node") % 99991 == 0).collect()}
+    s2 = {r["node"]: r["rank"] for r in r2.filter(F.col("node") % 99991 == 0).collect()}
+    results["parity_sample_nodes"] = len(s1)
+    # float-sum order differs between layouts; 6dp-rounded ranks may
+    # still straddle a boundary, so compare with one-ulp-of-rounding
+    # tolerance rather than equality
+    results["parity_max_abs_diff"] = max(
+        (abs(s1[n] - s2[n]) for n in s1), default=0.0
+    )
+    results["parity_ok"] = set(s1) == set(s2) and results[
+        "parity_max_abs_diff"
+    ] <= 1e-6
+
+    spark.sql("DROP TABLE IF EXISTS bench_pr_edges")
+    print(
+        json.dumps(
+            {
+                "n_edges": N_EDGES,
+                "n_nodes": N_NODES,
+                "iters": ITERS,
+                **results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -235,6 +235,51 @@ def main() -> None:
         entry.queries()["url_filter"](spark, sf),
     )
 
+    # 14. graph iteration join: bucketed edge table scanned in place
+    # (pagerank / connected_components per-iteration shape). Broadcast
+    # is disabled for the capture so the question SMJ answers is real:
+    # does the edge side need an Exchange? (No — Bucketed: true.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ge = (
+        spark.range(200000)
+        .select(
+            (F.col("id") % 20000).alias("src"),
+            ((F.col("id") * 31 + 7) % 20000).alias("dst"),
+        )
+        .distinct()
+    )
+    spark.sql("DROP TABLE IF EXISTS plans_graph_edges")
+    (
+        ge.write.bucketBy(8, "src").sortBy("src")
+        .option("path", "/tmp/crawl_spark_plans/graph_edges")
+        .mode("overwrite").saveAsTable("plans_graph_edges")
+    )
+    granks = spark.range(20000).select(
+        F.col("id").alias("src"), (F.lit(1.0) / 20000).alias("w")
+    )
+    contrib = (
+        spark.table("plans_graph_edges")
+        .join(granks, "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("w").alias("s"))
+    )
+    cap(
+        "Graph iteration join (pagerank/CC; bucket-by-src edge table)",
+        "The per-iteration contribution join reads the edge FileScan "
+        "with `Bucketed: true` and NO Exchange on the edge side — the "
+        "O(edges) table is laid out once and scanned in place every "
+        "iteration; only the O(nodes) rank/label side exchanges (to "
+        "the bucket count), then one partial-aggregated groupBy(dst). "
+        "Broadcast was disabled for this capture to show the "
+        "sort-merge shape; with defaults a small rank table broadcasts "
+        "and even the node-side Exchange disappears.",
+        contrib,
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS plans_graph_edges")
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
