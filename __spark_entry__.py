@@ -471,6 +471,41 @@ def q_connected_components(spark, sf_dir):
     return connected_components(p)
 
 
+def q_sitemap(spark, sf_dir):
+    """Sitemap parsing over synthetic payloads: most docs render a
+    <urlset> with a fully-populated entry (whitespace-padded loc,
+    XML-escaped &amp; in the URL), a bare loc-only entry and a loc-less
+    entry (must drop); every 13th doc is a <sitemapindex> pointing at a
+    child sitemap."""
+    from crawl_spark.sources.sitemap import sitemap_entries
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("host"), (i % 20).cast("string"), F.lit(".example"))
+    urlset = F.concat(
+        F.lit("<urlset><url><loc> https://"), host, F.lit("/p/"),
+        i.cast("string"), F.lit("?a=1&amp;b=2 </loc><lastmod>2024-01-"),
+        (i % 19 + 10).cast("string"),
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+        (i % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://"), host, F.lit("/q/"),
+        i.cast("string"),
+        F.lit("</loc></url><url><lastmod>2024-02-01</lastmod></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://"), host,
+        F.lit("/sitemap-"), (i % 7).cast("string"),
+        F.lit(".xml</loc><lastmod>2024-03-05</lastmod></sitemap></sitemapindex>"),
+    )
+    pay = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")).alias(
+            "sitemap_url"
+        ),
+        F.when(i % 13 == 0, index).otherwise(urlset).alias("xml"),
+    )
+    return sitemap_entries(pay)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/Llama 13-gram rule, n=5 at
     contract scale): the "benchmark" is every 37th document, so sampled
@@ -646,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
+        "sitemap": q_sitemap,
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
@@ -1178,6 +1214,48 @@ UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0""",
             """SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 7 <> 6
 UNION ALL SELECT doc_id, doc_id + 13 FROM documents WHERE doc_id % 29 = 0"""
         ),
+        "sitemap": r"""
+WITH x AS (
+  SELECT doc_id, 'host' || (doc_id % 20) || '.example' AS host FROM documents
+),
+pay AS (
+  SELECT 'https://' || host || '/sitemap.xml' AS sitemap_url,
+         CASE WHEN doc_id % 13 = 0 THEN
+           '<sitemapindex><sitemap><loc>https://' || host || '/sitemap-'
+           || (doc_id % 7) || '.xml</loc><lastmod>2024-03-05</lastmod></sitemap></sitemapindex>'
+         ELSE
+           '<urlset><url><loc> https://' || host || '/p/' || doc_id
+           || '?a=1&amp;b=2 </loc><lastmod>2024-01-' || (doc_id % 19 + 10)
+           || '</lastmod><changefreq>daily</changefreq><priority>0.' || (doc_id % 10)
+           || '</priority></url><url><loc>https://' || host || '/q/' || doc_id
+           || '</loc></url><url><lastmod>2024-02-01</lastmod></url></urlset>'
+         END AS xml
+  FROM x
+),
+b AS (
+  SELECT sitemap_url, 'url' AS kind,
+         unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS blk
+  FROM pay
+  UNION ALL
+  SELECT sitemap_url, 'sitemap' AS kind,
+         unnest(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS blk
+  FROM pay
+),
+f AS (
+  SELECT sitemap_url, kind,
+    nullif(regexp_extract(blk, '(?s)<loc[^>]*>\s*(.*?)\s*</loc>', 1), '') AS loc,
+    nullif(regexp_extract(blk, '(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>', 1), '') AS lastmod,
+    nullif(regexp_extract(blk, '(?s)<changefreq[^>]*>\s*(.*?)\s*</changefreq>', 1), '') AS changefreq,
+    nullif(regexp_extract(blk, '(?s)<priority[^>]*>\s*(.*?)\s*</priority>', 1), '') AS pr
+  FROM b
+)
+SELECT sitemap_url, kind,
+       replace(replace(replace(replace(replace(loc,
+         '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),'&amp;','&') AS loc,
+       lastmod, changefreq,
+       CAST(pr AS DOUBLE) AS priority
+FROM f WHERE loc IS NOT NULL
+""",
         "decontaminate": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 gr AS (SELECT doc_id,

@@ -1,0 +1,90 @@
+"""Sitemap parsing semantics (sources/sitemap.py): protocol shapes,
+entity decoding, loc-required drop rule, index recursion rows."""
+
+from pyspark.sql import functions as F
+
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> https://a.example/p?x=1&amp;y=2 </loc>
+    <lastmod>2024-05-01</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>https://a.example/bare</loc></url>
+  <url><lastmod>2024-06-01</lastmod></url>
+  <url><loc></loc></url>
+</urlset>"""
+
+INDEX = """<sitemapindex>
+  <sitemap><loc>https://b.example/sitemap-1.xml</loc><lastmod>2024-03-05</lastmod></sitemap>
+  <sitemap><loc>https://b.example/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def _parse(spark, rows):
+    from crawl_spark.sources.sitemap import sitemap_entries
+
+    df = spark.createDataFrame(rows, "sitemap_url string, xml string")
+    return sitemap_entries(df).collect()
+
+
+def test_urlset_entries_and_drop_rules(spark):
+    out = _parse(spark, [("https://a.example/sitemap.xml", URLSET)])
+    # 4 url blocks -> 2 survive (no-loc and empty-loc dropped)
+    assert len(out) == 2
+    full = next(r for r in out if r["loc"].endswith("y=2"))
+    assert full["kind"] == "url"
+    # whitespace trimmed, &amp; decoded
+    assert full["loc"] == "https://a.example/p?x=1&y=2"
+    assert full["lastmod"] == "2024-05-01"
+    assert full["changefreq"] == "daily"
+    assert full["priority"] == 0.8
+    bare = next(r for r in out if r["loc"].endswith("/bare"))
+    assert (
+        bare["lastmod"] is None
+        and bare["changefreq"] is None
+        and bare["priority"] is None
+    )
+
+
+def test_sitemapindex_yields_child_sitemap_rows(spark):
+    out = _parse(spark, [("https://b.example/sitemap.xml", INDEX)])
+    assert {r["kind"] for r in out} == {"sitemap"}
+    assert sorted(r["loc"] for r in out) == [
+        "https://b.example/sitemap-1.xml",
+        "https://b.example/sitemap-2.xml",
+    ]
+    assert [r["lastmod"] for r in sorted(out, key=lambda r: r["loc"])] == [
+        "2024-03-05",
+        None,
+    ]
+
+
+def test_entity_decode_order_amp_last(spark):
+    from crawl_spark.sources.sitemap import xml_unescape
+
+    df = spark.range(1).select(
+        xml_unescape(F.lit("&amp;lt; &lt; &quot;q&quot; &apos;a&apos;")).alias("v")
+    )
+    # "&amp;lt;" must decode to the literal text "&lt;", not "<"
+    assert df.collect()[0]["v"] == "&lt; < \"q\" 'a'"
+
+
+def test_sitemap_seeds_applies_priority_default(spark):
+    from crawl_spark.sources.sitemap import sitemap_entries, sitemap_seeds
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/sitemap.xml", URLSET),
+            ("https://b.example/sitemap.xml", INDEX),
+        ],
+        "sitemap_url string, xml string",
+    )
+    seeds = {r["url"]: r["priority"] for r in sitemap_seeds(sitemap_entries(df)).collect()}
+    # index rows excluded; bare entry gets the protocol default 0.5
+    assert seeds == {
+        "https://a.example/p?x=1&y=2": 0.8,
+        "https://a.example/bare": 0.5,
+    }

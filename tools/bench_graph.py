@@ -42,9 +42,7 @@ def main() -> None:
 
     e = spark.range(N_EDGES).select(
         (F.col("id") % N_NODES).alias("src"),
-        ((F.col("id") * 6364136223846793005 + 1442695040888963407) % N_NODES).alias(
-            "dst"
-        ),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(N_NODES)).alias("dst"),
     )
     e = e.localCheckpoint(eager=True)  # fixed input for both layouts
     results = {}
