@@ -506,6 +506,34 @@ def q_sitemap(spark, sf_dir):
     return sitemap_entries(pay)
 
 
+def q_recrawl(spark, sf_dir):
+    """Freshness scheduling over synthetic (url, last_fetch, changefreq)
+    rows cycling through all 6 mapped frequencies plus never/bogus
+    (NULL-schedule path), with a fixed deterministic `now`."""
+    from crawl_spark.operators.recrawl import recrawl_schedule
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    freqs = F.array(
+        *[
+            F.lit(x)
+            for x in (
+                "always", "hourly", "daily", "weekly",
+                "monthly", "yearly", "never", "bogus",
+            )
+        ]
+    )
+    df = d.select(
+        F.concat(
+            F.lit("https://host"), (i % 20).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) - (i * 9973) % 5000000).alias("last_fetch_ts"),
+        F.element_at(freqs, (i % 8 + 1).cast("int")).alias("changefreq"),
+    )
+    return recrawl_schedule(df, now_ts=1700000000)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/Llama 13-gram rule, n=5 at
     contract scale): the "benchmark" is every 37th document, so sampled
@@ -682,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "sitemap": q_sitemap,
+        "recrawl": q_recrawl,
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
@@ -1255,6 +1284,34 @@ SELECT sitemap_url, kind,
        lastmod, changefreq,
        CAST(pr AS DOUBLE) AS priority
 FROM f WHERE loc IS NOT NULL
+""",
+        "recrawl": """
+WITH x AS (
+  SELECT 'https://host' || (doc_id % 20) || '.example/p/' || doc_id AS url,
+         1700000000 - (doc_id * 9973) % 5000000 AS last_fetch_ts,
+         (['always','hourly','daily','weekly','monthly','yearly','never','bogus'])[(doc_id % 8) + 1] AS changefreq
+  FROM documents
+), f AS (
+  SELECT url, last_fetch_ts,
+    CASE lower(changefreq)
+      WHEN 'always' THEN 60 WHEN 'hourly' THEN 3600 WHEN 'daily' THEN 86400
+      WHEN 'weekly' THEN 604800 WHEN 'monthly' THEN 2592000
+      WHEN 'yearly' THEN 31536000 END AS interval_s
+  FROM x
+), g AS (
+  SELECT url, last_fetch_ts, interval_s,
+    CASE WHEN interval_s IS NULL THEN NULL
+         ELSE greatest((1700000000 - last_fetch_ts) / CAST(interval_s AS DOUBLE), 0.0)
+    END AS overdue
+  FROM f
+)
+SELECT url, CAST(interval_s AS BIGINT) AS interval_s,
+       CAST(last_fetch_ts + interval_s AS BIGINT) AS due_ts,
+       round(overdue, 6) AS overdue_ratio,
+       CASE WHEN overdue IS NULL THEN NULL
+            ELSE CAST(least(floor(overdue), 10) AS BIGINT)
+       END AS recrawl_priority
+FROM g
 """,
         "decontaminate": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),

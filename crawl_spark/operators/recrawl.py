@@ -1,0 +1,84 @@
+"""Re-crawl (freshness) scheduling: when is a known URL due again?
+
+The reference crawls each URL once (seen-set guarantees it; SURVEY.md
+§2.5). A continuous deployment of the same engine re-enqueues pages on
+a freshness schedule — the standard signal set is the sitemap protocol's
+`changefreq`/`lastmod` (sources/sitemap.py) plus the crawler's own
+last-fetch time. This operator turns those into a due time and a
+priority boost the engine's FIFO key already understands, as pure
+column expressions (one projection, no shuffle, no UDF — the scan IS
+the operator at any scale).
+
+Semantics (deterministic, `now` is an explicit parameter — nothing
+reads the wall clock):
+
+- interval_s: changefreq → seconds (always=60 … yearly=31536000);
+  `never` and unknown/missing → NULL (never due by changefreq alone).
+- due_ts = last_fetch_ts + interval_s (NULL interval → NULL).
+- overdue_ratio = (now - last_fetch_ts) / interval_s, floored at 0 —
+  1.0 means exactly one interval late; NULL interval → NULL.
+- recrawl_priority = least(floor(overdue_ratio), cap) as an additive
+  boost for the frontier's priority column: overdue pages climb the
+  FIFO key one notch per missed interval, capped so a long-dead page
+  can't starve fresh discoveries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# sitemaps.org changefreq values → re-crawl interval in seconds
+CHANGEFREQ_SECONDS = {
+    "always": 60,
+    "hourly": 3_600,
+    "daily": 86_400,
+    "weekly": 604_800,
+    "monthly": 2_592_000,
+    "yearly": 31_536_000,
+}
+
+
+def changefreq_interval(col: Column) -> Column:
+    """Seconds for a changefreq value; NULL for never/unknown/missing."""
+    expr = None
+    for name, secs in CHANGEFREQ_SECONDS.items():
+        cond = F.lower(col) == name
+        expr = F.when(cond, secs) if expr is None else expr.when(cond, secs)
+    return expr.otherwise(F.lit(None).cast("long"))
+
+
+def recrawl_schedule(
+    df: DataFrame,
+    now_ts: int,
+    url_col: str = "url",
+    last_fetch_col: str = "last_fetch_ts",
+    changefreq_col: str = "changefreq",
+    priority_cap: int = 10,
+) -> DataFrame:
+    """(url, interval_s, due_ts, overdue_ratio, recrawl_priority) per
+    input row. ``last_fetch_ts``/``now_ts`` are epoch seconds;
+    overdue_ratio is rounded to 6 dp (repo float contract)."""
+    interval = changefreq_interval(F.col(changefreq_col))
+    # explicit NULL gate: Spark's greatest() SKIPS nulls (greatest(NULL,
+    # 0.0) = 0.0), which would silently turn never/unknown into "not
+    # overdue" instead of "no schedule"
+    overdue = F.when(
+        interval.isNotNull(),
+        F.greatest(
+            (F.lit(now_ts) - F.col(last_fetch_col)) / interval, F.lit(0.0)
+        ),
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        interval.alias("interval_s"),
+        (F.col(last_fetch_col) + interval).alias("due_ts"),
+        F.round(overdue, 6).alias("overdue_ratio"),
+        # least() also skips nulls — gate again so no-schedule rows get
+        # NULL priority, not the cap
+        F.when(
+            overdue.isNotNull(),
+            F.least(F.floor(overdue), F.lit(priority_cap)),
+        )
+        .cast("long")
+        .alias("recrawl_priority"),
+    )

@@ -72,6 +72,35 @@ def test_entity_decode_order_amp_last(spark):
     assert df.collect()[0]["v"] == "&lt; < \"q\" 'a'"
 
 
+def test_recrawl_schedule_semantics(spark):
+    from crawl_spark.operators.recrawl import recrawl_schedule
+
+    now = 1_700_000_000
+    rows = [
+        ("a", now - 7_200, "hourly"),    # 2 intervals late
+        ("b", now - 3_600, "DAILY"),     # case-insensitive, not yet due
+        ("c", now - 100, "never"),       # no schedule
+        ("d", now - 100, None),          # missing changefreq
+        ("e", now + 500, "hourly"),      # future fetch: floored at 0
+        ("f", now - 10**9, "always"),    # ancient: priority capped
+    ]
+    df = spark.createDataFrame(rows, "url string, last_fetch_ts long, changefreq string")
+    out = {r["url"]: r for r in recrawl_schedule(df, now_ts=now).collect()}
+    assert out["a"]["interval_s"] == 3600 and out["a"]["overdue_ratio"] == 2.0
+    assert out["a"]["recrawl_priority"] == 2
+    assert out["a"]["due_ts"] == now - 7_200 + 3_600
+    assert out["b"]["interval_s"] == 86_400 and out["b"]["recrawl_priority"] == 0
+    assert round(out["b"]["overdue_ratio"], 6) == round(3600 / 86400, 6)
+    for u in ("c", "d"):
+        r = out[u]
+        assert (
+            r["interval_s"] is None and r["due_ts"] is None
+            and r["overdue_ratio"] is None and r["recrawl_priority"] is None
+        )
+    assert out["e"]["overdue_ratio"] == 0.0 and out["e"]["recrawl_priority"] == 0
+    assert out["f"]["recrawl_priority"] == 10  # capped
+
+
 def test_sitemap_seeds_applies_priority_default(spark):
     from crawl_spark.sources.sitemap import sitemap_entries, sitemap_seeds
 
