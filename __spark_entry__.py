@@ -506,6 +506,33 @@ def q_sitemap(spark, sf_dir):
     return sitemap_entries(pay)
 
 
+def q_anchor_topk(spark, sf_dir):
+    """Anchor-text aggregation over a synthetic link table: 3 links per
+    doc across 50 targets and a 7-phrase anchor vocabulary, so targets
+    accumulate repeated anchors with ties."""
+    from crawl_spark.operators.graph import anchor_text_topk
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    vocab = F.array(
+        *[
+            F.lit(x)
+            for x in (
+                "click here", "read more", "home", "download",
+                "next", "previous", "details",
+            )
+        ]
+    )
+    t1 = F.concat(F.lit("https://t"), (i % 50).cast("string"), F.lit(".example/"))
+    t2 = F.concat(F.lit("https://t"), ((i * 3) % 50).cast("string"), F.lit(".example/"))
+    links = (
+        d.select(t1.alias("dst"), F.element_at(vocab, (i % 7 + 1).cast("int")).alias("anchor"))
+        .union(d.select(t1.alias("dst"), F.element_at(vocab, ((i + 1) % 7 + 1).cast("int")).alias("anchor")))
+        .union(d.select(t2.alias("dst"), F.element_at(vocab, ((i * 2) % 7 + 1).cast("int")).alias("anchor")))
+    )
+    return anchor_text_topk(links, k=3)
+
+
 def q_recrawl(spark, sf_dir):
     """Freshness scheduling over synthetic (url, last_fetch, changefreq)
     rows cycling through all 6 mapped frequencies plus never/bogus
@@ -711,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "sitemap": q_sitemap,
         "recrawl": q_recrawl,
+        "anchor_topk": q_anchor_topk,
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
@@ -1284,6 +1312,30 @@ SELECT sitemap_url, kind,
        lastmod, changefreq,
        CAST(pr AS DOUBLE) AS priority
 FROM f WHERE loc IS NOT NULL
+""",
+        "anchor_topk": """
+WITH v AS (
+  SELECT ['click here','read more','home','download','next','previous','details'] AS a
+),
+l AS (
+  SELECT 'https://t' || (doc_id % 50) || '.example/' AS dst,
+         (SELECT a FROM v)[(doc_id % 7) + 1] AS anchor FROM documents
+  UNION ALL
+  SELECT 'https://t' || (doc_id % 50) || '.example/',
+         (SELECT a FROM v)[((doc_id + 1) % 7) + 1] FROM documents
+  UNION ALL
+  SELECT 'https://t' || ((doc_id * 3) % 50) || '.example/',
+         (SELECT a FROM v)[((doc_id * 2) % 7) + 1] FROM documents
+),
+c AS (
+  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n_links
+  FROM l GROUP BY dst, anchor
+)
+SELECT dst, anchor, n_links FROM (
+  SELECT *, row_number() OVER (PARTITION BY dst
+                               ORDER BY n_links DESC, anchor) AS rn
+  FROM c
+) WHERE rn <= 3
 """,
         "recrawl": """
 WITH x AS (

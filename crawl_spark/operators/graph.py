@@ -220,6 +220,39 @@ def connected_components(
     return labels
 
 
+def anchor_text_topk(
+    links: DataFrame,
+    dst: str = "dst",
+    anchor: str = "anchor",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k anchor texts per link target by frequency — the classic
+    link-graph ranking/description signal (anchor text describes the
+    TARGET page; aggregating it per dst yields queryable page labels
+    and crawl-priority hints).
+
+    Shape: one partial-aggregated groupBy(dst, anchor) count, then
+    ``grouped_topk`` per dst ordered by (count desc, anchor) — a hub
+    page with 10^7 in-links never funnels its raw anchor rows into one
+    window task (the exact skew case grouped_topk exists for; the
+    politeness scheduler's measurement in BENCH.md §f applies
+    unchanged). grouped_topk's deterministic-recomputation contract
+    holds here because (dst, anchor) is unique after the aggregate and
+    hash aggregation recomputes deterministically from a deterministic
+    source.
+
+    Output: (dst, anchor, n_links), ties broken by anchor ascending.
+    """
+    from .topk import grouped_topk
+
+    counts = (
+        links.groupBy(F.col(dst).alias("dst"), F.col(anchor).alias("anchor"))
+        .agg(F.count("*").alias("n_links"))
+        .withColumn("__negn", -F.col("n_links"))
+    )
+    return grouped_topk(counts, ["dst"], ["__negn", "anchor"], k).drop("__negn")
+
+
 def connected_components_oracle_sql(pairs_cte: str) -> str:
     """DuckDB twin of :func:`connected_components`: component(v) =
     min node reachable from v, via a recursive CTE over the

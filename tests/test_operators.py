@@ -509,6 +509,32 @@ def test_domain_quota_caps_groups_deterministically(spark):
     assert by_src["big"] == expect_big
 
 
+def test_anchor_text_topk_matches_window(spark):
+    from pyspark.sql import Window
+
+    from crawl_spark.operators.graph import anchor_text_topk
+
+    # hub target with heavy repetition + a cold tail with ties
+    rows = (
+        [("hub", f"anchor{i % 6}") for i in range(600)]
+        + [("cold1", "x"), ("cold1", "x"), ("cold1", "y"), ("cold2", "z")]
+    )
+    df = spark.createDataFrame(rows, "dst string, anchor string")
+    got = {
+        (r["dst"], r["anchor"], r["n_links"])
+        for r in anchor_text_topk(df, k=2).collect()
+    }
+    c = df.groupBy("dst", "anchor").count().withColumnRenamed("count", "n_links")
+    w = Window.partitionBy("dst").orderBy(F.col("n_links").desc(), "anchor")
+    expect = {
+        (r["dst"], r["anchor"], r["n_links"])
+        for r in c.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 2").drop("rn").collect()
+    }
+    assert got == expect
+    assert ("cold2", "z", 1) in got and ("cold1", "x", 2) in got
+
+
 def test_pagerank_matches_power_iteration(spark):
     import numpy as np
 
