@@ -533,6 +533,27 @@ def q_anchor_topk(spark, sf_dir):
     return anchor_text_topk(links, k=3)
 
 
+def q_latest_capture(spark, sf_dir):
+    """Newest-capture-per-url over a synthetic multi-crawl table: 500
+    docs fold onto 200 urls (2-3 captures each) with unique long
+    timestamps, lang riding along to prove the survivor row is the
+    newest one's."""
+    from crawl_spark.operators.dedup import latest_capture
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    caps = d.select(
+        F.concat(
+            F.lit("https://host"), (i % 20).cast("string"),
+            F.lit(".example/p/"), (i % 200).cast("string"),
+        ).alias("url"),
+        (F.lit(1600000000) + i * 86400).alias("warc_ts"),
+        F.col("lang"),
+        F.col("n_chars"),
+    )
+    return latest_capture(caps, ts_col="warc_ts")
+
+
 def q_recrawl(spark, sf_dir):
     """Freshness scheduling over synthetic (url, last_fetch, changefreq)
     rows cycling through all 6 mapped frequencies plus never/bogus
@@ -739,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap": q_sitemap,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
+        "latest_capture": q_latest_capture,
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
@@ -1312,6 +1334,20 @@ SELECT sitemap_url, kind,
        lastmod, changefreq,
        CAST(pr AS DOUBLE) AS priority
 FROM f WHERE loc IS NOT NULL
+""",
+        "latest_capture": """
+WITH caps AS (
+  SELECT 'https://host' || (doc_id % 20) || '.example/p/' || (doc_id % 200) AS url,
+         1600000000 + doc_id * 86400 AS warc_ts,
+         lang, n_chars
+  FROM documents
+)
+SELECT url,
+       CAST(arg_max(warc_ts, warc_ts) AS BIGINT) AS warc_ts,
+       arg_max(lang, warc_ts) AS lang,
+       CAST(arg_max(n_chars, warc_ts) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_captures
+FROM caps GROUP BY url
 """,
         "anchor_topk": """
 WITH v AS (

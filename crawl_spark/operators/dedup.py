@@ -52,6 +52,38 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def latest_capture(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the newest capture per URL (the standard first step over
+    Common-Crawl-style page tables, where each URL appears once per
+    crawl snapshot).
+
+    One partial-aggregated ``groupBy(url)`` with ``max_by`` over a
+    struct of the kept columns — no window, so even a URL captured in
+    every crawl is a single combine chain, and the map-side combine
+    collapses per-partition duplicates before the shuffle. Emits
+    (url, <keep_cols of the newest capture>, n_captures). ``keep_cols``
+    defaults to every column except url. Ties on ``ts_col`` pick an
+    arbitrary capture (make the timestamp unique upstream if exactness
+    across engines matters — captures of one URL in one crawl share
+    nothing else to order by).
+    """
+    cols = keep_cols or [c for c in pages.columns if c != url_col]
+    agg = pages.groupBy(F.col(url_col).alias("url")).agg(
+        F.max_by(F.struct(*cols), F.col(ts_col)).alias("__s"),
+        F.count("*").alias("n_captures"),
+    )
+    return agg.select(
+        "url",
+        *[F.col(f"__s.{c}").alias(c) for c in cols],
+        F.col("n_captures").cast("long").alias("n_captures"),
+    )
+
+
 def block_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

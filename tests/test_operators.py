@@ -509,6 +509,27 @@ def test_domain_quota_caps_groups_deterministically(spark):
     assert by_src["big"] == expect_big
 
 
+def test_latest_capture_keeps_newest_row(spark):
+    from datetime import datetime
+
+    from crawl_spark.operators.dedup import latest_capture
+
+    rows = [
+        ("u1", datetime(2024, 1, 1), "old"),
+        ("u1", datetime(2024, 3, 1), "new"),
+        ("u1", datetime(2024, 2, 1), "mid"),
+        ("u2", datetime(2024, 1, 1), "only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = {r["url"]: r for r in latest_capture(df).collect()}
+    assert out["u1"]["text"] == "new" and out["u1"]["n_captures"] == 3
+    assert out["u1"]["warc_ts"] == datetime(2024, 3, 1)
+    assert out["u2"]["text"] == "only" and out["u2"]["n_captures"] == 1
+    # keep_cols narrows the carried struct
+    slim = latest_capture(df, keep_cols=["warc_ts"]).columns
+    assert slim == ["url", "warc_ts", "n_captures"]
+
+
 def test_anchor_text_topk_matches_window(spark):
     from pyspark.sql import Window
 
