@@ -533,6 +533,28 @@ def q_anchor_topk(spark, sf_dir):
     return anchor_text_topk(links, k=3)
 
 
+def q_metrics_rollup(spark, sf_dir):
+    """Batch twin of the streaming metrics rollup: the SAME
+    rollup_windows transformation metrics_rollup_stream runs, applied
+    to the events table (ts → event_ts, event_type → error_class), with
+    window bounds cast to epoch seconds for cross-engine comparison."""
+    from crawl_spark.streaming.feed import rollup_windows
+
+    e = _t(spark, sf_dir, "events")
+    df = e.select(
+        F.col("ts").alias("event_ts"), F.col("event_type").alias("error_class")
+    )
+    out = rollup_windows(df)
+    # parquet ts reads as TIMESTAMP_NTZ (no direct long cast); session tz
+    # is UTC so unix_timestamp is the exact epoch the oracle computes
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        F.unix_timestamp("window_end").alias("we"),
+        "error_class",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_latest_capture(spark, sf_dir):
     """Newest-capture-per-url over a synthetic multi-crawl table: 500
     docs fold onto 200 urls (2-3 captures each) with unique long
@@ -761,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
         "latest_capture": q_latest_capture,
+        "metrics_rollup": q_metrics_rollup,
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
@@ -1334,6 +1357,13 @@ SELECT sitemap_url, kind,
        lastmod, changefreq,
        CAST(pr AS DOUBLE) AS priority
 FROM f WHERE loc IS NOT NULL
+""",
+        "metrics_rollup": """
+SELECT CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) AS ws,
+       CAST(floor(epoch(ts) / 10) * 10 + 10 AS BIGINT) AS we,
+       event_type AS error_class,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
 """,
         "latest_capture": """
 WITH caps AS (

@@ -237,6 +237,29 @@ def drain_staged_seeds(
     return spark.read.schema(STAGED_SCHEMA).parquet(*paths), new
 
 
+def rollup_windows(
+    df: DataFrame,
+    time_col: str = "event_ts",
+    class_col: str = "error_class",
+    window: str = "10 seconds",
+) -> DataFrame:
+    """Tumbling-window counts per class — the aggregation shared by the
+    streaming rollup below and its batch twin (the `metrics_rollup`
+    contract query runs THIS function on a batch frame against a DuckDB
+    oracle, so the streaming path's core transformation is
+    value-checked, not just rows-only)."""
+    return (
+        df.groupBy(F.window(time_col, window).alias("w"), class_col)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            class_col,
+            "n",
+        )
+    )
+
+
 def metrics_rollup_stream(
     spark: SparkSession,
     errors_dir: str,
@@ -253,16 +276,8 @@ def metrics_rollup_stream(
     """
     schema = "url string, round int, error_class string, message string, event_ts timestamp"
     raw = spark.readStream.schema(schema).json(errors_dir)
-    agg = (
-        raw.withWatermark("event_ts", watermark)
-        .groupBy(F.window("event_ts", window).alias("w"), "error_class")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "error_class",
-            "n",
-        )
+    agg = rollup_windows(
+        raw.withWatermark("event_ts", watermark), window=window
     )
     writer = (
         agg.writeStream.format("parquet")
