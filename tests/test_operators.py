@@ -509,6 +509,104 @@ def test_domain_quota_caps_groups_deterministically(spark):
     assert by_src["big"] == expect_big
 
 
+def test_connected_components_random_graphs_property(spark):
+    """20 seeded random graphs (disjoint node ranges, one Spark job)
+    must match union-find — exercises convergence across many shapes:
+    chains, stars, cycles, isolated pairs, dup edges."""
+    import random
+
+    from crawl_spark.operators.graph import connected_components
+
+    rng = random.Random(42)
+    E = []
+    for g in range(20):
+        base = g * 1000
+        n_nodes = rng.randint(2, 25)
+        for _ in range(rng.randint(1, 35)):
+            E.append(
+                (base + rng.randrange(n_nodes), base + rng.randrange(n_nodes))
+            )
+    df = spark.createDataFrame(E, "a long, b long")
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for u, v in E:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    assert out == {v: find(v) for v in parent}
+
+
+def test_pagerank_random_graph_property(spark):
+    """Seeded random graph vs the numpy power iteration — covers
+    dangling nodes, self-loops, multi-edges and rank conservation."""
+    import random
+
+    import numpy as np
+
+    from crawl_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    E = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    out = {r["node"]: r["rank"] for r in pagerank(df, iters=4).collect()}
+
+    ded = sorted(set(E))
+    nodes = sorted({u for e in ded for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    deg = {}
+    for s, _ in ded:
+        deg[s] = deg.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        dm = sum(r[idx[v]] for v in nodes if v not in deg)
+        s = np.zeros(n)
+        for u, v in ded:
+            s[idx[v]] += r[idx[u]] / deg[u]
+        r = (1 - d) / n + d * (s + dm / n)
+    assert out == {v: round(float(r[idx[v]]), 6) for v in nodes}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+
+
+def test_pack_sequences_random_docs_property(spark):
+    """Seeded random doc lengths (incl. empty docs) must reproduce the
+    python packer exactly for every stream."""
+    import random
+
+    from crawl_spark.operators.sampling import pack_sequences
+
+    rng = random.Random(99)
+    rows = [
+        (i, " ".join("w%d" % j for j in range(rng.choice([0, 1, 3, 17, 64, 200]))))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, seq_len=128, streams=16).collect()}
+
+    streams = {}
+    for i, text in rows:
+        pick = hashlib.md5(str(i).encode()).hexdigest()
+        streams.setdefault(int(pick[:8], 16) % 16, []).append(
+            (pick, i, len(text.split()))
+        )
+    for s, docs in streams.items():
+        off = 0
+        for pick, i, n in sorted(docs):
+            r = out[i]
+            assert (r["stream"], r["n_tokens"], r["start_offset"], r["bin"]) == (
+                s, n, off, off // 128,
+            )
+            off += n
+    assert len(out) == 400
+
+
 def test_latest_capture_keeps_newest_row(spark):
     from datetime import datetime
 
