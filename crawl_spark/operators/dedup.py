@@ -338,48 +338,27 @@ def neardup_clusters(
     near-dups are their own singleton cluster); is_canonical flags the
     per-cluster survivor; cluster_size supports dedup-rate accounting.
 
-    Algorithm: iterative min-label propagation. Each sweep is one
-    edge⨝label equi-join + a partial-aggregated groupBy(node) min — both
-    over the EDGE list (O(near-dup pairs), not O(corpus)); iterations are
-    bounded by component diameter (near-dup components are shallow in
-    practice) with an exact convergence check (stop when no label
-    changes), and every sweep localCheckpoints to truncate lineage —
-    the same iterate-materialize shape as the engine's round loop.
+    Algorithm: the pair graph goes through
+    :func:`crawl_spark.operators.graph.connected_components` (iterative
+    min-label propagation over the EDGE list — O(near-dup pairs), not
+    O(corpus) — bounded by component diameter with an exact early stop;
+    see that docstring for the scale layout); this function adds the
+    corpus-side singleton fill, canonical flag and size accounting.
     Deterministic: min() over unique ids has no ties.
     """
+    from .graph import connected_components
+
     pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold)
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)  # reused every sweep
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        nbr = edges.join(labels, edges.dst == labels.node).select(
-            F.col("src").alias("node"), "label"
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(pairs, a="id_a", b="id_b", max_iters=max_iter)
     out = (
         df.select(F.col(id_col))
-        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .join(
+            labels.withColumnRenamed("node", id_col).withColumnRenamed(
+                "component", "label"
+            ),
+            id_col,
+            "left",
+        )
         .withColumn("cluster_id", F.coalesce(F.col("label"), F.col(id_col)))
         .drop("label")
     )
