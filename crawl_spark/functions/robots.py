@@ -46,10 +46,13 @@ ROBOTS_SCHEMA = T.StructType(
 def parse_robots_txt(body: str | bytes | None, agent: str = "crawl-spark") -> dict:
     """Parse one robots.txt body for ``agent``.
 
-    Returns {"disallow": [prefixes...], "crawl_delay": float_or_0}.
+    Returns {"disallow": [prefixes...], "crawl_delay": float_or_0,
+    "sitemaps": [urls...]}. Per REP, ``Sitemap:`` lines are GLOBAL —
+    collected from every line regardless of which user-agent group they
+    appear in (they still end a user-agent run, like any non-UA line).
     """
     if body is None:
-        return {"disallow": [], "crawl_delay": 0.0}
+        return {"disallow": [], "crawl_delay": 0.0, "sitemaps": []}
     if isinstance(body, bytes):
         body = body.decode("utf-8", "replace")
     body = body.lstrip("﻿")
@@ -60,6 +63,7 @@ def parse_robots_txt(body: str | bytes | None, agent: str = "crawl-spark") -> di
     cur_uas: list[str] = []
     cur_rules: list[tuple[str, str]] = []
     in_ua_run = False
+    sitemaps: list[str] = []
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -67,6 +71,11 @@ def parse_robots_txt(body: str | bytes | None, agent: str = "crawl-spark") -> di
         field, _, value = line.partition(":")
         field = field.strip().lower()
         value = value.strip()
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            in_ua_run = False
+            continue
         if field == "user-agent":
             if not in_ua_run:
                 if cur_uas:
@@ -103,7 +112,7 @@ def parse_robots_txt(body: str | bytes | None, agent: str = "crawl-spark") -> di
                 delay = float(value)
             except ValueError:
                 pass
-    return {"disallow": disallow, "crawl_delay": delay}
+    return {"disallow": disallow, "crawl_delay": delay, "sitemaps": sitemaps}
 
 
 def robots_table(
@@ -132,3 +141,29 @@ def robots_table(
             )
 
     return df.select(host_col, body_col).mapInPandas(fn, ROBOTS_SCHEMA)
+
+
+def sitemap_urls_table(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, robots.txt body) rows → exploded (host, sitemap_url) —
+    the discovery link into ``sources/sitemap.py``: fetch each
+    sitemap_url, then ``sitemap_entries`` → ``sitemap_seeds`` feeds the
+    engine's staged-seed path. Kept separate from ``robots_table`` so
+    the engine's politeness schema (and the manifest's robots
+    fingerprint) is unchanged."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, urls = [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                for u in parse_robots_txt(body)["sitemaps"]:
+                    hosts.append(host)
+                    urls.append(u)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
+
+    return df.select(host_col, body_col).mapInPandas(
+        fn, "host string, sitemap_url string"
+    )

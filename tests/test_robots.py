@@ -38,8 +38,12 @@ def test_group_selection_most_specific_wins():
 
 
 def test_parse_edge_cases():
-    assert parse_robots_txt(None) == {"disallow": [], "crawl_delay": 0.0}
-    assert parse_robots_txt("") == {"disallow": [], "crawl_delay": 0.0}
+    assert parse_robots_txt(None) == {
+        "disallow": [], "crawl_delay": 0.0, "sitemaps": [],
+    }
+    assert parse_robots_txt("") == {
+        "disallow": [], "crawl_delay": 0.0, "sitemaps": [],
+    }
     # bytes bodies, BOM, case-insensitive fields, empty Disallow = allow
     body = b"\xef\xbb\xbfUSER-AGENT: *\nDISALLOW:\ndisallow: /x\nCRAWL-DELAY: zzz\n"
     got = parse_robots_txt(body)
@@ -117,3 +121,43 @@ def test_resume_rejects_changed_robots(spark, tiny_fixture, tmp_path_factory):
         mk(other).run(seeds, max_rounds=4, resume=True)
     with pytest.raises(ValueError, match="robots"):
         mk(other).read_table("frontier")
+
+
+def test_sitemap_lines_are_global(spark):
+    """REP: Sitemap lines are collected from anywhere in the file,
+    independent of user-agent groups; empty values are skipped."""
+    from crawl_spark.functions.robots import parse_robots_txt, sitemap_urls_table
+
+    body = """
+Sitemap: https://a.example/sitemap.xml
+User-agent: googlebot
+Disallow: /private
+Sitemap: https://a.example/sitemap-news.xml
+User-agent: *
+Disallow: /tmp
+Sitemap:
+sitemap: https://a.example/sitemap-2.xml.gz
+"""
+    p = parse_robots_txt(body, agent="crawl-spark")
+    assert p["sitemaps"] == [
+        "https://a.example/sitemap.xml",
+        "https://a.example/sitemap-news.xml",
+        "https://a.example/sitemap-2.xml.gz",
+    ]
+    # group selection is unaffected: * group applies to us
+    assert p["disallow"] == ["/tmp"]
+
+    df = spark.createDataFrame(
+        [("a.example", body), ("b.example", "User-agent: *\nDisallow:"),
+         ("c.example", "Sitemap: https://c.example/s.xml")],
+        "host string, body string",
+    )
+    rows = sorted(
+        (r["host"], r["sitemap_url"]) for r in sitemap_urls_table(df).collect()
+    )
+    assert rows == [
+        ("a.example", "https://a.example/sitemap-2.xml.gz"),
+        ("a.example", "https://a.example/sitemap-news.xml"),
+        ("a.example", "https://a.example/sitemap.xml"),
+        ("c.example", "https://c.example/s.xml"),
+    ]
