@@ -91,6 +91,42 @@ def sitemap_entries(
     return out.filter(F.col("loc").isNotNull())
 
 
+def read_sitemap_files(spark, path: str) -> DataFrame:
+    """Sitemap files under ``path`` (glob ok) → (sitemap_url, xml) rows
+    ready for :func:`sitemap_entries`. Real deployments serve sitemaps
+    gzipped (`sitemap.xml.gz`); payloads starting with the gzip magic
+    are decompressed, everything else is decoded as UTF-8 (with
+    replacement — the downstream regex parse is byte-error tolerant).
+    ``sitemap_url`` is the file path (swap in the fetch URL upstream
+    when payloads come from a pages table instead of disk).
+
+    binaryFile scan + Arrow-batched mapInPandas, same shape as the WARC
+    source — one file never leaves its batch, scan splits are the
+    parallelism.
+    """
+    import gzip
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            paths, xmls = [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                if b[:2] == b"\x1f\x8b":
+                    b = gzip.decompress(b)
+                paths.append(p)
+                xmls.append(b.decode("utf-8", "replace"))
+            yield pd.DataFrame({"sitemap_url": paths, "xml": xmls})
+
+    return files.select("path", "content").mapInPandas(
+        fn, "sitemap_url string, xml string"
+    )
+
+
 def sitemap_seeds(entries: DataFrame) -> DataFrame:
     """URL entries of parsed sitemaps as an engine-ready seed frame:
     (url, priority) with the protocol's 0.5 default applied."""

@@ -117,3 +117,18 @@ def test_sitemap_seeds_applies_priority_default(spark):
         "https://a.example/p?x=1&y=2": 0.8,
         "https://a.example/bare": 0.5,
     }
+
+
+def test_read_sitemap_files_gzip_and_plain(spark, tmp_path):
+    import gzip
+
+    from crawl_spark.sources.sitemap import read_sitemap_files, sitemap_entries
+
+    (tmp_path / "a.xml").write_text(URLSET)
+    (tmp_path / "b.xml.gz").write_bytes(gzip.compress(INDEX.encode()))
+    df = read_sitemap_files(spark, str(tmp_path))
+    rows = {r["sitemap_url"].rsplit("/", 1)[-1]: r["xml"] for r in df.collect()}
+    assert rows["a.xml"] == URLSET and rows["b.xml.gz"] == INDEX
+    # end-to-end: files -> entries
+    kinds = {r["kind"] for r in sitemap_entries(df).collect()}
+    assert kinds == {"url", "sitemap"}
