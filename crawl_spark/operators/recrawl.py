@@ -21,6 +21,13 @@ reads the wall clock):
   boost for the frontier's priority column: overdue pages climb the
   FIFO key one notch per missed interval, capped so a long-dead page
   can't starve fresh discoveries.
+
+Integration note: the engine's seen-set invariant (a url never
+re-enters the frontier within a run — the exactness contract of the
+delta-log deletes, CLAUDE.md) is deliberately untouched. Re-crawl
+output seeds a NEW crawl epoch (fresh workdir / seen set), with due
+urls as the seed list and recrawl_priority folded into seed priority —
+it is not a mid-run re-entry path.
 """
 
 from __future__ import annotations
