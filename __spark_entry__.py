@@ -435,10 +435,11 @@ def q_pack_sequences(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
-    """PageRank over a deterministic synthetic link graph (101 hosts):
-    two affine edge families per doc plus a hub edge to host 0 from
-    every 5th doc — exercises dup-edge dedup, a dangling-mass path and
-    an in-degree hub."""
+    """PageRank over a deterministic synthetic link graph: two affine
+    edge families per doc over hosts 0..100, a hub edge to host 0 from
+    every 5th doc, and sink edges to hosts 200..204 (dst-only nodes, so
+    the dangling-mass redistribution term is genuinely value-checked
+    against the oracle, not vacuously zero)."""
     from crawl_spark.operators.graph import pagerank
 
     d = _t(spark, sf_dir, "documents")
@@ -449,6 +450,11 @@ def q_pagerank(spark, sf_dir):
         .union(
             d.filter(i % 5 == 0).select(
                 (i % 101).alias("src"), F.lit(0).cast("long").alias("dst")
+            )
+        )
+        .union(
+            d.filter(i % 11 == 0).select(
+                (i % 101).alias("src"), (i % 5 + 200).alias("dst")
             )
         )
     )
@@ -1309,7 +1315,8 @@ WINDOW w AS (PARTITION BY stream ORDER BY pick, doc_id ROWS UNBOUNDED PRECEDING)
         "pagerank": pagerank_oracle_sql(
             """SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
 UNION ALL SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
-UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0""",
+UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
+UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0""",
             iters=5,
         ),
         "connected_components": connected_components_oracle_sql(
@@ -1350,13 +1357,23 @@ f AS (
     nullif(regexp_extract(blk, '(?s)<changefreq[^>]*>\s*(.*?)\s*</changefreq>', 1), '') AS changefreq,
     nullif(regexp_extract(blk, '(?s)<priority[^>]*>\s*(.*?)\s*</priority>', 1), '') AS pr
   FROM b
+), deco AS (
+  -- the Spark side unescapes EVERY field (_tag_text), so the twin must
+  -- too, not just loc — a non-loc entity would otherwise diverge
+  SELECT sitemap_url, kind,
+         replace(replace(replace(replace(replace(loc,
+           '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),'&amp;','&') AS loc,
+         replace(replace(replace(replace(replace(lastmod,
+           '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),'&amp;','&') AS lastmod,
+         replace(replace(replace(replace(replace(changefreq,
+           '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),'&amp;','&') AS changefreq,
+         replace(replace(replace(replace(replace(pr,
+           '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),'&amp;','&') AS pr
+  FROM f
 )
-SELECT sitemap_url, kind,
-       replace(replace(replace(replace(replace(loc,
-         '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),'&amp;','&') AS loc,
-       lastmod, changefreq,
+SELECT sitemap_url, kind, loc, lastmod, changefreq,
        CAST(pr AS DOUBLE) AS priority
-FROM f WHERE loc IS NOT NULL
+FROM deco WHERE loc IS NOT NULL
 """,
         "metrics_rollup": """
 SELECT CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) AS ws,

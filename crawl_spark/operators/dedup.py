@@ -72,7 +72,15 @@ def latest_capture(
     across engines matters — captures of one URL in one crawl share
     nothing else to order by).
     """
-    cols = keep_cols or [c for c in pages.columns if c != url_col]
+    cols = (
+        keep_cols
+        if keep_cols is not None
+        else [c for c in pages.columns if c != url_col]
+    )
+    if not cols:  # just (url, n_captures) — no newest-row payload
+        return pages.groupBy(F.col(url_col).alias("url")).agg(
+            F.count("*").cast("long").alias("n_captures")
+        )
     agg = pages.groupBy(F.col(url_col).alias("url")).agg(
         F.max_by(F.struct(*cols), F.col(ts_col)).alias("__s"),
         F.count("*").alias("n_captures"),

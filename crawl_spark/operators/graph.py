@@ -93,6 +93,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = out_degrees(e).localCheckpoint(eager=True)
 
     base = (1.0 - damping) / n
@@ -163,6 +165,8 @@ def connected_components(
     ``bucket_path`` is given — scanned in place per iteration, no
     edge shuffle), and only the O(nodes) label table moves.
     """
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
     p = pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
     sym = (
         p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -217,6 +221,14 @@ def connected_components(
         labels = nxt.drop("__chg")
         if n_changed == 0:
             break
+    else:
+        # silent truncation would report one long-diameter component as
+        # several and diverge from the min-reachable oracle — fail loudly
+        raise ValueError(
+            f"connected_components did not converge in max_iters={max_iters} "
+            f"({n_changed} labels still changing); raise max_iters — the "
+            "per-iteration cost is one edge-scan join + an O(nodes) count"
+        )
     return labels
 
 

@@ -67,10 +67,11 @@ def recrawl_schedule(
     overdue_ratio is rounded to 6 dp (repo float contract)."""
     interval = changefreq_interval(F.col(changefreq_col))
     # explicit NULL gate: Spark's greatest() SKIPS nulls (greatest(NULL,
-    # 0.0) = 0.0), which would silently turn never/unknown into "not
-    # overdue" instead of "no schedule"
+    # 0.0) = 0.0), which would silently turn no-schedule (NULL interval)
+    # or never-fetched (NULL last_fetch) rows into "maximally fresh"
+    # instead of NULL
     overdue = F.when(
-        interval.isNotNull(),
+        interval.isNotNull() & F.col(last_fetch_col).isNotNull(),
         F.greatest(
             (F.lit(now_ts) - F.col(last_fetch_col)) / interval, F.lit(0.0)
         ),

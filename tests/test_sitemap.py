@@ -101,6 +101,24 @@ def test_recrawl_schedule_semantics(spark):
     assert out["f"]["recrawl_priority"] == 10  # capped
 
 
+def test_recrawl_null_last_fetch_is_null_not_fresh(spark):
+    """A never-fetched row with a valid changefreq must come back NULL
+    (no schedule basis), not 'maximally fresh' — greatest() skips the
+    NULL that (now - NULL)/interval produces, so it needs its own gate."""
+    from crawl_spark.operators.recrawl import recrawl_schedule
+
+    df = spark.createDataFrame(
+        [("u", None, "daily")], "url string, last_fetch_ts long, changefreq string"
+    )
+    r = recrawl_schedule(df, now_ts=1_700_000_000).collect()[0]
+    assert r["interval_s"] == 86_400
+    assert (
+        r["due_ts"] is None
+        and r["overdue_ratio"] is None
+        and r["recrawl_priority"] is None
+    )
+
+
 def test_sitemap_seeds_applies_priority_default(spark):
     from crawl_spark.sources.sitemap import sitemap_entries, sitemap_seeds
 

@@ -70,12 +70,11 @@ def main() -> None:
     # float-sum order differs between layouts; 6dp-rounded ranks may
     # still straddle a boundary, so compare with one-ulp-of-rounding
     # tolerance rather than equality
+    same_nodes = set(s1) == set(s2)
     results["parity_max_abs_diff"] = max(
-        (abs(s1[n] - s2[n]) for n in s1), default=0.0
+        (abs(s1[n] - s2[n]) for n in s1 if n in s2), default=0.0
     )
-    results["parity_ok"] = set(s1) == set(s2) and results[
-        "parity_max_abs_diff"
-    ] <= 1e-6
+    results["parity_ok"] = same_nodes and results["parity_max_abs_diff"] <= 1e-6
 
     spark.sql("DROP TABLE IF EXISTS bench_pr_edges")
     print(
