@@ -1473,8 +1473,9 @@ WITH docs AS (
                 || '.example/p/' || CAST(doc_id AS VARCHAR) END AS url
   FROM documents),
 h AS (SELECT doc_id, url,
-        regexp_extract(lower(url),
-          '^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
+        regexp_replace(regexp_extract(lower(url),
+          '^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1),
+          '\\.$', '') AS host
       FROM docs),
 sfx AS (SELECT doc_id,
           unnest(list_transform(range(1, len(string_split(host, '.')) + 1),

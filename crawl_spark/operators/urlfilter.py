@@ -41,10 +41,18 @@ _HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 
 def host_expr(url: F.Column) -> F.Column:
-    """Registrable host of a URL, lowercased (empty string if unparsable).
+    """Registrable host of a URL, lowercased, with any trailing dot
+    stripped (empty string if unparsable). The root-dot FQDN form
+    (``http://example.com./x``) names the same host as ``example.com``
+    to DNS/HTTP — and is a known blocklist-evasion spelling, so without
+    the strip its suffix chain (``['com.', 'example.com.']``) would
+    never match a blocked apex.
 
-    SQL twin: regexp_extract(lower(url), <same pattern>, 1)."""
-    return F.regexp_extract(F.lower(url), _HOST_RE, 1)
+    SQL twin: regexp_replace(regexp_extract(lower(url), <same pattern>,
+    1), '\\.$', '')."""
+    return F.regexp_replace(
+        F.regexp_extract(F.lower(url), _HOST_RE, 1), r"\.$", ""
+    )
 
 
 def suffix_chain(host: F.Column) -> F.Column:

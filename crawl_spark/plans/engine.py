@@ -349,6 +349,19 @@ class CrawlEngine:
                 [], "host string, disallow array<string>, crawl_delay double"
             )
         self.robots = robots_df.select("host", "disallow", "crawl_delay")
+        # one row per host is a CORRECTNESS contract, not a convention:
+        # the round loop left-joins the frontier on host (step 2), so a
+        # duplicate host row would duplicate frontier rows through the
+        # join — inflating the committed expired/allowed counters and
+        # double-scheduling that host's urls. Robots is dimension-sized;
+        # the check is two tiny jobs at construction, once.
+        n_rb = self.robots.count()
+        if n_rb and n_rb != self.robots.select("host").distinct().count():
+            raise ValueError(
+                "robots_df must have exactly one row per host "
+                "(deduplicate/merge rules upstream — "
+                "functions.robots.robots_table emits one row per host)"
+            )
         # politeness fast path: with no robots rules and no default delay,
         # every budget is unlimited and no URL is denied — the per-host
         # window rank, robots join and host-clock update are identity
@@ -1017,13 +1030,42 @@ class CrawlEngine:
         if not rels:
             return self.spark.createDataFrame([], _SEEN_BUCKETED_SCHEMA)
         base = os.path.join(self.config.workdir, "seen_deltas")
-        paths = [os.path.join(self.config.workdir, rel) for rel in rels]
-        return (
-            self.spark.read.option("basePath", base)
-            .schema(_SEEN_BUCKETED_SCHEMA)
-            .parquet(*paths)
-            .select(*[f.name for f in _SEEN_BUCKETED_SCHEMA.fields])
-        )
+        cols = [f.name for f in _SEEN_BUCKETED_SCHEMA.fields]
+        # legacy dirs (pre-bucketing layout: flat `seen_deltas/<name>`,
+        # no delta=/sb= structure) cannot share the partitioned scan —
+        # mixing them raises CONFLICTING_DIRECTORY_STRUCTURES, and read
+        # alone they'd surface sb=NULL and be dropped by the bucket
+        # prune. They are read flat and their sb COMPUTED from url_hash
+        # (same pmod as the writer), so resumed old workdirs stay exact
+        # and even prune correctly (row-filter, not file-prune).
+        new_rels = [r for r in rels if os.path.basename(r).startswith("delta=")]
+        old_rels = [r for r in rels if not os.path.basename(r).startswith("delta=")]
+        parts = []
+        if new_rels:
+            paths = [os.path.join(self.config.workdir, rel) for rel in new_rels]
+            parts.append(
+                self.spark.read.option("basePath", base)
+                .schema(_SEEN_BUCKETED_SCHEMA)
+                .parquet(*paths)
+                .select(*cols)
+            )
+        if old_rels:
+            paths = [os.path.join(self.config.workdir, rel) for rel in old_rels]
+            parts.append(
+                self.spark.read.schema(_SEEN_SCHEMA)
+                .parquet(*paths)
+                .withColumn(
+                    "sb",
+                    F.pmod(
+                        F.col("url_hash"), F.lit(self.config.seen_buckets)
+                    ).cast("int"),
+                )
+                .select(*cols)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _write_seen_delta(self, df: DataFrame, name: str, large: bool = False) -> str:
         """Write one bucketed seen delta dir atomically; returns the
@@ -1100,7 +1142,14 @@ class CrawlEngine:
             if not touched:
                 return links
             if len(touched) < B:
-                pruned = seen.filter(F.col("sb").isin(touched))
+                # sb IS NULL escape: deltas written by the pre-bucketing
+                # layout (resumed old workdirs) surface sb=NULL — they
+                # must always be scanned, not silently pruned away
+                # (dropping them would re-admit seen urls and break the
+                # never-re-enters invariant)
+                pruned = seen.filter(
+                    F.col("sb").isin(touched) | F.col("sb").isNull()
+                )
         hits = pruned.select("url_hash", "url_canon").join(
             F.broadcast(probe), ["url_hash", "url_canon"], "leftsemi"
         )
@@ -1306,15 +1355,9 @@ class CrawlEngine:
                 lc = manifest["counters"]
                 n_frontier = lc["deferred_by_politeness"] + lc["scheduled"]
                 if cfg.collect_transcript:
-                    for rr in range(last + 1):
-                        tp = os.path.join(cfg.workdir, "round_%05d" % rr, "transcript")
-                        res.transcript.append(
-                            [
-                                row.url_canon
-                                for row in spark.read.parquet(tp)
-                                .orderBy("batch_pos").collect()
-                            ]
-                        )
+                    # reuse the one reconstruction implementation
+                    res.rounds = last + 1
+                    res.transcript = res.read_transcript(spark)
                 start_round = last + 1
                 if cfg.use_bloom:
                     from ..operators.bloom import build_bitmaps, load_bitmaps

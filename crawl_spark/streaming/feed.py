@@ -22,6 +22,7 @@ cluster scale the directory source swaps for Kafka with no plan change.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -212,12 +213,50 @@ def seed_feed_stream(
     return writer.start()
 
 
+def _sink_committed_files(staging_dir: str) -> set[str] | None:
+    """Basenames the streaming file sink has COMMITTED, parsed from its
+    ``_spark_metadata`` log; None when no sink writes here. The sink's
+    tasks write part files directly into the output dir and only the
+    end-of-batch log entry makes them real — a raw directory listing
+    sees torn/in-progress/aborted files the log does not vouch for."""
+    log_dir = os.path.join(staging_dir, "_spark_metadata")
+    if not os.path.isdir(log_dir):
+        return None
+    committed: set[str] = set()
+    for name in os.listdir(log_dir):
+        if name.startswith("."):
+            continue
+        try:
+            with open(os.path.join(log_dir, name)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or not line.startswith("{"):
+                        continue  # the "v1" version header
+                    try:
+                        entry = json.loads(line)
+                    except ValueError:
+                        continue
+                    p = entry.get("path")
+                    if p and entry.get("action", "add") == "add":
+                        committed.add(os.path.basename(p))
+        except OSError:
+            continue
+    return committed
+
+
 def drain_staged_seeds(
     spark: SparkSession, staging_dir: str, exclude=()
 ) -> tuple[DataFrame, list[str]]:
     """Read the NOT-yet-drained staged seed files (engine calls this at a
-    round boundary and unions the rows into the frontier — snapshot
-    isolation makes the pickup atomic).
+    round boundary and unions the rows into the frontier).
+
+    Pickup is atomic per file: streaming-sink part files count only once
+    their batch is committed to ``_spark_metadata`` (an in-progress
+    micro-batch's torn files are skipped and picked up by a later
+    round); ``cli-*.parquet`` files (tools/crawl_submit.py) are written
+    tmp-then-rename, so their appearance IS their commit. When no sink
+    log exists the directory is batch-write-only and every *.parquet is
+    trusted.
 
     ``exclude`` is the high-watermark: file names previous rounds already
     drained (recorded in each round manifest), so a long-running crawl's
@@ -226,10 +265,17 @@ def drain_staged_seeds(
     before commit is idempotent via the seen-set membership check."""
     if not os.path.isdir(staging_dir):
         return spark.createDataFrame([], STAGED_SCHEMA), []
+    committed = _sink_committed_files(staging_dir)
     new = sorted(
         f
         for f in os.listdir(staging_dir)
-        if f.endswith(".parquet") and f not in exclude
+        if f.endswith(".parquet")
+        and f not in exclude
+        and (
+            committed is None
+            or f.startswith("cli-")
+            or f in committed
+        )
     )
     if not new:
         return spark.createDataFrame([], STAGED_SCHEMA), []

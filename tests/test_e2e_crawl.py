@@ -653,3 +653,76 @@ def test_seen_probe_prune_threshold(spark, tiny_fixture, tmp_path_factory):
     plan2 = unpruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [sb#" not in plan2  # full scan, but still
     assert "Exchange hashpartitioning(url_canon" not in plan2  # no seen shuffle
+
+
+def test_seen_probe_scans_prebucketing_deltas(spark, tiny_fixture, tmp_path_factory):
+    """Resumed old workdirs hold FLAT seen deltas (pre-bucketing layout:
+    no delta=/sb= structure). Mixing them into the partitioned scan
+    raises CONFLICTING_DIRECTORY_STRUCTURES, and read alone they'd
+    surface sb=NULL and be silently dropped by the bucket prune —
+    re-admitting every url they record. _read_seen must read them flat,
+    COMPUTE sb from url_hash, and keep the membership check exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pages, seeds, robots = _load(tiny_fixture)
+    wd = str(tmp_path_factory.mktemp("oldseen_work"))
+    engine = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        config=EngineConfig(batch_cap=40, max_rounds=2, workdir=wd),
+    )
+    engine.run(seeds)
+    # simulate a pre-bucketing delta: flat dir, no sb column/partition
+    old = spark.createDataFrame(
+        [(F_OLD_HASH, "http://old.example/a"), (F_OLD_HASH + 1, "http://old.example/b")],
+        "url_hash long, url_canon string",
+    )
+    rel = os.path.join("seen_deltas", "delta_legacy")
+    old.write.parquet(os.path.join(wd, rel))
+    # MIXED layout: legacy flat dir + this run's bucketed delta= dirs
+    engine._seen_rels = engine._seen_rels + [rel]
+    seen = engine._read_seen(engine._seen_rels)
+    B = engine.config.seen_buckets
+    legacy = {
+        r.url_hash: r.sb
+        for r in seen.filter(F.col("url_canon").startswith("http://old.")).collect()
+    }
+    # sb computed, not NULL — legacy rows participate in pruning exactly
+    assert legacy == {h: h % B for h in (F_OLD_HASH, F_OLD_HASH + 1)}
+    assert seen.filter(F.col("sb").isNull()).count() == 0
+
+    links = spark.createDataFrame(
+        [(F_OLD_HASH, "http://old.example/a"),      # in the legacy delta
+         (12345, "http://new.example/fresh")],      # genuinely new
+        "url_hash long, url_canon string",
+    ).localCheckpoint(eager=True)
+    out = engine._links_minus_seen(links, seen, 2)  # 2 <= 2048: prune branch
+    assert [r.url_canon for r in out.collect()] == ["http://new.example/fresh"]
+
+
+F_OLD_HASH = 777001
+
+
+def test_duplicate_robots_host_rejected(spark, tiny_fixture, tmp_path_factory):
+    """One row per host is the join contract: a duplicate host row would
+    duplicate frontier rows through the politeness left join."""
+    import pytest
+
+    dup = spark.createDataFrame(
+        [("h.example", ["/x"], 0.0), ("h.example", ["/y"], 1.0)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    with pytest.raises(ValueError, match="one row per host"):
+        CrawlEngine(
+            spark,
+            spark.read.parquet(tiny_fixture["pages"]),
+            _registry(),
+            robots_df=dup,
+            config=EngineConfig(
+                batch_cap=10, max_rounds=1,
+                workdir=str(tmp_path_factory.mktemp("dup_rb")),
+            ),
+        )

@@ -854,6 +854,8 @@ def test_url_blocklist_filter_subdomains_and_boundaries(spark):
         (5, "http://user:pw@bad.example/x"),       # userinfo form -> blocked
         (6, "http://good.example/x"),
         (7, "http://example/x"),                   # bare host, not in list
+        (8, "http://bad.example./x"),              # root-dot FQDN -> blocked
+        (9, "http://a.bad.example./x"),            # root-dot subdomain -> blocked
     ]
     blocked = spark.createDataFrame([("bad.example",), ("evil.test",)], ["host"])
     df = spark.createDataFrame(rows, "doc_id long, url string")
@@ -865,4 +867,4 @@ def test_url_blocklist_filter_subdomains_and_boundaries(spark):
     none_blocked = url_blocklist_filter(
         df, spark.createDataFrame([], "host string")
     )
-    assert none_blocked.count() == 8
+    assert none_blocked.count() == 10

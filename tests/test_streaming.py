@@ -255,3 +255,55 @@ def test_kafka_seed_projection(spark):
     reader = kafka_seed_source(spark, "broker:9092", "seeds")
     with pytest.raises(Exception, match="[kK]afka"):
         reader.load()
+
+
+def test_drain_honors_sink_commit_log(spark, tmp_path):
+    """The streaming file sink writes part files in place and commits
+    them to _spark_metadata at end-of-batch: the drain must skip part
+    files the log does not vouch for (torn/in-progress/aborted), trust
+    cli-*.parquet on sight (tmp-then-rename commit), and trust every
+    file when no sink log exists."""
+    import json as _json
+    import os
+
+    from crawl_spark.streaming.feed import STAGED_SCHEMA, drain_staged_seeds
+
+    staging = tmp_path / "staged"
+    staging.mkdir()
+
+    def stage(name):
+        row = [("http://h.example/" + name, "http://h.example/" + name,
+                "h.example", "/" + name, 1, 1, 0, [], None, None)]
+        spark.createDataFrame(row, STAGED_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("w_" + name)))
+        src = next(
+            f for f in os.listdir(tmp_path / ("w_" + name)) if f.endswith(".parquet")
+        )
+        os.rename(tmp_path / ("w_" + name) / src, staging / name)
+
+    stage("part-committed.parquet")
+    stage("part-inflight.parquet")
+    stage("cli-abc.parquet")
+    # a torn in-progress sink file (invalid parquet) must also be skipped
+    (staging / "part-torn.parquet").write_bytes(b"PAR1trunc")
+
+    # no sink log yet: every *.parquet is trusted (batch-only staging)...
+    # except the torn one would crash — so build the log first, as any
+    # real sink-written dir has one from batch 0.
+    meta = staging / "_spark_metadata"
+    meta.mkdir()
+    (meta / "0").write_text(
+        "v1\n" + _json.dumps({"path": "file://" + str(staging / "part-committed.parquet"),
+                              "size": 1, "action": "add"}) + "\n"
+    )
+    df, files = drain_staged_seeds(spark, str(staging))
+    assert sorted(files) == ["cli-abc.parquet", "part-committed.parquet"]
+    urls = sorted(r.url for r in df.collect())
+    assert urls == [
+        "http://h.example/cli-abc.parquet",
+        "http://h.example/part-committed.parquet",
+    ]
+    # watermark still applies on top of the commit filter
+    df2, files2 = drain_staged_seeds(spark, str(staging), exclude=set(files))
+    assert files2 == [] and df2.count() == 0

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -81,10 +82,29 @@ def main(argv=None) -> int:
         cols = [f.split()[0] for f in STAGED_SCHEMA.split(", ")]
         pdf = pd.DataFrame(rows)[cols]
         # write with the DECLARED schema — inference would stage int64 where
-        # the drain reads int32 etc. and break the reader mid-scan
-        spark.createDataFrame(pdf, STAGED_SCHEMA).write.mode("append").parquet(
-            args.staging
-        )
+        # the drain reads int32 etc. and break the reader mid-scan.
+        # Staged via tmp-then-rename under a cli- name: the drain trusts
+        # cli-*.parquet on sight (rename is the commit), while sink part
+        # files must appear in _spark_metadata first.
+        import shutil
+        import uuid
+
+        tmp = os.path.join(args.staging, ".cli_tmp_%s" % uuid.uuid4().hex)
+        spark.createDataFrame(pdf, STAGED_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.makedirs(args.staging, exist_ok=True)
+        n_parts = 0
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, f),
+                    os.path.join(
+                        args.staging, "cli-%s-%d.parquet" % (uuid.uuid4().hex, n_parts)
+                    ),
+                )
+                n_parts += 1
+        shutil.rmtree(tmp, ignore_errors=True)
         print(f"staged {len(rows)} seeds")
         return 0
 
