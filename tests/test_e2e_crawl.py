@@ -643,7 +643,13 @@ def test_seen_probe_prune_threshold(spark, tiny_fixture, tmp_path_factory):
     pruned = engine._links_minus_seen(links, seen, n)  # 16 ≤ 2048 → prunes
     assert sorted(r.url_canon for r in pruned.select("url_canon").collect()) == expected
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters: [sb#" in ln]
+    # bucket prune + the defensive isnull(sb) escape for legacy rows:
+    # PartitionFilters: [(sb# IN (...) OR isnull(sb#))] — the IN list
+    # prunes files (isnull matches no hive dir), rows stay exact
+    pf = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters: [" in ln and "sb#" in ln and " IN (" in ln
+    ]
     assert pf, plan  # the seen scan is bucket-pruned at listing time
     assert "Exchange hashpartitioning(url_canon" not in plan  # seen never shuffles
 
@@ -651,7 +657,10 @@ def test_seen_probe_prune_threshold(spark, tiny_fixture, tmp_path_factory):
     unpruned = engine._links_minus_seen(links, seen, n)
     assert sorted(r.url_canon for r in unpruned.select("url_canon").collect()) == expected
     plan2 = unpruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [sb#" not in plan2  # full scan, but still
+    assert not any(  # full scan: no sb prune in either filter form
+        "PartitionFilters: [" in ln and "sb#" in ln and " IN (" in ln
+        for ln in plan2.splitlines()
+    )
     assert "Exchange hashpartitioning(url_canon" not in plan2  # no seen shuffle
 
 
