@@ -428,6 +428,12 @@ def q_domain_quota(spark, sf_dir):
     return domain_quota(_t(spark, sf_dir, "documents"), quota=10)
 
 
+def q_token_entropy(spark, sf_dir):
+    from crawl_spark.operators.textops import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark, sf_dir):
     from crawl_spark.operators.sampling import pack_sequences
 
@@ -783,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
+        "token_entropy": q_token_entropy,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "sitemap": q_sitemap,
@@ -1296,6 +1303,24 @@ SELECT doc_id, source, pick_hash FROM (
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 10
+""",
+        "token_entropy": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+cnt AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS c
+        FROM tok GROUP BY doc_id, token),
+agg AS (SELECT doc_id, sum(c) AS n, count(*) AS u,
+               sum(c * log2(c)) AS sclc
+        FROM cnt GROUP BY doc_id)
+SELECT tk.doc_id,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.u, 0) AS BIGINT) AS n_unique,
+       round(log2(agg.n) - agg.sclc / agg.n, 6) AS entropy,
+       CASE WHEN agg.u > 1
+            THEN round((log2(agg.n) - agg.sclc / agg.n)
+                       / log2(CAST(agg.u AS DOUBLE)), 6)
+       END AS norm_entropy
+FROM tk LEFT JOIN agg USING (doc_id)
 """,
         "pack_sequences": f"""
 WITH b AS (

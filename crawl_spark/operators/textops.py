@@ -147,6 +147,51 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram (Shannon) entropy — the standard
+    gibberish/repetitiveness signal complementary to
+    :func:`gopher_repetition`: low entropy = a few tokens dominate
+    (keyword stuffing, boilerplate loops), entropy near log2(n_unique)
+    = maximally mixed.
+
+    Computed as H = log2(n) − Σ c·log2(c) / n (algebraically identical
+    to −Σ p·log2 p but needs NO join of per-token counts back to
+    per-doc totals — both aggregates come out of the same two
+    partial-aggregated groupBys; the DuckDB twin uses the same formula
+    so float parity holds at 6 dp). norm_entropy = H / log2(n_unique),
+    NULL when n_unique ≤ 1 (single-token and empty docs have no mixing
+    to measure); token-less docs keep a row with zero counts.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    cnt = tok.groupBy(id_col, "token").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    agg = cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("u"),
+        F.sum(F.col("c") * F.log2("c")).alias("sclc"),
+    )
+    ent = F.log2("n") - F.col("sclc") / F.col("n")
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n"), F.lit(0.0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("u"), F.lit(0)).cast("long").alias("n_unique"),
+            F.round(ent, 6).alias("entropy"),
+            F.when(
+                F.col("u") > 1,
+                F.round(ent / F.log2(F.col("u").cast("double")), 6),
+            ).alias("norm_entropy"),
+        )
+    )
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

@@ -754,6 +754,40 @@ def test_connected_components_matches_union_find(spark):
     assert out[22] == 20
 
 
+def test_token_entropy_matches_python(spark):
+    from collections import Counter
+
+    from crawl_spark.operators.textops import token_entropy
+
+    rows = [
+        (0, "a a a a"),                 # single token: H=0, norm NULL
+        (1, "a b c d"),                 # uniform: H=2, norm 1.0
+        (2, "a a b"),                   # mixed
+        (3, ""),                        # empty: zero counts, NULLs
+        (4, "spam spam spam spam ham"), # low-entropy stuffing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    for i, text in rows:
+        toks = text.lower().split()
+        r = out[i]
+        assert r["n_tokens"] == len(toks) and r["n_unique"] == len(set(toks))
+        if not toks:
+            assert r["entropy"] is None and r["norm_entropy"] is None
+            continue
+        c = Counter(toks)
+        n = len(toks)
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        assert r["entropy"] == round(h, 6)
+        if len(c) > 1:
+            assert r["norm_entropy"] == round(h / math.log2(len(c)), 6)
+        else:
+            assert r["norm_entropy"] is None
+    assert out[1]["entropy"] == 2.0 and out[1]["norm_entropy"] == 1.0
+    assert out[0]["entropy"] == 0.0
+    assert out[4]["entropy"] < out[2]["entropy"] < out[1]["entropy"]
+
+
 def test_connected_components_raises_when_unconverged(spark):
     """A chain longer than max_iters must fail loudly, not silently
     report one component as several (the DuckDB oracle computes true

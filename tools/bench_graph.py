@@ -33,7 +33,7 @@ WORK = os.environ.get("GRAPH_WORK", "/tmp/bench_graph")
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from crawl_spark.operators.graph import pagerank
+    from crawl_spark.operators.graph import connected_components, pagerank
     from crawl_spark.session import make_session
 
     spark = make_session("bench_graph", master="local[32]")
@@ -46,6 +46,32 @@ def main() -> None:
     )
     e = e.localCheckpoint(eager=True)  # fixed input for both layouts
     results = {}
+
+    if os.environ.get("GRAPH_OP") == "cc":
+        # CC gets its own JVM (GRAPH_OP=cc): pagerank's two full runs
+        # plus CC's symmetrized edge set overflow one shared driver heap
+        t0 = time.time()
+        cc = connected_components(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            max_iters=40,
+            bucket_path=f"{WORK}/cc_edges",
+            bucket_table="bench_cc_edges",
+        )
+        cc.write.format("noop").mode("overwrite").save()
+        results["cc_bucketed_sec"] = round(time.time() - t0, 2)
+        n_comp = cc.select("component").distinct().count()
+        spark.sql("DROP TABLE IF EXISTS bench_cc_edges")
+        print(
+            json.dumps(
+                {
+                    "n_edges": N_EDGES,
+                    "n_nodes": N_NODES,
+                    "n_components": n_comp,
+                    **results,
+                }
+            )
+        )
+        return
 
     t0 = time.time()
     r1 = pagerank(e, iters=ITERS)
