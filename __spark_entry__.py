@@ -1460,7 +1460,9 @@ WITH x AS (
   FROM x
 ), g AS (
   SELECT url, last_fetch_ts, interval_s,
-    CASE WHEN interval_s IS NULL THEN NULL
+    -- NULL gate mirrors the operator exactly: no schedule (interval)
+    -- OR never fetched (last_fetch) means NULL, not "maximally fresh"
+    CASE WHEN interval_s IS NULL OR last_fetch_ts IS NULL THEN NULL
          ELSE greatest((1700000000 - last_fetch_ts) / CAST(interval_s AS DOUBLE), 0.0)
     END AS overdue
   FROM f

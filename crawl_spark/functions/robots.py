@@ -49,7 +49,9 @@ def parse_robots_txt(body: str | bytes | None, agent: str = "crawl-spark") -> di
     Returns {"disallow": [prefixes...], "crawl_delay": float_or_0,
     "sitemaps": [urls...]}. Per REP, ``Sitemap:`` lines are GLOBAL —
     collected from every line regardless of which user-agent group they
-    appear in (they still end a user-agent run, like any non-UA line).
+    appear in, and (matching Google's parser) they do NOT terminate a
+    user-agent run: consecutive UA lines separated only by a Sitemap
+    line still form one group.
     """
     if body is None:
         return {"disallow": [], "crawl_delay": 0.0, "sitemaps": []}
@@ -72,9 +74,13 @@ def parse_robots_txt(body: str | bytes | None, agent: str = "crawl-spark") -> di
         field = field.strip().lower()
         value = value.strip()
         if field == "sitemap":
+            # collected globally AND transparent to grouping: Google's
+            # REP parser does not treat a Sitemap line as a group
+            # separator, so 'UA: a / Sitemap: x / UA: b / Disallow: /p'
+            # keeps a and b in ONE group sharing /p — ending the UA run
+            # here would silently drop a's disallow rules
             if value:
                 sitemaps.append(value)
-            in_ua_run = False
             continue
         if field == "user-agent":
             if not in_ua_run:

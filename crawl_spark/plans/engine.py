@@ -367,7 +367,7 @@ class CrawlEngine:
         # window rank, robots join and host-clock update are identity
         # transforms, so skip them (saves a shuffle + 2 joins per round).
         self._politeness_active = (
-            self.config.default_crawl_delay > 0 or not self.robots.isEmpty()
+            self.config.default_crawl_delay > 0 or n_rb > 0  # no isEmpty job
         )
         self._errors_schema = "url string, round int, error_class string, message string"
         self._parallelism = spark.sparkContext.defaultParallelism

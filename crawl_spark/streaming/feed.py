@@ -22,7 +22,6 @@ cluster scale the directory source swaps for Kafka with no plan change.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -213,35 +212,20 @@ def seed_feed_stream(
     return writer.start()
 
 
-def _sink_committed_files(staging_dir: str) -> set[str] | None:
-    """Basenames the streaming file sink has COMMITTED, parsed from its
-    ``_spark_metadata`` log; None when no sink writes here. The sink's
-    tasks write part files directly into the output dir and only the
-    end-of-batch log entry makes them real — a raw directory listing
-    sees torn/in-progress/aborted files the log does not vouch for."""
-    log_dir = os.path.join(staging_dir, "_spark_metadata")
-    if not os.path.isdir(log_dir):
-        return None
-    committed: set[str] = set()
-    for name in os.listdir(log_dir):
-        if name.startswith("."):
-            continue
-        try:
-            with open(os.path.join(log_dir, name)) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line or not line.startswith("{"):
-                        continue  # the "v1" version header
-                    try:
-                        entry = json.loads(line)
-                    except ValueError:
-                        continue
-                    p = entry.get("path")
-                    if p and entry.get("action", "add") == "add":
-                        committed.add(os.path.basename(p))
-        except OSError:
-            continue
-    return committed
+def _parquet_complete(path: str) -> bool:
+    """A parquet file is structurally complete iff it ends with the
+    footer magic ``PAR1`` — writers (the streaming file sink included)
+    write the footer LAST, so a torn/in-progress file cannot carry it.
+    One open+seek per file; the drain's watermark keeps this O(new)."""
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(0, os.SEEK_END)
+            if fh.tell() < 8:  # header magic + footer magic minimum
+                return False
+            fh.seek(-4, os.SEEK_END)
+            return fh.read(4) == b"PAR1"
+    except OSError:
+        return False
 
 
 def drain_staged_seeds(
@@ -250,13 +234,17 @@ def drain_staged_seeds(
     """Read the NOT-yet-drained staged seed files (engine calls this at a
     round boundary and unions the rows into the frontier).
 
-    Pickup is atomic per file: streaming-sink part files count only once
-    their batch is committed to ``_spark_metadata`` (an in-progress
-    micro-batch's torn files are skipped and picked up by a later
-    round); ``cli-*.parquet`` files (tools/crawl_submit.py) are written
-    tmp-then-rename, so their appearance IS their commit. When no sink
-    log exists the directory is batch-write-only and every *.parquet is
-    trusted.
+    Pickup is safe per FILE, not per sink batch: a file is drained once
+    it is structurally complete (trailing parquet footer magic — the
+    streaming sink writes part files in place and the footer last, so
+    in-progress/torn files fail the check and are simply retried next
+    round). Files from an ABORTED micro-batch may be drained alongside
+    the retry's copies; that is at-least-once by design — the engine's
+    in-batch window dedup + seen anti-join collapse duplicates, which
+    the crash-replay contract already relies on. This also keeps
+    pre-sink-era and plain ``df.write.parquet`` staged files drainable
+    (no commit-log dependency), with no per-round parse of the sink's
+    ever-growing ``_spark_metadata``.
 
     ``exclude`` is the high-watermark: file names previous rounds already
     drained (recorded in each round manifest), so a long-running crawl's
@@ -265,17 +253,12 @@ def drain_staged_seeds(
     before commit is idempotent via the seen-set membership check."""
     if not os.path.isdir(staging_dir):
         return spark.createDataFrame([], STAGED_SCHEMA), []
-    committed = _sink_committed_files(staging_dir)
     new = sorted(
         f
         for f in os.listdir(staging_dir)
         if f.endswith(".parquet")
         and f not in exclude
-        and (
-            committed is None
-            or f.startswith("cli-")
-            or f in committed
-        )
+        and _parquet_complete(os.path.join(staging_dir, f))
     )
     if not new:
         return spark.createDataFrame([], STAGED_SCHEMA), []

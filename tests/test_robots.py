@@ -147,6 +147,16 @@ sitemap: https://a.example/sitemap-2.xml.gz
     # group selection is unaffected: * group applies to us
     assert p["disallow"] == ["/tmp"]
 
+    # Google-parser semantics: a Sitemap line between UA lines does NOT
+    # split the group — both agents share the rules that follow
+    merged = parse_robots_txt(
+        "User-agent: crawl-spark\nSitemap: https://x/s.xml\n"
+        "User-agent: other\nDisallow: /private\n",
+        agent="crawl-spark",
+    )
+    assert merged["disallow"] == ["/private"]
+    assert merged["sitemaps"] == ["https://x/s.xml"]
+
     df = spark.createDataFrame(
         [("a.example", body), ("b.example", "User-agent: *\nDisallow:"),
          ("c.example", "Sitemap: https://c.example/s.xml")],

@@ -257,13 +257,12 @@ def test_kafka_seed_projection(spark):
         reader.load()
 
 
-def test_drain_honors_sink_commit_log(spark, tmp_path):
-    """The streaming file sink writes part files in place and commits
-    them to _spark_metadata at end-of-batch: the drain must skip part
-    files the log does not vouch for (torn/in-progress/aborted), trust
-    cli-*.parquet on sight (tmp-then-rename commit), and trust every
-    file when no sink log exists."""
-    import json as _json
+def test_drain_skips_incomplete_parquet_files(spark, tmp_path):
+    """The streaming file sink writes part files in place and the
+    parquet footer LAST — the drain trusts a file only once its
+    trailing PAR1 magic exists, so torn/in-progress files are skipped
+    (and retried next round once complete) while complete files drain
+    regardless of how they were staged (sink, old batch append, cli)."""
     import os
 
     from crawl_spark.streaming.feed import STAGED_SCHEMA, drain_staged_seeds
@@ -282,28 +281,20 @@ def test_drain_honors_sink_commit_log(spark, tmp_path):
         )
         os.rename(tmp_path / ("w_" + name) / src, staging / name)
 
-    stage("part-committed.parquet")
-    stage("part-inflight.parquet")
-    stage("cli-abc.parquet")
-    # a torn in-progress sink file (invalid parquet) must also be skipped
+    stage("part-sinkbatch.parquet")   # sink-written, complete
+    stage("part-oldappend.parquet")   # pre-upgrade batch append, complete
+    stage("cli-abc.parquet")          # cli tmp-then-rename
+    # torn in-progress sink files: header-only, and header+data-no-footer
     (staging / "part-torn.parquet").write_bytes(b"PAR1trunc")
+    (staging / "part-tiny.parquet").write_bytes(b"PAR1")
 
-    # no sink log yet: every *.parquet is trusted (batch-only staging)...
-    # except the torn one would crash — so build the log first, as any
-    # real sink-written dir has one from batch 0.
-    meta = staging / "_spark_metadata"
-    meta.mkdir()
-    (meta / "0").write_text(
-        "v1\n" + _json.dumps({"path": "file://" + str(staging / "part-committed.parquet"),
-                              "size": 1, "action": "add"}) + "\n"
-    )
     df, files = drain_staged_seeds(spark, str(staging))
-    assert sorted(files) == ["cli-abc.parquet", "part-committed.parquet"]
-    urls = sorted(r.url for r in df.collect())
-    assert urls == [
-        "http://h.example/cli-abc.parquet",
-        "http://h.example/part-committed.parquet",
+    assert sorted(files) == [
+        "cli-abc.parquet", "part-oldappend.parquet", "part-sinkbatch.parquet",
     ]
-    # watermark still applies on top of the commit filter
+    assert df.count() == 3
+    # the torn file completing later gets picked up by the next drain
+    stage("part-torn2.parquet")
+    os.replace(staging / "part-torn2.parquet", staging / "part-torn.parquet")
     df2, files2 = drain_staged_seeds(spark, str(staging), exclude=set(files))
-    assert files2 == [] and df2.count() == 0
+    assert files2 == ["part-torn.parquet"] and df2.count() == 1
