@@ -629,18 +629,24 @@ def q_decontaminate(spark, sf_dir):
 
 def q_url_filter(spark, sf_dir):
     """UT1-style domain blocklist over synthetic urls: host{id%20}
-    .example with a www. subdomain variant, blocking two apex domains —
-    exercises exact-host, subdomain, and label-boundary (host12 must NOT
-    be blocked by host1) semantics."""
+    .example with a www. subdomain variant and an 11-deep subdomain
+    variant (doc_id%50==1), blocking two apex domains — exercises
+    exact-host, subdomain, label-boundary (host12 must NOT be blocked
+    by host1), and deeper-than-MAX_LABELS hosts (the suffix-chain cap
+    counts from the apex end, so label-prepending is not an evasion)."""
     from crawl_spark.operators.urlfilter import url_blocklist_filter
 
     d = _t(spark, sf_dir, "documents")
     h = (F.col("doc_id") % 20).cast("string")
     i = F.col("doc_id").cast("string")
-    url = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(F.lit("http://www.host"), h, F.lit(".example/p/"), i),
-    ).otherwise(F.concat(F.lit("http://host"), h, F.lit(".example/p/"), i))
+    sub = (
+        F.when(F.col("doc_id") % 50 == 1,
+               F.lit("x0.x1.x2.x3.x4.x5.x6.x7.x8.x9.x10."))
+        .when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(F.lit("http://"), sub, F.lit("host"), h,
+                   F.lit(".example/p/"), i)
     docs = d.select("doc_id", url.alias("url"))
     blocked = spark.createDataFrame(
         [("host1.example",), ("host7.example",)], ["host"]
@@ -1493,11 +1499,12 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
         "url_filter": """
 WITH docs AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0
-           THEN 'http://www.host' || CAST(doc_id % 20 AS VARCHAR)
-                || '.example/p/' || CAST(doc_id AS VARCHAR)
-           ELSE 'http://host' || CAST(doc_id % 20 AS VARCHAR)
-                || '.example/p/' || CAST(doc_id AS VARCHAR) END AS url
+         'http://'
+         || CASE WHEN doc_id % 50 = 1 THEN 'x0.x1.x2.x3.x4.x5.x6.x7.x8.x9.x10.'
+                 WHEN doc_id % 3 = 0 THEN 'www.'
+                 ELSE '' END
+         || 'host' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
   FROM documents),
 h AS (SELECT doc_id, url,
         regexp_replace(regexp_extract(lower(url),

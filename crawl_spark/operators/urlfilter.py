@@ -21,9 +21,11 @@ Spark-first plan (no per-row Python, no O(rows x |blocklist|) scan):
   by the blocked fraction;
 - survivors = corpus anti-join the matched-id set on ``id_col``.
 
-Suffix chains are capped at ``MAX_LABELS`` labels (hosts deeper than
-that are almost always garbage; the cap keeps the explode factor a
-constant). Matching is on full label boundaries only — ``notexample.com``
+Suffix chains are capped at ``MAX_LABELS`` labels counted FROM THE
+APEX END (hosts deeper than that are almost always garbage; the cap
+keeps the explode factor a constant while guaranteeing the registrable
+apex is always among the generated suffixes — a subdomain-end cap
+would be a label-prepending evasion path). Matching is on full label boundaries only — ``notexample.com``
 is NOT blocked by ``example.com`` (the suffix chain never contains
 partial labels), which is the correctness trap in naive LIKE '%x'
 implementations.
@@ -62,10 +64,18 @@ def suffix_chain(host: F.Column) -> F.Column:
     com]`` (order not contractual). Built without outer-column refs in
     the lambda: ``F.aggregate`` over the reversed labels grows the
     accumulator ``[com] -> [com, example.com] -> ...`` using only the
-    lambda's own (acc, x) parameters."""
-    labels = F.slice(F.split(host, r"\."), 1, MAX_LABELS)
+    lambda's own (acc, x) parameters.
+
+    The MAX_LABELS cap is taken from the APEX end (labels are reversed
+    BEFORE slicing): a host deeper than MAX_LABELS labels keeps its
+    shortest MAX_LABELS suffixes, so the registrable apex is always in
+    the chain. Capping from the subdomain end instead would let
+    ``x1.x2...x10.example.com`` evade a blocklist entry for
+    ``example.com`` by prepending labels — the exact evasion the
+    module's contract forbids."""
+    labels = F.slice(F.reverse(F.split(host, r"\.")), 1, MAX_LABELS)
     return F.aggregate(
-        F.reverse(labels),
+        labels,
         F.array().cast("array<string>"),
         lambda acc, x: F.concat(
             acc,

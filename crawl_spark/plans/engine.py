@@ -190,7 +190,15 @@ class EngineConfig:
     # (O(|seen|) network at a 10^10-row seen set). Candidate sets larger
     # than this (bounded by batch_cap × links/page — tune together) fall
     # back to the shuffle anti-join, which AQE can still skew-split.
-    seen_probe_broadcast_max: int = 4_000_000
+    # MEMORY COST: the probe path broadcasts the (url_hash, url_canon)
+    # candidate set AND (separately) the ≤-as-large hit set — i.e. up to
+    # 2× ~(96 B/row × max) live on the driver and every executor per
+    # round. None (default) derives the cap from
+    # spark.sql.autoBroadcastJoinThreshold / ~96 B-per-row (Spark's
+    # 10 MB default ⇒ ~109k rows ⇒ tens of MB as a hashed relation —
+    # safe on default-sized JVMs); set an explicit row count only with
+    # the executor/driver headroom to match (4M rows ≈ 400 MB × 2).
+    seen_probe_broadcast_max: int | None = None
     # bucket-prune the seen scan only when the probe side is small enough
     # for pruning to have a chance: ≥ ~B·ln(B) uniformly-hashed links
     # touch every bucket w.h.p. (coupon collector), so collecting their
@@ -940,6 +948,34 @@ class CrawlEngine:
                 % (what, manifest.get("snapshot_id"), committed, self._robots_fp)
             )
 
+    def _check_seen_buckets(self, manifest: dict, what: str) -> None:
+        """Bucketed seen deltas store ``sb = pmod(url_hash, B)`` as a
+        hive partition VALUE — it is only meaningful under the B it was
+        written with. Resuming with a different ``seen_buckets`` would
+        make ``_links_minus_seen``'s partition prune (computed with the
+        new B) silently skip partitions holding matching seen rows, so
+        seen urls would re-enter the frontier — breaking the invariant
+        the frontier log's delete exactness depends on. Same
+        pin-and-assert pattern as the robots fingerprint."""
+        committed = manifest.get("seen_buckets")
+        if committed is not None and committed != self.config.seen_buckets:
+            raise ValueError(
+                "%s: snapshot %s was committed with seen_buckets=%d but the "
+                "engine is configured with seen_buckets=%d — the bucketed "
+                "seen deltas' sb partition values would no longer line up "
+                "with the membership probe's prune and seen urls would "
+                "re-enter the frontier. Resume with seen_buckets=%d (a "
+                "compaction under the new B must rewrite every delta), or "
+                "start a fresh workdir."
+                % (
+                    what,
+                    manifest.get("snapshot_id"),
+                    committed,
+                    self.config.seen_buckets,
+                    committed,
+                )
+            )
+
     # -- snapshot catalog (Iceberg-style: ids, lineage, time travel) -------
     def snapshots(self) -> list[dict]:
         """All committed snapshot manifests, oldest first."""
@@ -985,7 +1021,9 @@ class CrawlEngine:
         if name == "seen":
             mf = os.path.join(self.config.workdir, "round_%05d" % r, "manifest.json")
             with open(mf) as f:
-                rels = json.load(f).get("seen_deltas", [])
+                manifest = json.load(f)
+            self._check_seen_buckets(manifest, "read_table('seen')")
+            rels = manifest.get("seen_deltas", [])
             missing = [p for p in rels if not os.path.isdir(os.path.join(self.config.workdir, p))]
             if missing:
                 raise FileNotFoundError(
@@ -1099,6 +1137,44 @@ class CrawlEngine:
         os.rename(tmp, final)
         return rel
 
+    # conservative broadcast-row estimate for the membership probe:
+    # url_hash (8 B) + average url_canon (~60 B) + BroadcastHashedRelation
+    # per-row overhead. Used only to DERIVE a row cap from the byte-based
+    # broadcast threshold; the probe is broadcast explicitly either way.
+    _PROBE_ROW_BYTES = 96
+
+    def _seen_probe_max(self) -> int:
+        """Resolved row cap for the scan-probe membership strategy.
+
+        Explicit ``config.seen_probe_broadcast_max`` wins. Otherwise the
+        cap is ``autoBroadcastJoinThreshold / ~96 B-per-row`` — the same
+        byte budget the cluster operator already sized for broadcast
+        joins, re-expressed in probe rows (Spark's 10 MB default ⇒
+        ~109k rows; a 256 MB memory-rich setting ⇒ ~2.8M). The probe
+        path broadcasts up to 2× this many rows per round (candidates +
+        hits), which is why the cap tracks the operator's knob instead
+        of a hardcoded row count that could be hundreds of MB at
+        realistic URL lengths."""
+        if self.config.seen_probe_broadcast_max is not None:
+            return self.config.seen_probe_broadcast_max
+        raw = str(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).strip().lower()
+        mult = 1
+        for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                          ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                          ("b", 1)):
+            if raw.endswith(suffix):
+                raw, mult = raw[: -len(suffix)], m
+                break
+        try:
+            thr = int(raw) * mult
+        except ValueError:
+            thr = 10 << 20
+        if thr <= 0:  # auto-broadcast disabled ≠ probe disabled: keep the
+            thr = 10 << 20  # default byte budget for the explicit hint
+        return max(thr // self._PROBE_ROW_BYTES, 1)
+
     def _links_minus_seen(
         self, links: DataFrame, seen: DataFrame, n_probe: int
     ) -> DataFrame:
@@ -1121,9 +1197,11 @@ class CrawlEngine:
 
         Equality is checked on url_canon (url_hash rides along for the
         cheap 64-bit reject), so this is EXACTLY the anti-join. Above
-        ``seen_probe_broadcast_max`` candidates the classic shuffle
-        anti-join takes over (AQE skew-split applies there)."""
-        if n_probe > self.config.seen_probe_broadcast_max:
+        ``seen_probe_broadcast_max`` candidates (by default derived from
+        ``spark.sql.autoBroadcastJoinThreshold`` — see
+        :meth:`_seen_probe_max`) the classic shuffle anti-join takes
+        over (AQE skew-split applies there)."""
+        if n_probe > self._seen_probe_max():
             return links.join(seen.select("url_canon"), "url_canon", "left_anti")
         B = self.config.seen_buckets
         probe = links.select("url_hash", "url_canon")
@@ -1339,6 +1417,7 @@ class CrawlEngine:
                 with open(os.path.join(base, "manifest.json")) as f:
                     manifest = json.load(f)
                 self._check_robots_fp(manifest, "resume")
+                self._check_seen_buckets(manifest, "resume")
                 self._staged_drained = set(manifest.get("staged_drained", []))
                 self._frontier_log = manifest["frontier_log"]
                 frontier = self._read_frontier(self._frontier_log, last)
@@ -1538,6 +1617,9 @@ class CrawlEngine:
                 # politeness-input fingerprint: predicate-deletes in the
                 # frontier log are only valid under these robots rules
                 "robots": self.robots_fingerprint(),
+                # bucketed seen deltas' sb values are only meaningful
+                # under this B — pinned and asserted on resume/read
+                "seen_buckets": cfg.seen_buckets,
                 # staged-seed high-watermark: files already drained from
                 # staged_seeds_dir (skipped by later drains — the pickup
                 # cost stays O(new files), not O(all files ever staged))

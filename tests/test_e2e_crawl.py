@@ -321,6 +321,33 @@ def test_frontier_compaction_and_resume(spark, tiny_fixture, tmp_path_factory):
     assert len(os.listdir(droot)) <= 5  # base + ≤2 adds + ≤2 dels
 
 
+def test_resume_rejects_changed_seen_buckets(spark, tiny_fixture, tmp_path_factory):
+    """The manifest pins seen_buckets: bucketed seen deltas store
+    sb = pmod(url_hash, B) as a hive partition value, so resuming (or
+    reading seen) under a different B would make the membership probe's
+    bucket prune silently skip partitions holding matching rows — seen
+    urls would re-enter the frontier. Must fail loudly instead; the
+    same B resumes fine."""
+    pages, seeds, robots = _load(tiny_fixture)
+    wd = str(tmp_path_factory.mktemp("sb_pin_work"))
+    mk = lambda B: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=40, max_rounds=4, workdir=wd, seen_buckets=B),
+    )
+    mk(8).run(seeds, max_rounds=2)
+    # same B -> resume OK
+    mk(8).run(seeds, max_rounds=3, resume=True)
+    # different B -> refused (resume AND seen read)
+    with pytest.raises(ValueError, match="seen_buckets"):
+        mk(16).run(seeds, max_rounds=4, resume=True)
+    with pytest.raises(ValueError, match="seen_buckets"):
+        mk(16).read_table("seen")
+
+
 @pytest.mark.parametrize(
     "cap,rounds,kw",
     [

@@ -890,15 +890,20 @@ def test_url_blocklist_filter_subdomains_and_boundaries(spark):
         (7, "http://example/x"),                   # bare host, not in list
         (8, "http://bad.example./x"),              # root-dot FQDN -> blocked
         (9, "http://a.bad.example./x"),            # root-dot subdomain -> blocked
+        # >MAX_LABELS labels: the cap is taken from the apex end, so
+        # prepending 11 subdomain labels is NOT a blocklist-evasion path
+        (10, "http://" + ".".join(f"x{i}" for i in range(11)) + ".bad.example/x"),
+        # same depth under an unblocked apex stays unblocked
+        (11, "http://" + ".".join(f"x{i}" for i in range(11)) + ".good.example/x"),
     ]
     blocked = spark.createDataFrame([("bad.example",), ("evil.test",)], ["host"])
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = url_blocklist_filter(df, blocked).collect()
-    assert {r["doc_id"] for r in out} == {3, 4, 6, 7}
+    assert {r["doc_id"] for r in out} == {3, 4, 6, 7, 11}
     hosts = {r["doc_id"]: r["host"] for r in out}
     assert hosts[3] == "notbad.example" and hosts[4] == "bad.example.com"
     # empty blocklist keeps everything
     none_blocked = url_blocklist_filter(
         df, spark.createDataFrame([], "host string")
     )
-    assert none_blocked.count() == 10
+    assert none_blocked.count() == 12

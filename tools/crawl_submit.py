@@ -83,9 +83,13 @@ def main(argv=None) -> int:
         pdf = pd.DataFrame(rows)[cols]
         # write with the DECLARED schema — inference would stage int64 where
         # the drain reads int32 etc. and break the reader mid-scan.
-        # Staged via tmp-then-rename under a cli- name: the drain trusts
-        # cli-*.parquet on sight (rename is the commit), while sink part
-        # files must appear in _spark_metadata first.
+        # Staged via tmp-then-rename under a cli- name. The drain
+        # (drain_staged_seeds) accepts ANY structurally complete
+        # *.parquet (footer check) regardless of origin — it does NOT
+        # gate sink files on _spark_metadata. The rename still matters:
+        # it keeps half-written CLI files from ever being footer-complete
+        # under their final name. Duplicates from aborted streaming
+        # micro-batches are collapsed by the seen check (at-least-once).
         import shutil
         import uuid
 
