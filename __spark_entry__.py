@@ -102,12 +102,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_fifo_batch(spark, sf_dir):
     """FIFO batch selection: top-500 by (ts, event_id) + batch_pos stamp
-    (memQueue.Get batch analog, queue_memory.go:27-33)."""
+    (memQueue.Get batch analog, queue_memory.go:27-33).
+
+    Routed through the distributed ``ranked_topk`` (local prune → one
+    bounded range shuffle → partition-offset stamping) rather than a
+    global ``row_number() OVER (ORDER BY …)`` — the unpartitioned window
+    funnels the whole table through one task, the plan this repo bans at
+    10^10 rows (the engine's bounded ``topk_serial_max`` path is the
+    only sanctioned use)."""
+    from crawl_spark.operators.topk import ranked_topk
+
     e = _t(spark, sf_dir, "events")
-    batch = e.orderBy("ts", "event_id").limit(500)
-    w = Window.orderBy("ts", "event_id")
-    return batch.select(
-        F.row_number().over(w).alias("batch_pos"), "event_id", "user_id"
+    return ranked_topk(e, ["ts", "event_id"], 500, pos_col="batch_pos").select(
+        F.col("batch_pos").cast("int").alias("batch_pos"), "event_id", "user_id"
     )
 
 
