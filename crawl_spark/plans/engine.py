@@ -69,6 +69,16 @@ _FRONTIER_COLS = [
     "url", "url_canon", "host", "path", "host_hash", "url_hash",
     "priority", "depth", "round_added", "seq", "callbacks", "referer",
     "deadline", "raw", "method", "form", "query", "cookies", "header",
+    # politeness columns, stamped AT ADD TIME (robots is static per
+    # engine run — pinned by the manifest fingerprint): `denied` is the
+    # robots-disallow verdict for this row, `crawl_delay` the host's
+    # delay (null = no robots row; the config default applies at use).
+    # Stamping when rows enter the frontier (seeds / new links / staged
+    # pickups — all bounded per round) means the round loop NEVER joins
+    # the frontier against robots: at a 10^8-host robots table the old
+    # per-round frontier⋈broadcast(robots) join was the last per-round
+    # O(|hosts|) network cost.
+    "crawl_delay", "denied",
 ]
 
 _MULTIMAP = T.MapType(T.StringType(), T.ArrayType(T.StringType()))
@@ -94,6 +104,8 @@ _FRONTIER_SCHEMA = T.StructType(
         T.StructField("query", _MULTIMAP),
         T.StructField("cookies", _MULTIMAP),
         T.StructField("header", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("crawl_delay", T.DoubleType()),
+        T.StructField("denied", T.BooleanType()),
     ]
 )
 
@@ -227,6 +239,24 @@ class EngineConfig:
     # 100 TB table instead of all of it. None disables (flat layout).
     pages_buckets: int | None = None
     pages_bucket_col: str = "pb"
+    # robots dimension layout: when set (and politeness is active), the
+    # engine persists the robots table ONCE per workdir under
+    # `robots_dim/`, hive-partitioned by rb = pmod(hash(host), B) with
+    # files host-sorted within each bucket — the same layout the seen
+    # log uses. The per-round stamp probe (new links' hosts, bounded)
+    # then prunes its robots scan to the touched buckets instead of
+    # scanning (or worse, broadcasting) all 10^8 hosts. None = probe the
+    # in-memory robots DataFrame without partition pruning.
+    robots_buckets: int | None = 64
+    # host_state is a merge-on-read delta log (host_state_log/): each
+    # round appends only the batch's host-clock updates (≤ batch hosts
+    # rows); the state is the per-host MAX over the deltas (valid
+    # because next_time strictly increases per host — greatest(nt, r) +
+    # k·d > nt for k ≥ 1, d > 0, and robots/delays are static per run).
+    # Once the log holds this many deltas, the commit compacts them into
+    # one dir (same amortization contract as seen_compact_min_deltas).
+    # 0 disables compaction.
+    host_state_compact_min_deltas: int = 32
     # optionally cache the merged frontier view for each round: the round
     # scans it ~4× (counts, politeness rank, batch selection, errors) and
     # each scan re-runs the log merge. Measured at bench scale the merge
@@ -377,6 +407,8 @@ class CrawlEngine:
         self._politeness_active = (
             self.config.default_crawl_delay > 0 or n_rb > 0  # no isEmpty job
         )
+        self._n_robots = n_rb
+        self._robots_dim_path: str | None = None  # set by _ensure_robots_dim
         self._errors_schema = "url string, round int, error_class string, message string"
         self._parallelism = spark.sparkContext.defaultParallelism
         self._robots_fp: dict | None = None
@@ -474,8 +506,9 @@ class CrawlEngine:
             .filter(F.col("rn") == 1)
             .withColumn("depth", F.lit(0))
             .withColumn("round_added", F.lit(0))
-            .select(*_FRONTIER_COLS)
         )
+        # politeness stamp at add time (bounded by the seed list)
+        frontier = self._stamp_robots(frontier, n).select(*_FRONTIER_COLS)
         frontier = frontier.localCheckpoint(eager=True)
         self._n_seeded = frontier.count()
         self._seed_dups = n - self._n_seeded - n_invalid
@@ -499,13 +532,18 @@ class CrawlEngine:
         expired_cond = F.col("deadline").isNotNull() & (F.col("deadline") <= r)
 
         if self._politeness_active:
-            # 2. robots disallow (broadcast: robots is a per-host dim table)
-            rb = F.broadcast(self.robots)
-            fr = frontier.join(rb, "host", "left")
-            denied_cond = F.exists(
-                F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
-                lambda p: F.col("path").startswith(p),
-            )
+            # 2. robots disallow — a COLUMN predicate: the verdict (and
+            # the host's crawl_delay) was stamped when the row entered
+            # the frontier (robots is static per run, manifest-pinned),
+            # so the round never joins the frontier against robots. The
+            # old frontier⋈broadcast(robots) join shipped the whole
+            # robots table to every executor every round — GBs at a
+            # 10^8-host web-scale frontier.
+            fr = frontier
+            # coalesce: rows from a pre-stamping (legacy) frontier log
+            # read back with denied = NULL — treat as allowed, matching
+            # the old join's left-miss behavior for hosts with no rules
+            denied_cond = F.coalesce(F.col("denied"), F.lit(False))
             # ONE full-frontier counting job per round: a per-host partial
             # aggregate (map-side combine — the shuffle carries ≤ one row
             # per host, never frontier rows) feeds (a) the global
@@ -566,6 +604,11 @@ class CrawlEngine:
                 ]
             cold = allowed.filter(~F.col("host").isin(hot_hosts)) if hot_hosts else allowed
 
+            # crawl_delay comes from the frontier row itself; next_time
+            # joins only the ACTIVE host_state slice (hosts with
+            # next_time > r) — for nt ≤ r, greatest(nt, r) = r, identical
+            # to the host being absent, so the broadcast is bounded by
+            # hosts still on cooldown, never all hosts ever fetched.
             d = F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay))
             nt = F.coalesce(F.col("next_time"), F.lit(0.0))
             s_t = F.greatest(nt, F.lit(float(r)))
@@ -574,7 +617,11 @@ class CrawlEngine:
             )
             w = Window.partitionBy("host").orderBy(*FIFO_KEY)
             ranked = (
-                cold.join(F.broadcast(host_state), "host", "left")
+                cold.join(
+                    F.broadcast(self._active_host_state(host_state, r)),
+                    "host",
+                    "left",
+                )
                 .withColumn("host_budget", budget)
                 .withColumn("host_rank", F.row_number().over(w))
             )
@@ -591,11 +638,14 @@ class CrawlEngine:
                 hot_df = self.spark.createDataFrame(
                     [(h,) for h in hot_hosts], "host string"
                 )
+                rsrc, _ = self._robots_scan()
                 info = {
                     row.host: (row.crawl_delay, row.next_time)
                     for row in hot_df.join(
-                        self.robots.select("host", "crawl_delay"), "host", "left"
-                    ).join(host_state, "host", "left").collect()
+                        rsrc.select("host", "crawl_delay"), "host", "left"
+                    ).join(
+                        self._active_host_state(host_state, r), "host", "left"
+                    ).collect()
                 }
                 budgets = []
                 for h in hot_hosts:
@@ -675,13 +725,25 @@ class CrawlEngine:
                 for row in batch.select("url_canon", "batch_pos").orderBy("batch_pos").collect()
             ]
 
-        # 6. host clock update (identity when politeness is inactive:
-        # every d is 0, so upd is empty)
+        # 6. host clock update — the round's host_state DELTA (≤ batch
+        # hosts rows; identity/empty when politeness is inactive).
+        # crawl_delay rides the batch rows (stamped at add time,
+        # identical per host — first() is deterministic), so no robots
+        # join; next_time joins only the broadcast ACTIVE slice. The
+        # caller appends the delta to the merge-on-read host_state log —
+        # the full table is never rebuilt or rewritten per round.
+        host_state_delta = self.spark.createDataFrame([], _HOST_STATE_SCHEMA)
         if self._politeness_active:
-            fetched_per_host = batch.groupBy("host").agg(F.count("*").alias("k"))
-            upd = (
-                fetched_per_host.join(F.broadcast(self.robots), "host", "left")
-                .join(F.broadcast(host_state), "host", "left")
+            fetched_per_host = batch.groupBy("host").agg(
+                F.count("*").alias("k"),
+                F.first("crawl_delay").alias("crawl_delay"),
+            )
+            host_state_delta = (
+                fetched_per_host.join(
+                    F.broadcast(self._active_host_state(host_state, r)),
+                    "host",
+                    "left",
+                )
                 .withColumn("d", F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay)))
                 .filter(F.col("d") > 0)
                 .select(
@@ -690,9 +752,6 @@ class CrawlEngine:
                      + F.col("k") * F.col("d")).alias("next_time"),
                 )
             )
-            host_state = host_state.join(
-                upd.select("host"), "host", "left_anti"
-            ).unionByName(upd)
 
         # 6a. middleware chain on the dequeued batch (reference semantics:
         # runs inside Execute AFTER dequeue — so the transcript above
@@ -855,8 +914,11 @@ class CrawlEngine:
                 F.lit(None).cast(_MULTIMAP).alias("cookies"),
                 F.lit(None).cast("map<string,string>").alias("header"),
             )
-            .select(*_FRONTIER_COLS)
         )
+        # politeness stamp at add time: one bucket-pruned robots probe
+        # over the round's NEW links (bounded) replaces the old
+        # full-frontier robots broadcast join in every later round.
+        new_rows = self._stamp_robots(new_rows, n_valid).select(*_FRONTIER_COLS)
         # new_rows feeds BOTH the frontier and the seen snapshot writes —
         # materialize once so the dedup window + seen anti-join don't run
         # twice. Bounded by the links of one batch.
@@ -894,8 +956,8 @@ class CrawlEngine:
         # driver-side `transcript` list is an optional test convenience,
         # the parquet table is the O(batch_cap)-per-round source of truth
         transcript_df = batch.select("url_canon", "batch_pos")
-        return (frontier_adds, frontier_dels, seen_delta, host_state, errors_df,
-                extracted, transcript_df, c, transcript, n_valid)
+        return (frontier_adds, frontier_dels, seen_delta, host_state_delta,
+                errors_df, extracted, transcript_df, c, transcript, n_valid)
 
     def _make_tick(self, r: int):
         if not self.config.timing:
@@ -976,6 +1038,171 @@ class CrawlEngine:
                 )
             )
 
+    # -- robots dimension: persisted bucketed layout + add-time stamping ----
+    _ROBOTS_DIM_SCHEMA = (
+        "host string, disallow array<string>, crawl_delay double"
+    )
+
+    def _ensure_robots_dim(self) -> None:
+        """Persist the robots table under ``workdir/robots_dim`` in the
+        seen log's bucketed layout (hive-partitioned by
+        rb = pmod(hash(host), robots_buckets), host-sorted files) so the
+        per-round stamp probe is a partition-pruned SCAN — robots is
+        never broadcast or shuffled by the round loop. Written once per
+        workdir; reused across resumes when the stored fingerprint and
+        bucket count match the engine's (robots is static per run — the
+        manifest fingerprint already rejects resumes under different
+        rules), rewritten otherwise (the dir is a cache of the
+        constructor-provided robots_df, not state)."""
+        B = self.config.robots_buckets
+        if not B or not self._politeness_active or self._n_robots == 0:
+            return
+        final = os.path.join(self.config.workdir, "robots_dim")
+        meta_p = os.path.join(final, "_meta.json")
+        want = {"buckets": B, "fp": self.robots_fingerprint()}
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                if json.load(f) == want:
+                    self._robots_dim_path = final
+                    return
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            self.robots.withColumn(
+                "rb", F.pmod(F.hash("host"), F.lit(B)).cast("int")
+            )
+            .repartition(B, "rb")
+            .sortWithinPartitions("rb", "host")
+            .write.mode("overwrite")
+            .partitionBy("rb")
+            .parquet(tmp)
+        )
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump(want, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        self._robots_dim_path = final
+
+    def _robots_scan(self) -> tuple[DataFrame, bool]:
+        """(robots source, bucketed?) — the persisted bucketed scan when
+        available, else the constructor-provided DataFrame."""
+        if self._robots_dim_path:
+            return (
+                self.spark.read.option("basePath", self._robots_dim_path)
+                .schema(self._ROBOTS_DIM_SCHEMA + ", rb int")
+                .parquet(self._robots_dim_path),
+                True,
+            )
+        return self.robots, False
+
+    def _stamp_robots(self, df: DataFrame, n_probe: int) -> DataFrame:
+        """Stamp (crawl_delay, denied) onto rows ENTERING the frontier.
+
+        ``df`` is bounded (one batch's link fan-out / a seed list / a
+        staged drain), so the join runs as the same scan-side probe the
+        seen membership check uses: prune the robots scan to the hosts'
+        rb buckets, left-semi it against the broadcast host set (robots
+        is only SCANNED — never shuffled, never fully broadcast), and
+        broadcast the ≤|hosts| surviving slice back onto the rows.
+        Probes above the broadcast row cap fall back to a shuffle join
+        (AQE applies). With politeness inactive the stamp is two
+        literals — no jobs."""
+        if not self._politeness_active or self._n_robots == 0:
+            return df.withColumn(
+                "crawl_delay", F.lit(None).cast("double")
+            ).withColumn("denied", F.lit(False))
+        rsrc, bucketed = self._robots_scan()
+        denied = F.coalesce(
+            F.exists(
+                F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+                lambda p: F.col("path").startswith(p),
+            ),
+            F.lit(False),
+        )
+        if n_probe <= self._seen_probe_max():
+            hosts = df.select("host").distinct()
+            cap = self.config.seen_prune_max_probe
+            # ONE bounded job fetches (host, rb) pairs — limit cap+1 so an
+            # over-cap host set is detected without a count job
+            pairs = hosts.select(
+                "host",
+                F.pmod(F.hash("host"), F.lit(self.config.robots_buckets or 1))
+                .cast("int")
+                .alias("rb"),
+            ).limit(cap + 1).collect()
+            if not pairs:
+                return df.withColumn(
+                    "crawl_delay", F.lit(None).cast("double")
+                ).withColumn("denied", F.lit(False))
+            if len(pairs) <= cap:
+                # small host set: TWO pushable predicates replace the
+                # semi-join — the rb isin prunes hive partitions, the
+                # host isin skips row groups via the host-sorted files'
+                # min/max stats. The robots scan cost is then ~flat in
+                # |robots| (O(touched row groups), not O(table)).
+                if bucketed:
+                    touched = sorted({p.rb for p in pairs})
+                    if len(touched) < self.config.robots_buckets:
+                        rsrc = rsrc.filter(F.col("rb").isin(touched))
+                rslice = rsrc.filter(
+                    F.col("host").isin([p.host for p in pairs])
+                ).select("host", "disallow", "crawl_delay")
+            else:
+                rslice = rsrc.select("host", "disallow", "crawl_delay").join(
+                    F.broadcast(hosts), "host", "leftsemi"
+                )
+            joined = df.join(F.broadcast(rslice), "host", "left")
+        else:
+            joined = df.join(
+                self.robots.select("host", "disallow", "crawl_delay"),
+                "host",
+                "left",
+            )
+        return joined.withColumn("denied", denied).drop("disallow")
+
+    # -- host_state merge-on-read delta log ----------------------------------
+    # Each round appends only the batch's host-clock updates; the state
+    # is the per-host MAX of next_time over the log (updates are strictly
+    # increasing per host since robots/delays are static per run and
+    # next_time' = greatest(nt, r) + k·d > nt for k ≥ 1, d > 0). The
+    # round loop never materializes the full table: the budget formula
+    # only distinguishes hosts with next_time > r (for nt ≤ r,
+    # greatest(nt, r) = r — identical to the host being absent), so the
+    # per-round join broadcasts the ACTIVE slice — hosts still on
+    # cooldown, bounded by recent fetch activity — never all hosts ever
+    # fetched. The old design broadcast and fully rewrote host_state
+    # every round: O(|hosts|) per round at a 10^8-host frontier.
+    def _read_host_state_deltas(
+        self, rels: list[str], extra_paths: list[str] | None = None
+    ) -> DataFrame:
+        paths = [os.path.join(self.config.workdir, rel) for rel in rels] + list(
+            extra_paths or []
+        )
+        if not paths:
+            return self.spark.createDataFrame([], _HOST_STATE_SCHEMA)
+        return self.spark.read.schema(_HOST_STATE_SCHEMA).parquet(*paths)
+
+    @staticmethod
+    def _merge_host_state(deltas: DataFrame) -> DataFrame:
+        """Full merged view (one row per host) — read_table/compaction;
+        the round loop uses _active_host_state instead."""
+        return deltas.groupBy("host").agg(F.max("next_time").alias("next_time"))
+
+    @staticmethod
+    def _active_host_state(deltas: DataFrame, r: int) -> DataFrame:
+        """Hosts still on cooldown at round r. Filtering next_time > r
+        BEFORE the merge is exact (the per-host max survives iff it is
+        > r, and max over the surviving subset equals the overall max)
+        and pushes to parquet row-group stats; the groupBy then shuffles
+        only cooldown rows, not the full host history."""
+        return (
+            deltas.filter(F.col("next_time") > r)
+            .groupBy("host")
+            .agg(F.max("next_time").alias("next_time"))
+        )
+
     # -- snapshot catalog (Iceberg-style: ids, lineage, time travel) -------
     def snapshots(self) -> list[dict]:
         """All committed snapshot manifests, oldest first."""
@@ -1031,6 +1258,26 @@ class CrawlEngine:
                     % (missing, r)
                 )
             return self._read_seen(rels)
+        if name == "host_state":
+            mf = os.path.join(self.config.workdir, "round_%05d" % r, "manifest.json")
+            with open(mf) as f:
+                manifest = json.load(f)
+            # merge-on-read: the manifest lists the delta dirs whose
+            # per-host MAX is the host-clock table at that snapshot
+            # (next_time strictly increases per host — see the delta-log
+            # notes above). Legacy manifests stored the full table in the
+            # round dir: a valid one-entry delta set.
+            rels = manifest.get("host_state_deltas", ["round_%05d/host_state" % r])
+            missing = [
+                p for p in rels
+                if not os.path.isdir(os.path.join(self.config.workdir, p))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    "host_state deltas %s for snapshot r%05d were compacted "
+                    "away (retention?)" % (missing, r)
+                )
+            return self._merge_host_state(self._read_host_state_deltas(rels))
         path = os.path.join(self.config.workdir, "round_%05d" % r, name)
         if not os.path.isdir(path):
             raise FileNotFoundError(
@@ -1288,15 +1535,15 @@ class CrawlEngine:
         expired = F.col("deadline").isNotNull() & (F.col("deadline") <= upto_r)
         f = f.filter(~(processed & expired))
         if self._politeness_active:
-            denied_cond = F.exists(
-                F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
-                lambda p: F.col("path").startswith(p),
-            )
-            f = (
-                f.join(F.broadcast(self.robots), "host", "left")
-                .filter(~(processed & denied_cond))
-                .select(*_FRONTIER_COLS)
-            )
+            # the robots verdict is a COLUMN stamped when the row entered
+            # the frontier — the merge-on-read never touches the robots
+            # table (the old per-read broadcast(robots) join shipped the
+            # whole dimension to every executor on every frontier read;
+            # GBs at a 10^8-host web-scale frontier). NULL = legacy
+            # pre-stamping row: treat as allowed, matching the old
+            # join's left-miss behavior for hosts with no rules.
+            denied_cond = F.coalesce(F.col("denied"), F.lit(False))
+            f = f.filter(~(processed & denied_cond))
         return f.select(*_FRONTIER_COLS)
 
     def latest_round(self) -> int | None:
@@ -1375,7 +1622,9 @@ class CrawlEngine:
             F.lit(None).cast(_MULTIMAP).alias("query"),
             F.lit(None).cast(_MULTIMAP).alias("cookies"),
             F.lit(None).cast("map<string,string>").alias("header"),
-        ).select(*_FRONTIER_COLS)
+        )
+        # politeness stamp at add time (bounded by the staged batch)
+        rows = self._stamp_robots(rows, n).select(*_FRONTIER_COLS)
         rows = rows.localCheckpoint(eager=True)
         # append to both logs NOW; the round's manifest commit references
         # them (a crash before commit leaves overwritable orphans — the
@@ -1423,9 +1672,18 @@ class CrawlEngine:
                 frontier = self._read_frontier(self._frontier_log, last)
                 self._seen_rels = manifest["seen_deltas"]
                 seen = self._read_seen(self._seen_rels)
-                host_state = spark.read.schema(_HOST_STATE_SCHEMA).parquet(
-                    os.path.join(base, "host_state")
+                self._host_state_rels = manifest.get(
+                    "host_state_deltas",
+                    # legacy manifests (pre-delta-log) stored the FULL
+                    # table inside the round dir — a full table is a
+                    # valid one-entry delta set (per-host max ≡ identity)
+                    ["round_%05d/host_state" % last],
                 )
+                host_state = self._read_host_state_deltas(self._host_state_rels)
+                # robots dim cache is fingerprint-validated — reused when
+                # the rules match (they must: _check_robots_fp above),
+                # rebuilt only for a legacy workdir that predates it
+                self._ensure_robots_dim()
                 # manifests are O(1): rebuild run history from the
                 # per-round manifests + transcript tables (never embedded)
                 res.counters = [m["counters"] for m in self.snapshots()]
@@ -1454,6 +1712,10 @@ class CrawlEngine:
                 shutil.rmtree(cfg.workdir)
             os.makedirs(os.path.join(cfg.workdir, "seen_deltas"))
             os.makedirs(os.path.join(cfg.workdir, "frontier_log"))
+            os.makedirs(os.path.join(cfg.workdir, "host_state_log"))
+            # persist the bucketed robots layout BEFORE seeding: the seed
+            # stamp is the first probe against it
+            self._ensure_robots_dim()
             seeded = self.seed_frontier(seeds)
             seed_seen = seeded.select(
                 "url_canon", "url_hash", "host_hash", F.lit(0).alias("first_round")
@@ -1468,7 +1730,8 @@ class CrawlEngine:
             n_frontier = self._n_seeded
             self._seen_rels = [self._write_delta(seed_seen, "delta_seed")]
             seen = self._read_seen(self._seen_rels)
-            host_state = spark.createDataFrame([], _HOST_STATE_SCHEMA)
+            self._host_state_rels = []
+            host_state = self._read_host_state_deltas(self._host_state_rels)
             if cfg.use_bloom:
                 from ..operators.bloom import build_bitmaps
 
@@ -1498,7 +1761,6 @@ class CrawlEngine:
             # delta logs — this loop's write volume is O(batch outputs),
             # never O(|seen|) or O(|frontier|).
             manifest_tables = {
-                "host_state": host_state_n,
                 "errors": errors_df,
                 "extracted": extracted.select(
                     "url_canon", "handler", "text", F.lit(r).alias("round")
@@ -1562,6 +1824,40 @@ class CrawlEngine:
                 frontier_log_next = {"base": new_base, "adds": [], "dels": []}
                 tick("compact_frontier")
             tick("write_frontier_deltas")
+            # host_state delta: ≤ this batch's hosts rows, appended to the
+            # merge-on-read log — the full per-host table is never
+            # rewritten (the old design rewrote all |hosts| rows every
+            # round: the last per-round O(|hosts|) write in the engine).
+            # Skipped entirely when politeness is inactive (the delta is
+            # the empty identity).
+            host_state_rels_next = self._host_state_rels
+            hs_compacted_away: list[str] = []
+            if self._politeness_active:
+                hs_rel = self._write_delta(
+                    host_state_n, "hs_%05d" % r, log="host_state_log"
+                )
+                lineage["host_state"] = sorted(
+                    f
+                    for f in os.listdir(os.path.join(cfg.workdir, hs_rel))
+                    if f.endswith(".parquet")
+                )
+                host_state_rels_next = host_state_rels_next + [hs_rel]
+                tick("write_host_state_delta")
+                if (
+                    cfg.host_state_compact_min_deltas
+                    and len(host_state_rels_next)
+                    >= cfg.host_state_compact_min_deltas
+                ):
+                    hs_compact = self._write_delta(
+                        self._merge_host_state(
+                            self._read_host_state_deltas(host_state_rels_next)
+                        ),
+                        "hs_compact_%05d" % r,
+                        log="host_state_log",
+                    )
+                    hs_compacted_away = host_state_rels_next
+                    host_state_rels_next = [hs_compact]
+                    tick("compact_host_state")
             seen_rels_next = self._seen_rels + [delta_rel]
             compacted_away: list[str] = []
             if (
@@ -1614,6 +1910,7 @@ class CrawlEngine:
                 "counters": c,
                 "seen_deltas": seen_rels_next,
                 "frontier_log": frontier_log_next,
+                "host_state_deltas": host_state_rels_next,
                 # politeness-input fingerprint: predicate-deletes in the
                 # frontier log are only valid under these robots rules
                 "robots": self.robots_fingerprint(),
@@ -1638,10 +1935,11 @@ class CrawlEngine:
             res.rounds = r + 1
             self._seen_rels = seen_rels_next
             self._frontier_log = frontier_log_next
+            self._host_state_rels = host_state_rels_next
             # only NOW is it safe to drop compacted deltas: the committed
             # manifest references the compact dirs, not them (older
             # manifests lose time-travel — documented retention)
-            for rel in compacted_away + frontier_compacted_away:
+            for rel in compacted_away + frontier_compacted_away + hs_compacted_away:
                 p = os.path.join(cfg.workdir, rel)
                 if os.path.exists(p):
                     shutil.rmtree(p)
@@ -1652,19 +1950,10 @@ class CrawlEngine:
             frontier = self._read_frontier(self._frontier_log, r)
             n_frontier = c["deferred_by_politeness"] + c["scheduled"]
             seen = self._read_seen(self._seen_rels)
-            host_state = spark.read.schema(_HOST_STATE_SCHEMA).parquet(
-                os.path.join(base, "host_state")
-            )
-
-            # retention: keep the last `keep_rounds` full state snapshots
-            # (seen + frontier live in the shared delta logs and are only
-            # pruned by their own compaction — they ARE the resume state)
-            for d in sorted(os.listdir(cfg.workdir)):
-                if d.startswith("round_") and not d.endswith(".tmp"):
-                    rr = int(d.split("_")[1])
-                    if rr <= r - cfg.keep_rounds:
-                        for t in ("host_state",):
-                            p = os.path.join(cfg.workdir, d, t)
-                            if os.path.exists(p):
-                                shutil.rmtree(p)
+            host_state = self._read_host_state_deltas(self._host_state_rels)
+            # retention note: every state table (seen, frontier,
+            # host_state) now lives in a shared append-only delta log
+            # pruned only by its own compaction — round dirs hold just
+            # O(batch) outputs (errors/extracted/transcript) plus the
+            # O(1) manifest, so there is nothing per-round left to reap.
         return res

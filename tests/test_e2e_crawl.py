@@ -762,3 +762,68 @@ def test_duplicate_robots_host_rejected(spark, tiny_fixture, tmp_path_factory):
                 workdir=str(tmp_path_factory.mktemp("dup_rb")),
             ),
         )
+
+
+def test_host_state_delta_log_bounded_merge_and_compaction(
+    spark, tiny_fixture, tmp_path_factory
+):
+    """Politeness state is a merge-on-read delta log (round-4 scale fix:
+    the old design broadcast robots and rewrote the full host_state
+    table every round — O(|hosts|) per round at a web-scale frontier).
+    Checks: per-round appends are bounded by the batch's hosts, the
+    per-host MAX over the log equals the reference model's clocks,
+    compaction + kill/resume keep the transcript exact, and the robots
+    table is persisted ONCE in the bucketed rb=* layout (reused, not
+    rewritten, on resume)."""
+    import json
+    import os
+
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=5)
+
+    wd = str(tmp_path_factory.mktemp("hs_work"))
+    mk = lambda: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(
+            batch_cap=40, max_rounds=5, workdir=wd,
+            host_state_compact_min_deltas=4, collect_transcript=True),
+    )
+    mk().run(seeds, max_rounds=2)  # "crash" after round 1's commit
+    dim = os.path.join(wd, "robots_dim")
+    mtime_before_resume = os.path.getmtime(dim)
+    engine = mk()
+    result = engine.run(seeds, resume=True)
+    assert result.transcript == golden.transcript
+
+    # robots dim: bucketed hive layout, fingerprint-pinned, written once
+    assert any(d.startswith("rb=") for d in os.listdir(dim))
+    with open(os.path.join(dim, "_meta.json")) as f:
+        assert json.load(f)["fp"] == engine.robots_fingerprint()
+    assert os.path.getmtime(dim) == mtime_before_resume
+
+    # per-round host_state delta is bounded by that round's batch hosts
+    # (compacted-away dirs are gone — skip them; at least one must
+    # remain from the post-compaction tail)
+    checked = 0
+    for r, batch in enumerate(result.transcript):
+        p = os.path.join(wd, "host_state_log", "hs_%05d" % r)
+        if not os.path.isdir(p):
+            continue
+        n_hosts = len({u.split("/")[2] for u in batch})
+        assert spark.read.parquet(p).count() <= n_hosts
+        checked += 1
+    assert checked >= 1
+
+    # compaction fired (threshold 4 over 5 rounds): the latest manifest
+    # references a collapsed log, and read_table merges exactly the
+    # reference model's host clocks (per-host MAX over the deltas)
+    last = engine.snapshots()[-1]
+    assert len(last["host_state_deltas"]) < result.rounds
+    merged = {
+        row.host: row.next_time
+        for row in engine.read_table("host_state").collect()
+    }
+    assert merged == pytest.approx(golden.host_state)

@@ -150,9 +150,11 @@ def main() -> None:
         "The frontier after 3 rounds = base ∪ add-deltas, anti-joined "
         "against the BROADCAST del-deltas (BroadcastHashJoin LeftAnti — "
         "dels are bounded by batch_cap), with expired/robots drops as "
-        "plain filters over a broadcast robots join. Union + broadcast "
-        "joins + filters only: NO shuffle, no serial exchange; per-round "
-        "durability cost is the deltas, never the merged state.",
+        "plain COLUMN predicates (round 4: the robots verdict is "
+        "stamped at add time — no robots join in the read at all). "
+        "Union + one broadcast join + filters only: NO shuffle, no "
+        "serial exchange; per-round durability cost is the deltas, "
+        "never the merged state.",
         eng.read_table("frontier"),
     )
 
@@ -279,6 +281,44 @@ def main() -> None:
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.sql("DROP TABLE IF EXISTS plans_graph_edges")
+
+    # 15. politeness stamp probe (round 4): robots is a pruned SCAN,
+    # never a whole-table broadcast
+    stamp_links = (
+        eng.read_table("frontier")
+        .select("host", "path")
+        .limit(30)
+        .localCheckpoint(eager=True)
+    )
+    cap(
+        "Politeness stamp probe (add-time robots verdict)",
+        "Round-4 design: rows are stamped (denied, crawl_delay) ONCE as "
+        "they enter the frontier (seeds / new links / staged pickups — "
+        "all bounded per round). The robots_dim FileScan carries "
+        "PartitionFilters (rb IN-list: hive-bucket prune) AND "
+        "PushedFilters (host IN-list: row groups skip via the "
+        "host-sorted files' min/max stats), so the scan cost is ~flat "
+        "in |robots| (bench e6: 1.1 s at 10^5 AND 10^7 hosts, vs the "
+        "old per-round whole-table broadcast at 0.3 s → 8.0 s). The "
+        "≤|batch hosts| surviving slice broadcasts back onto the rows; "
+        "the round loop then applies the verdict as a plain column "
+        "predicate — no robots join anywhere per round.",
+        eng._stamp_robots(stamp_links, 30),
+    )
+
+    # 16. active host-state slice (merge-on-read delta log)
+    hs = eng._read_host_state_deltas(eng.snapshots()[-1]["host_state_deltas"])
+    cap(
+        "Active host-state slice (merge-on-read delta log)",
+        "host_state is an append-only per-round delta log (≤|batch "
+        "hosts| rows each; the full table is never rewritten). The "
+        "per-round budget join needs only hosts still on cooldown: the "
+        "next_time > r filter sits BELOW the HashAggregate and reaches "
+        "the parquet scan (PushedFilters: GreaterThan(next_time, …)), "
+        "so only cooldown rows — bounded by recent fetch activity — are "
+        "aggregated and broadcast, never every host ever fetched.",
+        eng._active_host_state(hs, 1),
+    )
 
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
