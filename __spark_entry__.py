@@ -490,6 +490,21 @@ def q_connected_components(spark, sf_dir):
     return connected_components(p)
 
 
+def q_cc_star(spark, sf_dir):
+    """Log-round star-contraction components over a LONG-chain pair
+    graph: chains of 40 consecutive doc_ids (diameter 39 — past the
+    min-label operator's default 20-iteration budget; star contraction
+    converges in ~5 rounds regardless of diameter). Same output
+    contract as `connected_components`: (node, component = min
+    reachable node)."""
+    from crawl_spark.operators.graph import connected_components_star
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    p = d.filter(i % 40 != 39).select(i.alias("a"), (i + 1).alias("b"))
+    return connected_components_star(p)
+
+
 def q_sitemap(spark, sf_dir):
     """Sitemap parsing over synthetic payloads: most docs render a
     <urlset> with a fully-populated entry (whitespace-padded loc,
@@ -727,6 +742,17 @@ def q_block_dedup(spark, sf_dir):
     return block_dedup(_t(spark, sf_dir, "documents"), block=16)
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Arbitrary-offset repeated-span dedup (Lee et al. substring
+    family as hashed rolling 15-grams, operators/dedup.repeated_spans):
+    per-doc covered-token counts and merged-span counts for w-grams
+    occurring >= 2x corpus-wide. Unlike block_dedup's fixed-boundary
+    chunks, spans start at ANY token offset."""
+    from crawl_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(_t(spark, sf_dir, "documents"), window=15)
+
+
 def q_signbit_buckets(spark, sf_dir):
     """Random-hyperplane LSH buckets (operators/similarity.py
     simhash_sign_buckets): 16 sign bits against md5-parity
@@ -784,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "request_construct": q_request_construct,
         "dedup_exact": q_dedup_exact,
         "block_dedup": q_block_dedup,
+        "repeated_spans": q_repeated_spans,
         "minhash_bands": q_minhash_bands,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -805,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
+        "cc_star": q_cc_star,
         "sitemap": q_sitemap,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
@@ -1015,6 +1043,43 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
        CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
        round(CAST(count(CASE WHEN rn = 1 THEN 1 END) AS DOUBLE) / count(*), 6) AS kept_ratio
 FROM flagged GROUP BY doc_id
+""",
+        "repeated_spans": f"""
+WITH tkn AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+win AS (
+  SELECT doc_id, CAST(u.p AS INT) AS p,
+         md5(array_to_string(t[CAST(u.p AS INT)+1:CAST(u.p AS INT)+15], ' ')) AS h
+  FROM tkn, unnest(range(0, greatest(len(t)-15+1, 0))) AS u(p)
+),
+rep AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+rs AS (SELECT w.doc_id, w.p FROM win w JOIN rep USING (h)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 15
+              THEN 0 ELSE 1 END AS new_span
+  FROM rs
+),
+grp AS (
+  SELECT doc_id, p,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, span_id, max(p) - min(p) + 15 AS span_len
+  FROM grp GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id, sum(span_len) AS n_covered, count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT tkn.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per_doc.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(coalesce(per_doc.n_spans, 0) AS BIGINT) AS n_spans,
+       CASE WHEN len(t) > 0
+            THEN round(coalesce(per_doc.n_covered, 0) / CAST(len(t) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_ratio
+FROM tkn LEFT JOIN per_doc USING (doc_id)
 """,
         "minhash_bands": f"""
 WITH {_MINHASH_CTES}
@@ -1360,6 +1425,9 @@ UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11
         "connected_components": connected_components_oracle_sql(
             """SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 7 <> 6
 UNION ALL SELECT doc_id, doc_id + 13 FROM documents WHERE doc_id % 29 = 0"""
+        ),
+        "cc_star": connected_components_oracle_sql(
+            "SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 40 <> 39"
         ),
         "sitemap": r"""
 WITH x AS (

@@ -161,6 +161,102 @@ def block_dedup(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+) -> DataFrame:
+    """Arbitrary-offset repeated-span detection (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    substring family, re-expressed as hashed rolling w-grams instead of
+    a sequential suffix array — the standard distributed formulation).
+
+    A token position p in a doc STARTS a repeated span when the
+    ``window``-token w-gram at p occurs ≥ 2 times anywhere in the
+    corpus (any doc, any offset — unlike :func:`block_dedup`'s
+    fixed-boundary chunks). The maximal union of repeated w-grams is
+    the doc's removable span set. Emits per doc:
+
+      (doc_id, n_tokens, n_covered, n_spans, dup_ratio)
+
+    where n_covered = tokens inside any repeated span, n_spans = number
+    of maximal merged spans, dup_ratio = round(n_covered/n_tokens, 6).
+
+    Plan shape at 100 TB:
+      1. w-gram digests build MAP-SIDE per doc (the zip_with-chain
+         shingle, then one md5 per gram — no outer-ref HOF trap, no
+         token shuffle);
+      2. ONE corpus-wide partial-aggregated groupBy on the 16-byte
+         digest marks repeated grams (the only O(corpus) shuffle, and
+         it carries (digest, count) rows, never text);
+      3. the repeated flag re-joins the (doc_id, p, digest) starts on
+         the digest — co-partitioned with the groupBy, so Catalyst
+         reuses the exchange;
+      4. span merging is gaps-and-islands over each doc's REPEATED
+         starts only (per-doc window, bounded by doc length: two
+         partial steps — lag + running sum — then a partial-agg
+         groupBy per island). Two starts merge iff their gap ≤ window
+         (overlapping or abutting w-grams).
+    """
+    from .textops import shingles, tokens
+
+    toks = tokens(F.col(text_col))
+    grams = F.transform(shingles(toks, window), lambda s: F.md5(s))
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("n_tokens"), grams.alias("g")
+    )
+    starts = base.select(
+        F.col(id_col), F.posexplode("g").alias("p", "h")
+    )
+    rep = (
+        starts.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    rs = starts.join(rep, "h").select(id_col, "p")
+    w_ord = Window.partitionBy(id_col).orderBy("p")
+    islands = (
+        rs.withColumn("prev", F.lag("p").over(w_ord))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("p") - F.col("prev") > window),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = islands.groupBy(id_col, "span_id").agg(
+        (F.max("p") - F.min("p") + window).alias("span_len")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").alias("n_covered"),
+        F.count("*").alias("n_spans"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce(F.col("n_covered"), F.lit(0)) / F.col("n_tokens"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -146,6 +146,7 @@ def connected_components(
     bucket_path: str | None = None,
     n_buckets: int = 32,
     bucket_table: str = "cc_edges",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -193,7 +194,8 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    n_rounds = 0
+    for n_rounds in range(1, max_iters + 1):
         neigh_min = (
             sym.join(
                 labels.select(
@@ -227,9 +229,116 @@ def connected_components(
         raise ValueError(
             f"connected_components did not converge in max_iters={max_iters} "
             f"({n_changed} labels still changing); raise max_iters — the "
-            "per-iteration cost is one edge-scan join + an O(nodes) count"
+            "per-iteration cost is one edge-scan join + an O(nodes) count "
+            "— or use connected_components_star (log-round on any diameter)"
         )
+    if stats is not None:
+        stats["rounds"] = n_rounds
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 32,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components in O(log n)-ish rounds by alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm,
+    re-expressed on DataFrames).
+
+    :func:`connected_components` (min-label propagation) needs
+    O(component diameter) rounds — right for near-dup clusters
+    (diameter ≤ a few) because each round only SCANS the static,
+    bucketed edge table. A web LINK graph has long chains: a
+    10^4-diameter component would need 10^4 edge scans. This variant
+    converges in logarithmic rounds on any shape, at the cost that
+    each round MATERIALIZES a new O(E) edge set (the contraction
+    rewrites edges, so the scanned-in-place layout can't apply):
+
+      large-star: every node u computes m = min({u} ∪ N(u)) and
+        re-points its LARGER neighbors (v > u) at m;
+      small-star: over the resulting larger→smaller edges, every node
+        re-points its smaller neighbors (and itself) at their minimum.
+
+    Fixpoint = disjoint stars rooted at each component's minimum node
+    (checked exactly: equal count + empty anti-join, both O(E) but
+    only when counts match). Per round: two partial-aggregated
+    groupBys + distinct — no window, no driver-side structure; state
+    is localCheckpointed so lineage stays O(1) across rounds.
+
+    Output (node, component) is identical to
+    :func:`connected_components` (component = min reachable node).
+    ``stats["rounds"]`` reports rounds-to-converge when a dict is
+    passed (bench/test hook).
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    p = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # nodes BEFORE dropping self-loops: a (x,x)-only node is still a
+    # (singleton) component, matching the min-label operator
+    nodes = (
+        p.select(F.col("u").alias("node"))
+        .union(p.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical directed form: (u, v) with v < u
+    e = (
+        p.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count()
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(lmin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_now = ss.count()
+        done = n_now == n_prev and ss.join(e, ["u", "v"], "left_anti").isEmpty()
+        e, n_prev = ss, n_now
+        if done:
+            break
+    else:
+        raise ValueError(
+            f"connected_components_star did not converge in "
+            f"max_rounds={max_rounds} — that is ~2^{max_rounds} of "
+            "contraction headroom, so the input is likely pathological "
+            "(or max_rounds was lowered); raise max_rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    comp = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("component"))
+        .select(F.col("u").alias("node"), "component")
+    )
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def anchor_text_topk(

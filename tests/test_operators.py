@@ -907,3 +907,138 @@ def test_url_blocklist_filter_subdomains_and_boundaries(spark):
         df, spark.createDataFrame([], "host string")
     )
     assert none_blocked.count() == 12
+
+
+def test_cc_star_chain_converges_in_log_rounds(spark):
+    """The round-4 log-round variant: a 10k-node chain has diameter
+    9999 — min-label propagation would need 9999 edge-scan rounds;
+    star contraction must finish inside 20 and still produce the exact
+    min-reachable labels."""
+    from crawl_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(9999)], "a long, b long"
+    )
+    stats = {}
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, max_rounds=20, stats=stats).collect()
+    }
+    assert stats["rounds"] <= 20
+    assert len(out) == 10000 and set(out.values()) == {0}
+
+
+def test_cc_star_random_graphs_match_union_find(spark):
+    """Same 20-seeded-random-graphs property as the min-label operator:
+    star contraction must agree with union-find on every node."""
+    import random
+
+    from crawl_spark.operators.graph import connected_components_star
+
+    rng = random.Random(42)
+    E = []
+    for g in range(20):
+        base = g * 1000
+        n_nodes = rng.randint(2, 25)
+        for _ in range(rng.randint(1, 35)):
+            E.append(
+                (base + rng.randrange(n_nodes), base + rng.randrange(n_nodes))
+            )
+    df = spark.createDataFrame(E, "a long, b long")
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in E:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    assert out == {v: find(v) for v in parent}
+
+
+def test_cc_star_selfloop_and_agreement_with_minlabel(spark):
+    """Self-loop-only nodes are singleton components (parity with the
+    min-label operator), and both operators emit identical labelings
+    on a mixed graph."""
+    from crawl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    E = [(5, 5), (0, 1), (1, 2), (10, 11), (12, 12), (2, 0)]
+    df = spark.createDataFrame(E, "a long, b long")
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    minl = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert star == minl
+    assert star[5] == 5 and star[12] == 12
+
+
+def test_repeated_spans_matches_bruteforce(spark):
+    """Arbitrary-offset substring dedup (round 4): planted repeated
+    spans at NON-chunk-aligned offsets, overlapping repeats, a
+    within-doc self-repeat, and clean docs — the Spark hashed-w-gram
+    operator must agree with a brute-force Python model on every doc."""
+    from crawl_spark.operators.dedup import repeated_spans
+
+    W = 5
+    lic = "licensed under the apache license version two point zero ok"
+    docs = [
+        # d0/d1 share `lic` at different, non-aligned offsets
+        (0, "alpha beta " + lic + " gamma delta epsilon zeta eta theta"),
+        (1, "one two three four " + lic),
+        # d2 repeats a 5-token phrase INSIDE itself (two disjoint spans:
+        # starts 2 and 13, gap 11 > W so they do NOT merge)
+        (2, "x1 x2 red green blue cyan magenta x3 x4 x5 x6 x7 x8 "
+            "red green blue cyan magenta x9"),
+        # d3 clean (unique words)
+        (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+        # d4 shorter than the window
+        (4, "tiny doc"),
+        # d5 exact duplicate of d3's tail + unique prefix (boundary span)
+        (5, "p1 p2 p3 q4 q5 q6 q7 q8 q9 q10"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_covered, r.n_spans, r.dup_ratio)
+        for r in repeated_spans(df, window=W).collect()
+    }
+
+    # brute force: every w-gram string, corpus-wide counts, coverage set
+    from collections import Counter
+
+    tok = {d: t.lower().split() for d, t in docs}
+    cnt = Counter()
+    grams = {}
+    for d, ts in tok.items():
+        g = [" ".join(ts[p:p + W]) for p in range(max(len(ts) - W + 1, 0))]
+        grams[d] = g
+        cnt.update(g)
+    for d, ts in tok.items():
+        covered = set()
+        for p, g in enumerate(grams[d]):
+            if cnt[g] >= 2:
+                covered.update(range(p, p + W))
+        spans, prev = 0, None
+        for q in sorted(covered):
+            if prev is None or q != prev + 1:
+                spans += 1
+            prev = q
+        ratio = round(len(covered) / len(ts), 6) if ts else 0.0
+        assert got[d] == (len(ts), len(covered), spans, ratio), d
+    # the planted license span really was detected
+    assert got[0][1] >= W and got[1][1] >= W and got[2][2] == 2

@@ -47,6 +47,70 @@ def main() -> None:
     e = e.localCheckpoint(eager=True)  # fixed input for both layouts
     results = {}
 
+    if os.environ.get("GRAPH_OP") == "cc_chain":
+        # rounds-to-converge: min-label needs O(diameter) edge scans,
+        # star contraction O(log n) materializing rounds. Same chain
+        # graph (CHAIN_NODES nodes in CHAIN_SEG-node segments, diameter
+        # = CHAIN_SEG - 1) through both; then a DEEP chain (one segment,
+        # diameter = CHAIN_NODES - 1) through star only — min-label
+        # would need CHAIN_NODES iterations there, which IS the finding.
+        from crawl_spark.operators.graph import connected_components_star
+
+        seg = int(os.environ.get("CHAIN_SEG", "65"))
+        n = int(os.environ.get("CHAIN_NODES", "2000000"))
+        pairs = (
+            spark.range(n)
+            .filter(F.col("id") % seg != seg - 1)
+            .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+            .localCheckpoint(eager=True)
+        )
+        out = {"chain_nodes": n, "segment_len": seg}
+        st = {}
+        t0 = time.time()
+        cs = connected_components_star(pairs, stats=st)
+        cs.write.format("noop").mode("overwrite").save()
+        out["star_sec"] = round(time.time() - t0, 2)
+        out["star_rounds"] = st["rounds"]
+
+        st = {}
+        t0 = time.time()
+        ml = connected_components(
+            pairs,
+            max_iters=seg + 2,
+            bucket_path=f"{WORK}/cc_chain_edges",
+            bucket_table="bench_ccc_edges",
+            stats=st,
+        )
+        ml.write.format("noop").mode("overwrite").save()
+        out["minlabel_sec"] = round(time.time() - t0, 2)
+        out["minlabel_rounds"] = st["rounds"]
+        spark.sql("DROP TABLE IF EXISTS bench_ccc_edges")
+
+        # parity on a deterministic sample + component count
+        s1 = {r["node"]: r["component"]
+              for r in cs.filter(F.col("node") % 99991 == 0).collect()}
+        s2 = {r["node"]: r["component"]
+              for r in ml.filter(F.col("node") % 99991 == 0).collect()}
+        out["parity_ok"] = s1 == s2 and len(s1) > 0
+
+        # deep chain: diameter = n_deep - 1, star only
+        n_deep = int(os.environ.get("CHAIN_DEEP_NODES", str(n)))
+        deep = (
+            spark.range(n_deep - 1)
+            .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+            .localCheckpoint(eager=True)
+        )
+        st = {}
+        t0 = time.time()
+        cd = connected_components_star(deep, stats=st)
+        n_comp_deep = cd.select("component").distinct().count()
+        out["deep_chain_nodes"] = n_deep
+        out["deep_star_sec"] = round(time.time() - t0, 2)
+        out["deep_star_rounds"] = st["rounds"]
+        out["deep_one_component"] = n_comp_deep == 1
+        print(json.dumps(out))
+        return
+
     if os.environ.get("GRAPH_OP") == "cc":
         # CC gets its own JVM (GRAPH_OP=cc): pagerank's two full runs
         # plus CC's symmetrized edge set overflow one shared driver heap
