@@ -139,11 +139,30 @@ def pack_sequences(
 
     SQL twin: sum(n) OVER (PARTITION BY stream ORDER BY md5(id), id
     ROWS UNBOUNDED PRECEDING) - n.
+
+    ``streams`` below the cluster's parallelism leaves cores idle during
+    the per-stream sort (each stream is one window task) — warned, not
+    raised, because the stream count is part of the packing's
+    deterministic CONTRACT: silently rescaling it would change every
+    (stream, bin) assignment on re-runs under a different cluster size.
     """
     from pyspark.sql import Window
 
     from .textops import tokens
 
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if streams < par:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences(streams=%d) < defaultParallelism=%d: the "
+            "packing windows will use only %d of %d cores. Raise "
+            "`streams` (the ragged-tail cost is streams*seq_len tokens "
+            "total) — but note stream count is part of the deterministic "
+            "bin contract, so pick it per-corpus, not per-cluster."
+            % (streams, par, streams, par),
+            stacklevel=2,
+        )
     if "__n_tokens" in df.columns:
         n_tok = F.col("__n_tokens")
     else:

@@ -126,9 +126,25 @@ def kmeans_iteration(
     return means
 
 
+def suggest_ivf_cells(n_vectors: int) -> int:
+    """Cell-count rule of thumb: k ≈ √N, clamped to [16, 65536].
+
+    √N balances the two costs a probe pays: the broadcast centroid
+    argmax is O(k) per vector and each probed list holds ~N/k vectors,
+    so total per-query work ~ k + nprobe·N/k, minimized at k ≈ √(nprobe·N).
+    (The classic IVF sizing guidance, e.g. the public FAISS docs'
+    ``nlist ≈ sqrt(N)``.) The 65536 cap keeps the codebook
+    driver/broadcast-tiny (64k × dim doubles); past 10^10 vectors use a
+    two-level coarse quantizer instead of pushing k higher.
+    """
+    import math
+
+    return max(16, min(1 << 16, int(math.sqrt(max(n_vectors, 1)))))
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
-    k: int = 64,
+    k: int | None = 64,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -140,8 +156,15 @@ def train_ivf_centroids(
     Each iteration runs one ``kmeans_iteration``; the k·dim codebook is
     collected to the driver between steps (tiny) and re-broadcast.
     Empty cells keep their previous centroid so k never shrinks.
+
+    ``k=None`` auto-sizes the codebook as :func:`suggest_ivf_cells`
+    (≈ √N — one count job). The explicit default 64 is a FIXTURE-scale
+    number (√N for the ~4k-vector test tables); size by corpus, not by
+    habit, when calling at scale.
     """
     spark = vectors.sparkSession
+    if k is None:
+        k = suggest_ivf_cells(vectors.count())
     seeds = (
         vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("cv"))
         .withColumn("__h", F.md5(F.col(id_col).cast("string")))
@@ -201,12 +224,30 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    shortlist_dims: int | None = None,
+    shortlist_mult: int = 4,
 ) -> DataFrame:
     """IVF approximate top-k: search only the nprobe nearest centroid
     lists per query.  Join keys are centroid ids — the corpus is scanned
     once for assignment and thereafter only touched per probed list.
     Pass a trained ``centroids`` codebook for real recall; the default
-    id-subset codebook is the deterministic oracle path."""
+    id-subset codebook is the deterministic oracle path.
+
+    Two-stage re-rank (``shortlist_dims``): score every probed
+    candidate with a CHEAP truncated-dimension cosine first (the IVF-PQ
+    ADC analog — ``shortlist_dims`` of ``dim`` flops per candidate),
+    keep the best ``k·shortlist_mult`` per query, then exact-re-rank
+    only the shortlist at full dimension. Cuts the full-dim scoring
+    from O(probed candidates) to O(k·mult) per query; the compute win
+    assumes leading dimensions carry signal (PCA-rotated or
+    front-loaded embeddings — the standard layout for truncatable
+    vectors). Shortlist slots are per candidate ROW, so a neighbor
+    reached via two probes occupies two slots — ``shortlist_mult``
+    ≥ 2·nprobe keeps that crowding negligible. Exact scores, possibly
+    reduced recall vs the plain path when the truncated scores misrank
+    (raise ``shortlist_dims``/``shortlist_mult`` to converge on it —
+    with ``shortlist_dims >= dim`` the shortlist ordering equals the
+    exact ordering, so results match the plain path exactly)."""
     cents = (
         centroids
         if centroids is not None
@@ -223,10 +264,27 @@ def ivf_topk(
     )
     v = vectors.select(F.col(id_col).alias("nbr_id"), _vecd(F.col(vec_col)).alias("vv"))
     lists = assign.join(v, assign[id_col] == F.col("nbr_id")).select("centroid_id", "nbr_id", "vv")
+    cand = probes.join(lists, "centroid_id").filter(
+        F.col("query_id") != F.col("nbr_id")
+    )
+    if shortlist_dims is not None:
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("__scos").desc(), F.col("nbr_id")
+        )
+        cand = (
+            cand.withColumn(
+                "__scos",
+                cosine(
+                    F.slice(F.col("qv"), 1, shortlist_dims),
+                    F.slice(F.col("vv"), 1, shortlist_dims),
+                ),
+            )
+            .withColumn("__srn", F.row_number().over(ws))
+            .filter(F.col("__srn") <= k * shortlist_mult)
+            .drop("__scos", "__srn")
+        )
     scored = (
-        probes.join(lists, "centroid_id")
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", cosine(F.col("qv"), F.col("vv")).alias("cos"))
+        cand.select("query_id", "nbr_id", cosine(F.col("qv"), F.col("vv")).alias("cos"))
         .groupBy("query_id", "nbr_id")
         .agg(F.max("cos").alias("cos"))  # a nbr can appear via 2 probes
     )

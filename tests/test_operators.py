@@ -1042,3 +1042,82 @@ def test_repeated_spans_matches_bruteforce(spark):
         assert got[d] == (len(ts), len(covered), spans, ratio), d
     # the planted license span really was detected
     assert got[0][1] >= W and got[1][1] >= W and got[2][2] == 2
+
+
+def test_ivf_shortlist_rerank(spark):
+    """Two-stage shortlist re-rank (round 4): with shortlist_dims = full
+    dim the truncated ordering IS the exact ordering, so results match
+    the plain path row-for-row; with a 16-dim shortlist the output is
+    still k well-formed exact-scored rows per query with high overlap."""
+    from crawl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(EMB)
+    q = emb.filter(F.col("vec_id") < 8)
+    plain = ivf_topk(emb, q, k=5, nprobe=4).toPandas()
+    full = ivf_topk(
+        emb, q, k=5, nprobe=4, shortlist_dims=64, shortlist_mult=1
+    ).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        plain.sort_values(key).reset_index(drop=True).equals(
+            full.sort_values(key).reset_index(drop=True)
+        )
+    )
+    short = ivf_topk(
+        emb, q, k=5, nprobe=4, shortlist_dims=16, shortlist_mult=4
+    ).toPandas()
+    assert (short.groupby("query_id")["rank"].count() == 5).all()
+    # exact re-rank: every emitted cos is the full-dim cosine, so any
+    # (query, nbr) pair present in both paths carries the same score
+    merged = short.merge(plain, on=["query_id", "nbr_id"], suffixes=("_s", "_p"))
+    assert (merged["cos_s"] == merged["cos_p"]).all()
+
+    # the shortlist's accuracy CONTRACT needs front-loaded dimensions
+    # (the docstring's stated assumption): on a fixture whose leading 8
+    # dims carry ~100x the energy of the tail, an 8-dim shortlist must
+    # recover (nearly) the plain path's top-k. The isotropic sf
+    # embeddings deliberately can't show this — random truncation keeps
+    # only dims/DIM of the signal.
+    rng = np.random.RandomState(7)
+    vecs = np.concatenate(
+        [rng.randn(400, 8) * 10.0, rng.randn(400, 24) * 0.1], axis=1
+    )
+    fl = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    flq = fl.filter(F.col("vec_id") < 8)
+    p2 = ivf_topk(fl, flq, k=5, nprobe=4).toPandas()
+    s2 = ivf_topk(
+        fl, flq, k=5, nprobe=4, shortlist_dims=8, shortlist_mult=4
+    ).toPandas()
+    m2 = s2.merge(p2, on=["query_id", "nbr_id"])
+    overlap = len(m2) / len(p2)
+    assert overlap >= 0.9, overlap
+
+
+def test_suggest_ivf_cells_bounds():
+    from crawl_spark.operators.similarity import suggest_ivf_cells
+
+    assert suggest_ivf_cells(0) == 16
+    assert suggest_ivf_cells(100) == 16
+    assert suggest_ivf_cells(1_000_000) == 1000
+    assert suggest_ivf_cells(10**12) == 1 << 16
+
+
+def test_pack_sequences_warns_below_parallelism(spark):
+    import warnings
+
+    from crawl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pack_sequences(df, streams=2).collect()
+    assert any("defaultParallelism" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pack_sequences(df, streams=4096).collect()
+    assert not any("defaultParallelism" in str(x.message) for x in w)

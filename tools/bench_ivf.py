@@ -61,20 +61,57 @@ def main() -> None:
     trained = train_ivf_centroids(emb, k=64, iters=5).localCheckpoint(True)
     t_train = time.time() - t0
 
-    results = {"sf_dir": sf_dir, "queries": 64, "k": k, "nprobe": nprobe,
+    results = {"sf_dir": sf_dir, "queries": 64, "k": k,
                "train_s": round(t_train, 2)}
-    for name, cents in (("untrained_mod41", None), ("trained_kmeans64", trained)):
-        def run():
-            return ivf_topk(emb, queries, k=k, nprobe=nprobe, centroids=cents)
 
-        run().write.format("noop").mode("overwrite").save()  # warm
+    def bench(fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
-        run().write.format("noop").mode("overwrite").save()
-        wall = round(time.time() - t0, 2)
-        results[name] = {
-            "search_s": wall,
-            "recall_at_10": recall_at_k(spark, run(), exact, k),
-        }
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 2), recall_at_k(spark, fn(), exact, k)
+
+    for name, cents in (("untrained_mod41", None), ("trained_kmeans64", trained)):
+        wall, rec = bench(
+            lambda: ivf_topk(emb, queries, k=k, nprobe=nprobe, centroids=cents)
+        )
+        results[name] = {"nprobe": nprobe, "search_s": wall, "recall_at_10": rec}
+
+    # nprobe sweep (trained codebook): the recall-vs-work dial
+    sweep = {}
+    for np_ in (1, 2, 4, 8, 16):
+        wall, rec = bench(
+            lambda: ivf_topk(emb, queries, k=k, nprobe=np_, centroids=trained)
+        )
+        sweep[str(np_)] = {"search_s": wall, "recall_at_10": rec}
+    results["nprobe_sweep_trained"] = sweep
+
+    # two-stage shortlist re-rank: truncated-dim first pass (16 of 64
+    # dims), exact full-dim re-rank of the k*4 shortlist
+    wall, rec = bench(
+        lambda: ivf_topk(
+            emb, queries, k=k, nprobe=8, centroids=trained,
+            shortlist_dims=16, shortlist_mult=4,
+        )
+    )
+    results["shortlist16_rerank_nprobe8"] = {"search_s": wall, "recall_at_10": rec}
+
+    # auto cell count (k = None -> ~sqrt(N))
+    from crawl_spark.operators.similarity import suggest_ivf_cells
+
+    n_vec = emb.count()
+    auto_k = suggest_ivf_cells(n_vec)
+    t0 = time.time()
+    auto_cents = train_ivf_centroids(emb, k=None, iters=5).localCheckpoint(True)
+    results["auto_cells"] = {
+        "n_vectors": n_vec,
+        "n_cells": auto_k,
+        "train_s": round(time.time() - t0, 2),
+    }
+    wall, rec = bench(
+        lambda: ivf_topk(emb, queries, k=k, nprobe=nprobe, centroids=auto_cents)
+    )
+    results["auto_cells"]["search_s"] = wall
+    results["auto_cells"]["recall_at_10"] = rec
     print(json.dumps(results), flush=True)
 
 
