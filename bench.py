@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "token_entropy",
     "pagerank",
     "connected_components",
+    # round-4 operators
+    "cc_star",
+    "repeated_spans",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -206,9 +206,15 @@ def repeated_spans(
     base = df.select(
         F.col(id_col), F.size(toks).alias("n_tokens"), grams.alias("g")
     )
+    # the (doc, p, digest) starts table feeds TWO consumers (the corpus
+    # digest count and the repeated-start join) whose exchanges differ
+    # (partial-agg rows vs raw rows), so Catalyst cannot reuse one scan
+    # — without this checkpoint the O(n·w) gram build runs twice
+    # (measured 2× wall at sf0.1). 28 B/row, spills to disk; the same
+    # order of magnitude the digest shuffle pays anyway.
     starts = base.select(
         F.col(id_col), F.posexplode("g").alias("p", "h")
-    )
+    ).localCheckpoint(eager=False)
     rep = (
         starts.groupBy("h")
         .agg(F.count("*").alias("c"))

@@ -388,13 +388,17 @@ class CrawlEngine:
             )
         self.robots = robots_df.select("host", "disallow", "crawl_delay")
         # one row per host is a CORRECTNESS contract, not a convention:
-        # the round loop left-joins the frontier on host (step 2), so a
-        # duplicate host row would duplicate frontier rows through the
+        # the add-time robots stamp left-joins entering rows on host, so
+        # a duplicate host row would duplicate frontier rows through the
         # join — inflating the committed expired/allowed counters and
-        # double-scheduling that host's urls. Robots is dimension-sized;
-        # the check is two tiny jobs at construction, once.
-        n_rb = self.robots.count()
-        if n_rb and n_rb != self.robots.select("host").distinct().count():
+        # double-scheduling that host's urls. ONE partial-aggregated job
+        # at construction (count + count_distinct combine map-side —
+        # a single scan even at a 10^8-host table).
+        row = self.robots.agg(
+            F.count("*").alias("n"), F.countDistinct("host").alias("nd")
+        ).collect()[0]
+        n_rb = row.n
+        if n_rb and n_rb != row.nd:
             raise ValueError(
                 "robots_df must have exactly one row per host "
                 "(deduplicate/merge rules upstream — "
