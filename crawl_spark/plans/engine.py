@@ -1159,8 +1159,12 @@ class CrawlEngine:
                 )
             joined = df.join(F.broadcast(rslice), "host", "left")
         else:
+            # probe too large to broadcast: classic shuffle join, but
+            # against the PERSISTED bucketed scan when available (AQE
+            # skew-split applies; the constructor DataFrame may be an
+            # arbitrary upstream plan that would recompute here)
             joined = df.join(
-                self.robots.select("host", "disallow", "crawl_delay"),
+                rsrc.select("host", "disallow", "crawl_delay"),
                 "host",
                 "left",
             )
