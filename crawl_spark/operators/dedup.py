@@ -282,8 +282,20 @@ def minhash_signature(
     array expression, and downstream banding only touches k/bands
     components per branch — with an array every branch would recompute
     the full signature (measured 17× slower at sf0.1).
+
+    The shingle ARRAY itself is materialized once (lazy checkpoint)
+    before the k component columns are built from it: all k reference
+    the same array, and Catalyst does not CSE nested higher-order
+    functions — inlined, the tokenize→shingle→distinct pipeline re-ran
+    k times per row (measured 1.7× whole-op at sf0.1; the same CSE gap
+    fixed in textops.fingerprint and the jaccard verifier).
     """
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    shdf = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias(
+            "__sh"
+        ),
+    ).localCheckpoint(eager=False)
 
     def hasher(j: int):
         # NB: the returned lambda must take exactly ONE parameter —
@@ -293,9 +305,10 @@ def minhash_signature(
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
     cols = [
-        F.array_min(F.transform(sh, hasher(j))).alias(f"mh_{j}") for j in range(k)
+        F.array_min(F.transform(F.col("__sh"), hasher(j))).alias(f"mh_{j}")
+        for j in range(k)
     ]
-    return df.select(F.col(id_col), *cols)
+    return shdf.select(F.col(id_col), *cols)
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS) -> DataFrame:
@@ -365,10 +378,15 @@ def ngram_jaccard_pairs(
     contract).
     """
     cand = minhash_candidates(df, id_col, text_col)
+    # the exploded shingle table has THREE consumers (sizes + both join
+    # sides of the intersection) — materialize it once (lazy
+    # checkpoint): Catalyst re-inlines the tokenize→shingle→explode
+    # pipeline per consumer otherwise (measured 8.1 s → 5.3 s at sf0.1;
+    # same nested-HOF CSE gap as textops.fingerprint)
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.withColumnRenamed(id_col, "id_a"), "id_a")

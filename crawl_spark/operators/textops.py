@@ -411,7 +411,16 @@ def fingerprint(
     """
     toks = tokens(F.col(text_col))
     sh = shingles(toks, n)
-    hashes = F.transform(sh, lambda s: F.md5(s))
+    # materialize the per-doc hash array ONCE (lazy checkpoint): the
+    # window-min chain below references it in `window`+2 places (the
+    # shifted slices, size, array_min), and Catalyst does not CSE
+    # nested higher-order functions — inlined, the whole
+    # tokenize→shingle→md5 pipeline re-ran per reference (measured ~6×:
+    # 8.1 s → 1.3 s at sf0.1). One narrow (id, hashes) row per doc.
+    hdf = df.select(
+        F.col(id_col), F.transform(sh, lambda s: F.md5(s)).alias("__h")
+    ).localCheckpoint(eager=False)
+    hashes = F.col("__h")
     nwin = F.size(hashes) - window + 1
     # rolling window-min as a zip_with chain over shifted slices (same
     # outer-reference-in-lambda hazard as shingles(): array_min(slice(h,
@@ -428,7 +437,7 @@ def fingerprint(
             F.array().cast("array<string>")
         )
     )
-    return df.select(
+    return hdf.select(
         F.col(id_col),
         F.size(fps).alias("n_fingerprints"),
         F.array_min(fps).alias("min_fingerprint"),
