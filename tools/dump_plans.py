@@ -117,10 +117,14 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     cap(
         "MinHash-LSH candidate self-join",
-        "The only shuffle is on (band, band_key) digests; signature "
-        "computation stays in one projection over the scan.",
+        "The only shuffle is on (band, band_key) digests; the signature "
+        "builds in one projection over the checkpointed shingle array "
+        "(the `Scan ExistingRDD` root — round 4: Catalyst does not CSE "
+        "nested HOFs, so the shared array is materialized once instead "
+        "of re-evaluating the tokenize→shingle pipeline per component).",
         minhash_candidates(docs),
     )
+
 
     # 8. merge-on-read frontier: a real engine run's log, read back
     import tempfile
@@ -320,6 +324,22 @@ def main() -> None:
         eng._active_host_state(hs, 1),
     )
 
+    # 7b. repeated-span dedup: one digest shuffle over the checkpointed
+    # (doc, p, digest) starts table; per-doc islands windows after it
+    from crawl_spark.operators.dedup import repeated_spans
+
+    cap(
+        "Repeated-span (substring) dedup",
+        "Round-4 operator. The (doc, p, digest) w-gram starts table is "
+        "materialized once (Scan ExistingRDD) and feeds BOTH the "
+        "corpus-wide digest count (partial-aggregated groupBy on the "
+        "16-byte md5 — the only O(corpus) shuffle, carrying no text) "
+        "and the repeated-start join; span merging is gaps-and-islands "
+        "windows PARTITIONED BY doc (bounded by doc length — no global "
+        "window).",
+        repeated_spans(docs, window=15),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
@@ -327,8 +347,8 @@ def main() -> None:
         + "). Each section: what the plan must show, then "
         "`explain('formatted')` verbatim.\n"
     )
-    for title, note, plan in SECTIONS:
-        out += [f"## {title}", "", note, "", "```", plan, "```", ""]
+    for i, (title, note, plan) in enumerate(SECTIONS, start=1):
+        out += [f"## \u00a7{i}) {title}", "", note, "", "```", plan, "```", ""]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
     )
