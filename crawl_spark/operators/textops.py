@@ -75,9 +75,17 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Scores each language by |distinct(tokens) ∩ stopwords(lang)|; the
     prediction is the max score with alphabetical-language tiebreak;
-    all-zero scores → 'und'.  Pure array ops — one projection, no shuffle.
+    all-zero scores → 'und'.  Pure array ops, no shuffle; the distinct
+    token array is materialized once (lazy checkpoint) because the
+    per-language scores reference it |languages| times and Catalyst
+    does not CSE nested HOFs (the tokenize pipeline re-ran per language
+    — measured 1.4× at 200k docs; see CLAUDE.md perf notes).
     """
-    toks = F.array_distinct(tokens(F.col(text_col)))
+    tdf = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens(F.col(text_col))).alias("__t"),
+    ).localCheckpoint(eager=False)
+    toks = F.col("__t")
     scores = [
         F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])))
         for lang in LANG_ORDER
@@ -87,8 +95,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     # reverse order so that on ties the alphabetically-first language wins
     for lang, sc in reversed(list(zip(LANG_ORDER, scores))):
         pred = F.when((best > 0) & (sc == best), F.lit(lang)).otherwise(pred)
-    out = df.select(F.col(id_col), pred.alias("lang_pred"), best.alias("lang_score"))
-    return out
+    return tdf.select(F.col(id_col), pred.alias("lang_pred"), best.alias("lang_score"))
 
 
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -97,12 +104,25 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     Emits one row per doc: n_tokens, mean_token_len, punct_ratio,
     stopword_ratio, and a [0,1] quality score (fixed linear blend).
     All ratios rounded to 6dp for cross-engine float stability.
+
+    The token array and the char-level scalars are materialized once
+    (lazy checkpoint): the features below reference the token pipeline
+    ~5 times and Catalyst does not CSE nested HOFs (see CLAUDE.md perf
+    notes — the tokenize ran per feature before).
     """
-    t = F.col(text_col)
-    toks = tokens(t)
+    t0 = F.col(text_col)
+    tdf = df.select(
+        F.col(id_col),
+        tokens(t0).alias("__t"),
+        F.length(t0).alias("__nc"),
+        (F.length(t0) - F.length(F.regexp_replace(t0, PUNCT_RE, ""))).alias(
+            "__np"
+        ),
+    ).localCheckpoint(eager=False)
+    toks = F.col("__t")
     n_tok = F.size(toks)
-    n_char = F.length(t)
-    n_punct = n_char - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    n_char = F.col("__nc")
+    n_punct = F.col("__np")
     sw = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
     mean_len = F.round(
@@ -120,7 +140,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         + F.lit(2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))),
         6,
     )
-    return df.select(
+    return tdf.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         mean_len.alias("mean_token_len"),

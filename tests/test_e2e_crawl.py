@@ -916,3 +916,29 @@ def test_sitemap_recrawl_frontier_integration(spark, tiny_fixture, tmp_path_fact
     assert res.counters[0]["staged"] == 1
     assert res.transcript[0][0] == target
     assert all(other not in t for t in res.transcript)
+
+
+def test_robots_dim_rebuilt_when_missing(spark, tiny_fixture, tmp_path_factory):
+    """robots_dim is a CACHE of the constructor-provided robots table,
+    not state: deleting it from a committed workdir must not change
+    resume semantics — the engine rebuilds it (fingerprint-pinned) and
+    the resumed transcript still exact-matches the reference model."""
+    import os
+    import shutil
+
+    pages, seeds, robots = _load(tiny_fixture)
+    golden = _run_refmodel(pages, seeds, robots, batch_cap=40, max_rounds=5)
+    wd = str(tmp_path_factory.mktemp("rbdim_work"))
+    mk = lambda: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(batch_cap=40, max_rounds=5, workdir=wd,
+                            collect_transcript=True),
+    )
+    mk().run(seeds, max_rounds=2)
+    shutil.rmtree(os.path.join(wd, "robots_dim"))
+    res = mk().run(seeds, resume=True)
+    assert res.transcript == golden.transcript
+    assert os.path.isdir(os.path.join(wd, "robots_dim"))  # rebuilt
