@@ -753,6 +753,31 @@ def q_repeated_spans(spark, sf_dir):
     return repeated_spans(_t(spark, sf_dir, "documents"), window=15)
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encode (similarity.pq_encode): every
+    64-dim embedding compressed to 8 sub-codes (16-centroid codebook
+    per subspace, the deterministic smallest-id codebook — the SQL
+    oracle path; trained codebooks are pytest-verified by quantization
+    error). Exploded to (vec_id, subspace, code) scalars for exact
+    verification; distances use the 6dp micro-unit integer contract."""
+    from crawl_spark.operators.similarity import pq_encode
+
+    return pq_encode(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    )
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ/ADC approximate top-k (similarity.pq_topk): candidates scored
+    from CODES via per-query distance tables — integer micro-unit sums,
+    exact across engines; raw floats never touched in the scoring
+    pass."""
+    from crawl_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 8), q_k=10)
+
+
 def q_signbit_buckets(spark, sf_dir):
     """Random-hyperplane LSH buckets (operators/similarity.py
     simhash_sign_buckets): 16 sign bits against md5-parity
@@ -811,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "block_dedup": q_block_dedup,
         "repeated_spans": q_repeated_spans,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         "minhash_bands": q_minhash_bands,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1080,6 +1107,77 @@ SELECT tkn.doc_id,
             THEN round(coalesce(per_doc.n_covered, 0) / CAST(len(t) AS DOUBLE), 6)
             ELSE 0.0 END AS dup_ratio
 FROM tkn LEFT JOIN per_doc USING (doc_id)
+""",
+        "pq_encode": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cbbase AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM e ORDER BY vec_id LIMIT 16
+),
+cb AS (
+  SELECT CAST(u.j AS INT) AS subspace, code,
+         v[CAST(u.j AS INT)*8+1 : CAST(u.j AS INT)*8+8] AS cv
+  FROM cbbase, unnest(range(0, 8)) AS u(j)
+),
+sub AS (
+  SELECT vec_id, CAST(u.j AS INT) AS subspace,
+         v[CAST(u.j AS INT)*8+1 : CAST(u.j AS INT)*8+8] AS sv
+  FROM e, unnest(range(0, 8)) AS u(j)
+),
+d AS (
+  SELECT s.vec_id, s.subspace, cb.code,
+         CAST(round(list_sum(list_transform(range(1, 9),
+               i -> (s.sv[i]-cb.cv[i])*(s.sv[i]-cb.cv[i]))) * 1e6) AS BIGINT) AS dm
+  FROM sub s JOIN cb USING (subspace)
+),
+picked AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dm, code) AS rn
+  FROM d
+)
+SELECT vec_id, subspace, code FROM picked WHERE rn = 1
+""",
+        "pq_topk": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cbbase AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM e ORDER BY vec_id LIMIT 16
+),
+cb AS (
+  SELECT CAST(u.j AS INT) AS subspace, code,
+         v[CAST(u.j AS INT)*8+1 : CAST(u.j AS INT)*8+8] AS cv
+  FROM cbbase, unnest(range(0, 8)) AS u(j)
+),
+sub AS (
+  SELECT vec_id, CAST(u.j AS INT) AS subspace,
+         v[CAST(u.j AS INT)*8+1 : CAST(u.j AS INT)*8+8] AS sv
+  FROM e, unnest(range(0, 8)) AS u(j)
+),
+d AS (
+  SELECT s.vec_id, s.subspace, cb.code,
+         CAST(round(list_sum(list_transform(range(1, 9),
+               i -> (s.sv[i]-cb.cv[i])*(s.sv[i]-cb.cv[i]))) * 1e6) AS BIGINT) AS dm
+  FROM sub s JOIN cb USING (subspace)
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dm, code) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+dt AS (SELECT vec_id AS query_id, subspace, code, dm FROM d WHERE vec_id < 8),
+adc AS (
+  SELECT dt.query_id, c.vec_id AS nbr_id, SUM(dt.dm) AS am
+  FROM codes c JOIN dt ON dt.subspace = c.subspace AND dt.code = c.code
+  WHERE c.vec_id <> dt.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, nbr_id, adc_d2 FROM (
+  SELECT query_id, nbr_id, am / 1e6 AS adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY am, nbr_id) AS INT) AS rank
+  FROM adc
+) WHERE rank <= 10
 """,
         "minhash_bands": f"""
 WITH {_MINHASH_CTES}

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     # round-4 operators
     "cc_star",
     "repeated_spans",
+    "pq_topk",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

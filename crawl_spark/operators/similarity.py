@@ -12,6 +12,10 @@ Three tiers, all built-in column expressions (no UDFs — `F.zip_with` +
   join (centroid set is small by construction).
 - simhash_sign_buckets: random-hyperplane LSH (sign bits vs fixed
   deterministic pseudo-hyperplanes) for near-dup blocking.
+- pq_encode / pq_topk: product quantization (Jégou et al.) — vectors
+  compressed to m sub-codes, candidates scored by integer
+  distance-table lookups (ADC), optional exact full-dim re-rank; the
+  >10^9-vector memory path.
 
 Float contract (matches the DuckDB oracle): embeddings are cast
 float→double elementwise, dot products accumulate in index order, and
@@ -393,4 +397,319 @@ def embedding_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+# -- product quantization (PQ): compressed codes + ADC scan ----------------
+# The >10^9-vector memory path (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public method): split each
+# dim-D vector into m subspaces of D/m dims, quantize each subvector to
+# one of k sub-centroids, and score candidates by summing per-subspace
+# distance-table lookups (ADC) instead of touching raw floats — a
+# 64-dim float vector becomes m=8 small codes, a 32× compression, and
+# the scan reads codes only. Distances use an EXACT integer contract:
+# every per-subspace squared-L2 is computed in index order, scaled to
+# 6dp MICRO-UNITS (round(d*1e6) as long), and summed as integers — so
+# argmin/ordering are bit-identical across Spark, DuckDB and Python
+# (the module's float contract, made exact for sums).
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Index-ordered squared L2 (deterministic fp accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqdist_micro(a: Column, b: Column) -> Column:
+    """Squared L2 in 6dp micro-units (exact integer contract)."""
+    return F.round(_sqdist(a, b) * 1e6, 0).cast("long")
+
+
+def default_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic untrained codebooks — sub-slices of the k
+    smallest-id vectors (the SQL-oracle path, the PQ analog of
+    ``_default_centroids``). Returns (subspace, code, cv).
+
+    Built driver-side: the k base vectors arrive via a TakeOrdered
+    (distributed top-k, no global window) and the codebook is k·dim
+    doubles — tiny by construction, and every consumer collects it
+    anyway to bake the literals into the plan."""
+    ds = dim // m
+    rows = (
+        vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    data = [
+        (j, c, [float(x) for x in rows[c].v[j * ds: (j + 1) * ds]])
+        for j in range(m)
+        for c in range(len(rows))
+    ]
+    return vectors.sparkSession.createDataFrame(
+        data, "subspace int, code int, cv array<double>"
+    )
+
+
+def _collect_codebooks(codebooks: DataFrame, m: int, k: int) -> list:
+    """codebooks DF -> nested python list [subspace][code] = cv.
+    m·k·(D/m) doubles — driver-tiny by construction."""
+    cb = [[None] * k for _ in range(m)]
+    for row in codebooks.collect():
+        cb[row.subspace][row.code] = list(row.cv)
+    for j in range(m):
+        missing = [c for c in range(k) if cb[j][c] is None]
+        if missing:
+            raise ValueError(
+                f"codebooks missing subspace {j} codes {missing[:4]}…"
+            )
+    return cb
+
+
+def _cb_literal(cb_j: list) -> Column:
+    """One subspace's codebook as a literal array<array<double>> —
+    baked into the plan, never recomputed per row."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in cv]) for cv in cb_j]
+    )
+
+
+def _argmin_code(cb_ary: Column, sv: Column, k: int) -> Column:
+    """Code of the nearest sub-centroid: ONE pass via min over
+    PACKED longs (micro_distance·k + code) — integer min is total and
+    engine-portable, and ties break to the smaller code exactly like
+    the oracle's ORDER BY (d, code). transform's binary lambda supplies
+    the code index; no struct (struct-field aliases inside lambdas are
+    unreliable), no double evaluation of the distance. Packing is safe:
+    micro distances are ≪ 2^50 and k ≤ 2^8."""
+    packed = F.array_min(
+        F.transform(cb_ary, lambda c, i: _sqdist_micro(c, sv) * k + i)
+    )
+    return (packed % k).cast("int")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame | None = None,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to m sub-codes.
+
+    The codebook is collected once (driver-tiny) and baked into the
+    plan as literals, so encoding is a single stateless projection over
+    the corpus scan: no join, no shuffle, codegen throughout. The
+    vector column is materialized behind a lazy checkpoint because the
+    m per-subspace argmins each slice it (nested-HOF CSE gap — see
+    CLAUDE.md perf notes)."""
+    ds = dim // m
+    cb = _collect_codebooks(
+        codebooks
+        if codebooks is not None
+        else default_pq_codebooks(vectors, m, k, dim, id_col, vec_col),
+        m,
+        k,
+    )
+    vdf = vectors.select(
+        F.col(id_col), _vecd(F.col(vec_col)).alias("__v")
+    ).localCheckpoint(eager=False)
+    codes = F.array(
+        *[
+            _argmin_code(
+                _cb_literal(cb[j]), F.slice(F.col("__v"), j * ds + 1, ds), k
+            )
+            for j in range(m)
+        ]
+    )
+    return vdf.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    q_k: int = 10,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    codebooks: DataFrame | None = None,
+    rerank_mult: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k: candidates are scored from their CODES
+    via per-query distance tables — the corpus's raw floats are never
+    read in the scoring pass.
+
+    Per query: dtable[j][c] = micro-sqdist(query subvector j,
+    sub-centroid c) — m·k longs, computed once per query row and
+    broadcast with it. Candidate score = Σ_j dtable[j][codes[j]]
+    (integer lookups, exact). ``rerank_mult`` > 0 keeps the q_k·mult
+    best ADC candidates and re-ranks them with the EXACT full-dim
+    squared L2 against the raw vectors — the standard two-stage PQ
+    pipeline (ADC shortlist is approximate because quantization loses
+    within-cell geometry; the exact re-rank restores the final
+    ordering at O(q_k·mult) float work per query).
+
+    Output: (query_id, rank, nbr_id, adc_d2[, d2]) — adc_d2/d2 in
+    squared-L2 units rounded at 6dp (micro-exact cross-engine)."""
+    ds = dim // m
+    cbdf = (
+        codebooks
+        if codebooks is not None
+        else default_pq_codebooks(vectors, m, k, dim, id_col, vec_col)
+    )
+    cb = _collect_codebooks(cbdf, m, k)
+    encoded = pq_encode(vectors, cbdf, m, k, dim, id_col, vec_col)
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), _vecd(F.col(vec_col)).alias("__q")
+    ).localCheckpoint(eager=False)
+    def _dtable(cb_j: list, qsub: Column) -> Column:
+        # NB: ONE-parameter lambda — a second parameter (even a
+        # defaulted one) would be bound to the array INDEX by
+        # F.transform, silently shadowing the subspace (the module's
+        # documented 2-arg-lambda trap).
+        return F.transform(
+            _cb_literal(cb_j), lambda c: _sqdist_micro(c, qsub)
+        )
+
+    dtables = F.array(
+        *[
+            _dtable(cb[j], F.slice(F.col("__q"), j * ds + 1, ds))
+            for j in range(m)
+        ]
+    )
+    q = qdf.select("query_id", "__q", dtables.alias("__dt"))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__dt"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("nbr_id"),
+            (adc / 1e6).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "nbr_id")
+    topn = q_k * rerank_mult if rerank_mult else q_k
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topn)
+    )
+    if not rerank_mult:
+        return ranked.select("query_id", "rank", "nbr_id", "adc_d2")
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), _vecd(F.col(vec_col)).alias("__vv")
+    )
+    qv = qdf.select("query_id", "__q")
+    exact = (
+        ranked.select("query_id", "nbr_id", "adc_d2")
+        .join(v, "nbr_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            "adc_d2",
+            (_sqdist_micro(F.col("__q"), F.col("__vv")) / 1e6).alias("d2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2", "nbr_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= q_k)
+        .select("query_id", "rank", "nbr_id", "d2", "adc_d2")
+    )
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd k-means codebooks, trained in ONE corpus pass
+    per iteration (not m): vectors explode to (id, subspace, subvector)
+    rows once (lazily checkpointed), assignment is the same
+    literal-codebook argmin the encoder uses (indexed by the row's
+    subspace — no join), and the new sub-centroids come from a
+    partial-aggregated groupBy(subspace, code, pos) mean. Init: the k
+    smallest-md5(id) vectors' sub-slices (reproducible, no RNG); empty
+    cells keep their previous centroid so k never shrinks. The m·k·dim
+    codebook round-trips through the driver between iterations — tiny
+    by construction."""
+    spark = vectors.sparkSession
+    ds = dim // m
+    seeds = (
+        vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("v"))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    cb = [
+        [list(row.v[j * ds: (j + 1) * ds]) for row in seeds]
+        for j in range(m)
+    ]
+    sub_parts = [
+        vectors.select(
+            F.col(id_col),
+            F.lit(j).alias("subspace"),
+            F.slice(_vecd(F.col(vec_col)), j * ds + 1, ds).alias("sv"),
+        )
+        for j in range(m)
+    ]
+    sub = sub_parts[0]
+    for p in sub_parts[1:]:
+        sub = sub.unionByName(p)
+    sub = sub.localCheckpoint(eager=False)
+    for _ in range(iters):
+        # per-row argmin against THIS row's subspace codebook: a literal
+        # array<array<array<double>>> indexed by the subspace column
+        cb_all = F.array(*[_cb_literal(cb[j]) for j in range(m)])
+        code = _argmin_code(
+            F.element_at(cb_all, F.col("subspace") + 1), F.col("sv"), k
+        )
+        means = (
+            sub.select("subspace", code.alias("code"), F.posexplode("sv").alias("pos", "x"))
+            .groupBy("subspace", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("subspace", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        for row in means:
+            cb[row.subspace][row.code] = list(row.cv)
+    rows = [
+        (j, c, cb[j][c]) for j in range(m) for c in range(k)
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, cv array<double>"
     )

@@ -1121,3 +1121,93 @@ def test_pack_sequences_warns_below_parallelism(spark):
         warnings.simplefilter("always")
         pack_sequences(df, streams=4096).collect()
     assert not any("defaultParallelism" in str(x.message) for x in w)
+
+
+def test_pq_encode_and_adc_match_python(spark):
+    """Product quantization (round 4): codes, ADC top-k and the exact
+    re-rank must match a from-first-principles numpy/python model under
+    the 6dp micro-unit integer contract (bit-exact argmin/ordering)."""
+    from crawl_spark.operators.similarity import pq_encode, pq_topk
+
+    M, K = 8, 16
+    emb = spark.read.parquet(EMB)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(emb).collect()}
+    pdf = emb.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    V = np.stack(pdf.embedding.map(np.asarray)).astype(np.float64)
+    base = V[np.argsort(ids)[:K]]
+
+    def micro(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += (x - y) * (x - y)
+        # Spark F.round is HALF_UP; python round is banker's — match it
+        return math.floor(d * 1e6 + 0.5)
+
+    def np_code(v, j):
+        return min(
+            (micro(base[c][j * 8:(j + 1) * 8], v[j * 8:(j + 1) * 8]), c)
+            for c in range(K)
+        )[1]
+
+    for i in range(len(ids)):
+        assert codes[ids[i]] == [np_code(V[i], j) for j in range(M)], ids[i]
+
+    got = pq_topk(emb, emb.filter(F.col("vec_id") < 4), q_k=5).toPandas()
+    for qid in sorted(ids)[:4]:
+        qi = np.where(ids == qid)[0][0]
+        dt = [
+            [micro(base[c][j * 8:(j + 1) * 8], V[qi][j * 8:(j + 1) * 8])
+             for c in range(K)]
+            for j in range(M)
+        ]
+        want = sorted(
+            (sum(dt[j][codes[ids[i]][j]] for j in range(M)), int(ids[i]))
+            for i in range(len(ids))
+            if ids[i] != qid
+        )[:5]
+        g = got[got.query_id == qid].sort_values("rank")
+        assert list(zip(g.nbr_id, g.adc_d2)) == [(n, s / 1e6) for s, n in want]
+
+    # exact re-rank: d2 is the true full-dim squared L2
+    rr = pq_topk(
+        emb, emb.filter(F.col("vec_id") < 4), q_k=5, rerank_mult=4
+    ).toPandas()
+    assert (rr.groupby("query_id")["rank"].count() == 5).all()
+    for _, row in rr.iterrows():
+        qi = np.where(ids == row.query_id)[0][0]
+        ni = np.where(ids == row.nbr_id)[0][0]
+        assert abs(row.d2 - micro(V[qi], V[ni]) / 1e6) < 1e-12
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """Per-subspace Lloyd training must strictly reduce total squared
+    reconstruction error vs the untrained smallest-id codebook."""
+    from crawl_spark.operators.similarity import (
+        default_pq_codebooks,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(EMB)
+    pdf = emb.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    V = np.stack(pdf.embedding.map(np.asarray)).astype(np.float64)
+
+    def qerr(cbdf):
+        cb = {(r.subspace, r.code): np.array(r.cv) for r in cbdf.collect()}
+        cds = {r.vec_id: list(r.codes) for r in pq_encode(emb, cbdf).collect()}
+        return sum(
+            float(
+                (
+                    (V[i] - np.concatenate(
+                        [cb[(j, cds[ids[i]][j])] for j in range(8)]
+                    )) ** 2
+                ).sum()
+            )
+            for i in range(len(ids))
+        )
+
+    e_un = qerr(default_pq_codebooks(emb))
+    e_tr = qerr(train_pq_codebooks(emb, iters=3))
+    assert e_tr < e_un
