@@ -778,6 +778,20 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(emb, emb.filter(F.col("vec_id") < 8), q_k=10)
 
 
+def q_ivf_pq(spark, sf_dir):
+    """IVF×PQ composition (similarity.ivf_pq_topk, rerank off so the
+    raw ADC ordering is what the oracle checks): coarse cells prune the
+    corpus to nprobe=2 lists per query, PQ codes score only those
+    lists' members — the production ANN shape where neither the floats
+    nor the full code table is scanned."""
+    from crawl_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), q_k=10, nprobe=2, rerank_mult=0
+    )
+
+
 def q_signbit_buckets(spark, sf_dir):
     """Random-hyperplane LSH buckets (operators/similarity.py
     simhash_sign_buckets): 16 sign bits against md5-parity
@@ -838,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "ivf_pq": q_ivf_pq,
         "minhash_bands": q_minhash_bands,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1171,6 +1186,69 @@ adc AS (
   SELECT dt.query_id, c.vec_id AS nbr_id, SUM(dt.dm) AS am
   FROM codes c JOIN dt ON dt.subspace = c.subspace AND dt.code = c.code
   WHERE c.vec_id <> dt.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, nbr_id, adc_d2 FROM (
+  SELECT query_id, nbr_id, am / 1e6 AS adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY am, nbr_id) AS INT) AS rank
+  FROM adc
+) WHERE rank <= 10
+""",
+        "ivf_pq": f"""
+WITH {_COSINE_CTES},
+cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                                             / (sqrt(v.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
+    FROM n v, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.ce[i]))
+                                             / (sqrt(q.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
+    FROM n q, cents c WHERE q.vec_id < 8
+  ) WHERE rn <= 2
+),
+cbbase AS (
+  SELECT e AS bv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM n ORDER BY vec_id LIMIT 16
+),
+cb AS (
+  SELECT CAST(u.j AS INT) AS subspace, code,
+         bv[CAST(u.j AS INT)*8+1 : CAST(u.j AS INT)*8+8] AS cv
+  FROM cbbase, unnest(range(0, 8)) AS u(j)
+),
+sub AS (
+  SELECT vec_id, CAST(u.j AS INT) AS subspace,
+         e[CAST(u.j AS INT)*8+1 : CAST(u.j AS INT)*8+8] AS sv
+  FROM n, unnest(range(0, 8)) AS u(j)
+),
+dd AS (
+  SELECT s.vec_id, s.subspace, cb.code,
+         CAST(round(list_sum(list_transform(range(1, 9),
+               i -> (s.sv[i]-cb.cv[i])*(s.sv[i]-cb.cv[i]))) * 1e6) AS BIGINT) AS dm
+  FROM sub s JOIN cb USING (subspace)
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dm, code) AS rn
+    FROM dd
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT p.query_id, a.vec_id AS nbr_id, SUM(dt.dm) AS am
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN dd dt ON dt.vec_id = p.query_id AND dt.subspace = c.subspace AND dt.code = c.code
+  WHERE a.vec_id <> p.query_id
   GROUP BY 1, 2
 )
 SELECT query_id, rank, nbr_id, adc_d2 FROM (

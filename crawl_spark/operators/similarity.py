@@ -713,3 +713,118 @@ def train_pq_codebooks(
     return spark.createDataFrame(
         rows, "subspace int, code int, cv array<double>"
     )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    q_k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    centroid_mod: int = 41,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    rerank_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF×PQ composition — the standard production ANN shape (FAISS
+    IVFPQ, non-residual variant): the coarse quantizer prunes the
+    corpus to ``nprobe`` cells per query, the PQ codes score ONLY those
+    cells' members via integer distance-table lookups, and the exact
+    re-rank touches just ``q_k·rerank_mult`` raw vectors per query.
+    Per-query cost: nprobe/ncells of the corpus in CODE lookups (m
+    integer adds each) + O(q_k·mult) full-dim float work — at 10^9
+    vectors neither the floats nor even the full code table is scanned.
+
+    Codes quantize the raw vectors, not the cell residuals (the
+    residual refinement needs per-cell codebooks — m·k·ncells
+    sub-centroids — and is a drop-in upgrade: train codebooks on
+    ``v - centroid`` and subtract the probed cell's centroid from the
+    query before building its tables). ``rerank_mult=0`` returns raw
+    ADC scores. Output matches :func:`pq_topk`:
+    (query_id, rank, nbr_id, adc_d2[, d2])."""
+    ds = dim // m
+    cents = (
+        centroids
+        if centroids is not None
+        else _default_centroids(vectors, centroid_mod, id_col, vec_col)
+    )
+    cbdf = (
+        codebooks
+        if codebooks is not None
+        else default_pq_codebooks(vectors, m, k, dim, id_col, vec_col)
+    )
+    cb = _collect_codebooks(cbdf, m, k)
+
+    # coarse lists: (centroid_id, nbr_id, codes) — built once, reusable
+    assign = ivf_assign(vectors, centroid_mod, id_col, vec_col, centroids=cents)
+    encoded = pq_encode(vectors, cbdf, m, k, dim, id_col, vec_col)
+    lists = assign.select(F.col(id_col).alias("nbr_id"), "centroid_id").join(
+        encoded.withColumnRenamed(id_col, "nbr_id"), "nbr_id"
+    )
+
+    # query side: nprobe nearest cells (cosine, same rule as ivf_topk)
+    # + the PQ distance tables, broadcast together
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), _vecd(F.col(vec_col)).alias("__q")
+    ).localCheckpoint(eager=False)
+    qc = qdf.crossJoin(F.broadcast(cents)).select(
+        "query_id", "__q", "centroid_id",
+        cosine(F.col("__q"), F.col("cv")).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "__q", "centroid_id")
+    )
+
+    def _dtable(cb_j: list, qsub: Column) -> Column:
+        return F.transform(_cb_literal(cb_j), lambda c: _sqdist_micro(c, qsub))
+
+    dtables = F.array(
+        *[_dtable(cb[j], F.slice(F.col("__q"), j * ds + 1, ds)) for j in range(m)]
+    )
+    probes = probes.select("query_id", "centroid_id", dtables.alias("__dt"))
+
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("__dt"), lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(lists, "centroid_id")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", (adc / 1e6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "nbr_id")
+    topn = q_k * rerank_mult if rerank_mult else q_k
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topn
+    )
+    if not rerank_mult:
+        return ranked.select("query_id", "rank", "nbr_id", "adc_d2")
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), _vecd(F.col(vec_col)).alias("__vv")
+    )
+    exact = (
+        ranked.select("query_id", "nbr_id", "adc_d2")
+        .join(v, "nbr_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "nbr_id", "adc_d2",
+            (_sqdist_micro(F.col("__q"), F.col("__vv")) / 1e6).alias("d2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2", "nbr_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= q_k)
+        .select("query_id", "rank", "nbr_id", "d2", "adc_d2")
+    )

@@ -1211,3 +1211,26 @@ def test_pq_training_reduces_quantization_error(spark):
     e_un = qerr(default_pq_codebooks(emb))
     e_tr = qerr(train_pq_codebooks(emb, iters=3))
     assert e_tr < e_un
+
+
+def test_ivf_pq_full_probe_equals_pq(spark):
+    """IVF×PQ composition property: probing EVERY cell makes the
+    candidate set the whole corpus, so the ADC ordering must equal
+    plain pq_topk row-for-row; pruned probes + exact re-rank emit q_k
+    well-formed rows per query with d2 sorted."""
+    from crawl_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    emb = spark.read.parquet(EMB)
+    q = emb.filter(F.col("vec_id") < 4)
+    ncells = emb.filter(F.col("vec_id") % 41 == 0).count()
+    a = ivf_pq_topk(emb, q, q_k=5, nprobe=ncells, rerank_mult=0).toPandas()
+    b = pq_topk(emb, q, q_k=5).toPandas()
+    key = ["query_id", "rank"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    c = ivf_pq_topk(emb, q, q_k=5, nprobe=3, rerank_mult=4).toPandas()
+    assert (c.groupby("query_id")["rank"].count() == 5).all()
+    for _, g in c.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g.d2) == sorted(g.d2)
