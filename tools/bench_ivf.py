@@ -112,6 +112,53 @@ def main() -> None:
     )
     results["auto_cells"]["search_s"] = wall
     results["auto_cells"]["recall_at_10"] = rec
+
+    # PQ tier (round 4): codes-only ADC scan, IVF×PQ composition, and
+    # the exact re-rank. PQ ranks by squared L2, so its ground truth is
+    # the exact-L2 top-k (cosine and L2 orders differ on unnormalized
+    # vectors) — computed by brute force here.
+    from pyspark.sql import Window
+
+    from crawl_spark.operators.similarity import (
+        _sqdist_micro,
+        _vecd,
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    qv = queries.select(F.col("vec_id").alias("query_id"), _vecd(F.col("embedding")).alias("qv"))
+    vv = emb.select(F.col("vec_id").alias("nbr_id"), _vecd(F.col("embedding")).alias("vv"))
+    wl2 = Window.partitionBy("query_id").orderBy("d2", "nbr_id")
+    exact_l2 = (
+        F.broadcast(qv).crossJoin(vv)
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id",
+                (_sqdist_micro(F.col("qv"), F.col("vv")) / 1e6).alias("d2"))
+        .withColumn("rank", F.row_number().over(wl2))
+        .filter(F.col("rank") <= k)
+        .localCheckpoint(True)
+    )
+    t0 = time.time()
+    pq_encode(emb).write.format("noop").mode("overwrite").save()
+    results["pq"] = {"encode_s": round(time.time() - t0, 2)}
+    pqcb = train_pq_codebooks(emb, iters=3).localCheckpoint(True)
+    for name, fn in (
+        ("adc", lambda: pq_topk(emb, queries, q_k=k, codebooks=pqcb)),
+        ("adc_rerank4", lambda: pq_topk(emb, queries, q_k=k, codebooks=pqcb, rerank_mult=4)),
+        ("ivfpq_nprobe8_rerank4", lambda: ivf_pq_topk(
+            emb, queries, q_k=k, nprobe=8, centroids=trained,
+            codebooks=pqcb, rerank_mult=4)),
+    ):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        wall = round(time.time() - t0, 2)
+        results["pq"][name] = {
+            "search_s": wall,
+            "recall_at_10_vs_l2": recall_at_k(spark, fn(), exact_l2, k),
+        }
     print(json.dumps(results), flush=True)
 
 
