@@ -360,6 +360,11 @@ def test_resume_rejects_changed_seen_buckets(spark, tiny_fixture, tmp_path_facto
         # layout (no pruning possible) — all must be transcript-identical
         (40, 4, {"seen_probe_broadcast_max": 0}),
         (40, 4, {"seen_buckets": 1}),
+        # politeness-stamp strategy matrix (round 4): no persisted
+        # robots_dim (in-memory probe, no partition pruning) and a
+        # forced shuffle-join stamp — both must be transcript-identical
+        (40, 4, {"robots_buckets": None}),
+        (40, 4, {"seen_probe_broadcast_max": 0, "robots_buckets": None}),
     ],
 )
 def test_engine_matches_refmodel_across_configs(
