@@ -498,6 +498,87 @@ def _argmin_code(cb_ary: Column, sv: Column, k: int) -> Column:
     return (packed % k).cast("int")
 
 
+def _pq_query_frame(
+    queries: DataFrame, m: int, ds: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, __q, __qs0..__qs{m-1}) behind a lazy checkpoint: the
+    full vector (for the coarse quantizer / exact re-rank) plus the
+    per-subspace slices as REAL COLUMNS — HOF lambdas below reference
+    columns, never slice expressions (CLAUDE.md: an outer-column
+    EXPRESSION inside a lambda re-evaluates per element)."""
+    v = _vecd(F.col(vec_col))
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("__q"),
+        *[F.slice(v, j * ds + 1, ds).alias("__qs%d" % j) for j in range(m)],
+    ).localCheckpoint(eager=False)
+
+
+def _pq_dtables(cb: list, m: int) -> Column:
+    """Per-query distance tables: array of m per-subspace arrays of
+    micro-distances to every sub-centroid, from the ``__qs*`` columns."""
+
+    def one(cb_j: list, qs: Column) -> Column:
+        # NB: ONE-parameter lambda — a second parameter (even a
+        # defaulted one) would be bound to the array INDEX by
+        # F.transform, silently shadowing the closure variable (the
+        # module's documented 2-arg-lambda trap).
+        return F.transform(_cb_literal(cb_j), lambda c: _sqdist_micro(c, qs))
+
+    return F.array(*[one(cb[j], F.col("__qs%d" % j)) for j in range(m)])
+
+
+def _pq_adc() -> Column:
+    """ADC score: Σ_j dtable[j][codes[j]] as exact long micro-units,
+    exposed in squared-L2 units (identical doubles both engines)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("__dt"),
+                lambda c, t: F.element_at(t, c + 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        / 1e6
+    )
+
+
+def _pq_exact_rerank(
+    ranked: DataFrame,
+    vectors: DataFrame,
+    qdf: DataFrame,
+    q_k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact full-dim squared-L2 re-rank of an ADC shortlist (the
+    shared second stage of pq_topk / ivf_pq_topk): joins the
+    O(q_k·mult) shortlist rows back to the raw vectors, scores with
+    the micro-exact full-dim distance, and keeps the q_k best.
+    Output: (query_id, rank, nbr_id, d2, adc_d2)."""
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), _vecd(F.col(vec_col)).alias("__vv")
+    )
+    exact = (
+        ranked.select("query_id", "nbr_id", "adc_d2")
+        .join(v, "nbr_id")
+        .join(F.broadcast(qdf.select("query_id", "__q")), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            "adc_d2",
+            (_sqdist_micro(F.col("__q"), F.col("__vv")) / 1e6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "nbr_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= q_k)
+        .select("query_id", "rank", "nbr_id", "d2", "adc_d2")
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame | None = None,
@@ -511,10 +592,11 @@ def pq_encode(
 
     The codebook is collected once (driver-tiny) and baked into the
     plan as literals, so encoding is a single stateless projection over
-    the corpus scan: no join, no shuffle, codegen throughout. The
-    vector column is materialized behind a lazy checkpoint because the
-    m per-subspace argmins each slice it (nested-HOF CSE gap — see
-    CLAUDE.md perf notes)."""
+    the corpus scan: no join, no shuffle, codegen throughout. The m
+    per-subspace slices are materialized as real columns behind a lazy
+    checkpoint so the argmin lambdas reference COLUMNS — both the
+    nested-HOF CSE gap and the outer-expression-in-lambda per-element
+    re-eval are avoided (CLAUDE.md perf rules)."""
     ds = dim // m
     cb = _collect_codebooks(
         codebooks
@@ -523,14 +605,14 @@ def pq_encode(
         m,
         k,
     )
+    v = _vecd(F.col(vec_col))
     vdf = vectors.select(
-        F.col(id_col), _vecd(F.col(vec_col)).alias("__v")
+        F.col(id_col),
+        *[F.slice(v, j * ds + 1, ds).alias("__s%d" % j) for j in range(m)],
     ).localCheckpoint(eager=False)
     codes = F.array(
         *[
-            _argmin_code(
-                _cb_literal(cb[j]), F.slice(F.col("__v"), j * ds + 1, ds), k
-            )
+            _argmin_code(_cb_literal(cb[j]), F.col("__s%d" % j), k)
             for j in range(m)
         ]
     )
@@ -563,8 +645,9 @@ def pq_topk(
     within-cell geometry; the exact re-rank restores the final
     ordering at O(q_k·mult) float work per query).
 
-    Output: (query_id, rank, nbr_id, adc_d2[, d2]) — adc_d2/d2 in
-    squared-L2 units rounded at 6dp (micro-exact cross-engine)."""
+    Output: (query_id, rank, nbr_id, adc_d2) without re-rank;
+    (query_id, rank, nbr_id, d2, adc_d2) with it — d2/adc_d2 in
+    squared-L2 units at 6dp (micro-exact cross-engine)."""
     ds = dim // m
     cbdf = (
         codebooks
@@ -573,41 +656,15 @@ def pq_topk(
     )
     cb = _collect_codebooks(cbdf, m, k)
     encoded = pq_encode(vectors, cbdf, m, k, dim, id_col, vec_col)
-    qdf = queries.select(
-        F.col(id_col).alias("query_id"), _vecd(F.col(vec_col)).alias("__q")
-    ).localCheckpoint(eager=False)
-    def _dtable(cb_j: list, qsub: Column) -> Column:
-        # NB: ONE-parameter lambda — a second parameter (even a
-        # defaulted one) would be bound to the array INDEX by
-        # F.transform, silently shadowing the subspace (the module's
-        # documented 2-arg-lambda trap).
-        return F.transform(
-            _cb_literal(cb_j), lambda c: _sqdist_micro(c, qsub)
-        )
-
-    dtables = F.array(
-        *[
-            _dtable(cb[j], F.slice(F.col("__q"), j * ds + 1, ds))
-            for j in range(m)
-        ]
-    )
-    q = qdf.select("query_id", "__q", dtables.alias("__dt"))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__dt"),
-            lambda c, t: F.element_at(t, c + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    qdf = _pq_query_frame(queries, m, ds, id_col, vec_col)
+    q = qdf.select("query_id", _pq_dtables(cb, m).alias("__dt"))
     scored = (
         encoded.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("nbr_id"),
-            (adc / 1e6).alias("adc_d2"),
+            _pq_adc().alias("adc_d2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy("adc_d2", "nbr_id")
@@ -618,27 +675,7 @@ def pq_topk(
     )
     if not rerank_mult:
         return ranked.select("query_id", "rank", "nbr_id", "adc_d2")
-    v = vectors.select(
-        F.col(id_col).alias("nbr_id"), _vecd(F.col(vec_col)).alias("__vv")
-    )
-    qv = qdf.select("query_id", "__q")
-    exact = (
-        ranked.select("query_id", "nbr_id", "adc_d2")
-        .join(v, "nbr_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "nbr_id",
-            "adc_d2",
-            (_sqdist_micro(F.col("__q"), F.col("__vv")) / 1e6).alias("d2"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy("d2", "nbr_id")
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= q_k)
-        .select("query_id", "rank", "nbr_id", "d2", "adc_d2")
-    )
+    return _pq_exact_rerank(ranked, vectors, qdf, q_k, id_col, vec_col)
 
 
 def train_pq_codebooks(
@@ -745,7 +782,8 @@ def ivf_pq_topk(
     ``v - centroid`` and subtract the probed cell's centroid from the
     query before building its tables). ``rerank_mult=0`` returns raw
     ADC scores. Output matches :func:`pq_topk`:
-    (query_id, rank, nbr_id, adc_d2[, d2])."""
+    (query_id, rank, nbr_id, adc_d2) without re-rank,
+    (query_id, rank, nbr_id, d2, adc_d2) with it."""
     ds = dim // m
     cents = (
         centroids
@@ -768,12 +806,9 @@ def ivf_pq_topk(
 
     # query side: nprobe nearest cells (cosine, same rule as ivf_topk)
     # + the PQ distance tables, broadcast together
-    qdf = queries.select(
-        F.col(id_col).alias("query_id"), _vecd(F.col(vec_col)).alias("__q")
-    ).localCheckpoint(eager=False)
-    qc = qdf.crossJoin(F.broadcast(cents)).select(
-        "query_id", "__q", "centroid_id",
-        cosine(F.col("__q"), F.col("cv")).alias("ccos"),
+    qdf = _pq_query_frame(queries, m, ds, id_col, vec_col)
+    qc = qdf.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("__q"), F.col("cv"))
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id")
@@ -781,27 +816,13 @@ def ivf_pq_topk(
     probes = (
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "__q", "centroid_id")
-    )
-
-    def _dtable(cb_j: list, qsub: Column) -> Column:
-        return F.transform(_cb_literal(cb_j), lambda c: _sqdist_micro(c, qsub))
-
-    dtables = F.array(
-        *[_dtable(cb[j], F.slice(F.col("__q"), j * ds + 1, ds)) for j in range(m)]
-    )
-    probes = probes.select("query_id", "centroid_id", dtables.alias("__dt"))
-
-    adc = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("__dt"), lambda c, t: F.element_at(t, c + 1)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+        .select("query_id", "centroid_id", _pq_dtables(cb, m).alias("__dt"))
     )
     scored = (
         F.broadcast(probes)
         .join(lists, "centroid_id")
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", (adc / 1e6).alias("adc_d2"))
+        .select("query_id", "nbr_id", _pq_adc().alias("adc_d2"))
     )
     w = Window.partitionBy("query_id").orderBy("adc_d2", "nbr_id")
     topn = q_k * rerank_mult if rerank_mult else q_k
@@ -810,21 +831,4 @@ def ivf_pq_topk(
     )
     if not rerank_mult:
         return ranked.select("query_id", "rank", "nbr_id", "adc_d2")
-    v = vectors.select(
-        F.col(id_col).alias("nbr_id"), _vecd(F.col(vec_col)).alias("__vv")
-    )
-    exact = (
-        ranked.select("query_id", "nbr_id", "adc_d2")
-        .join(v, "nbr_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id", "nbr_id", "adc_d2",
-            (_sqdist_micro(F.col("__q"), F.col("__vv")) / 1e6).alias("d2"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy("d2", "nbr_id")
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= q_k)
-        .select("query_id", "rank", "nbr_id", "d2", "adc_d2")
-    )
+    return _pq_exact_rerank(ranked, vectors, qdf, q_k, id_col, vec_col)

@@ -159,7 +159,15 @@ class EngineConfig:
     # ``CrawlResult.read_transcript(spark)`` to reconstruct the list, or
     # opt in here for tests/small crawls.
     collect_transcript: bool = False
-    keep_rounds: int = 2  # older round snapshots are deleted (resume keeps last)
+    # retention depth for REDUNDANT per-round artifacts. Since round 4
+    # every state table (seen/frontier/host_state) lives in a shared
+    # append-only delta log pruned only by its own compaction, so the
+    # only per-round file that duplicates recoverable state is the
+    # Bloom snapshot (bloom.npz, ~8 MB × rounds with use_bloom): rounds
+    # older than this lose theirs (a resume from such a round rebuilds
+    # the bitmaps from the seen log). errors/extracted/transcript are
+    # the crawl's O(batch) OUTPUTS, not caches — never reaped.
+    keep_rounds: int = 2
     default_crawl_delay: float = 0.0
     timing: bool = False  # print per-phase wall times (perf debugging)
     # batch caps at or below this use the serial TakeOrdered+window
@@ -180,8 +188,8 @@ class EngineConfig:
     # seen-set delta-log compaction: once the log holds at least this
     # many delta dirs, the commit rewrites their union into one compact
     # dir and the manifest references only that (bounds reader file
-    # count; older manifests lose seen time-travel, same contract as
-    # keep_rounds retention). 0 disables.
+    # count; older manifests lose seen time-travel — the documented
+    # retention contract). 0 disables.
     # default 32: a 1,000-round crawl would otherwise union 1,000 delta
     # dirs on every seen read (file-listing cost grows per round);
     # compacting every ~32 rounds amortizes the O(|seen|) rewrite to
@@ -544,9 +552,11 @@ class CrawlEngine:
             # robots table to every executor every round — GBs at a
             # 10^8-host web-scale frontier.
             fr = frontier
-            # coalesce: rows from a pre-stamping (legacy) frontier log
-            # read back with denied = NULL — treat as allowed, matching
-            # the old join's left-miss behavior for hosts with no rules
+            # denied is non-null by construction (every row is stamped
+            # at add time; pre-stamping workdirs are REJECTED on resume
+            # by _check_frontier_stamped when politeness is active) —
+            # the coalesce is belt-and-braces for the politeness-
+            # inactive legacy case where the verdict is unused anyway
             denied_cond = F.coalesce(F.col("denied"), F.lit(False))
             # ONE full-frontier counting job per round: a per-host partial
             # aggregate (map-side combine — the shuffle carries ≤ one row
@@ -643,11 +653,17 @@ class CrawlEngine:
                     [(h,) for h in hot_hosts], "host string"
                 )
                 rsrc, _ = self._robots_scan()
+                # ≤ max_hot_hosts values: the isin pushes into the
+                # robots scan (row-group skip on the host-sorted files)
+                # so the build side is a handful of rows, never the
+                # whole dimension — same no-full-robots-join rule as
+                # the stamp probe
+                hot_delays = rsrc.filter(
+                    F.col("host").isin(hot_hosts)
+                ).select("host", "crawl_delay")
                 info = {
                     row.host: (row.crawl_delay, row.next_time)
-                    for row in hot_df.join(
-                        rsrc.select("host", "crawl_delay"), "host", "left"
-                    ).join(
+                    for row in hot_df.join(hot_delays, "host", "left").join(
                         self._active_host_state(host_state, r), "host", "left"
                     ).collect()
                 }
@@ -1042,6 +1058,28 @@ class CrawlEngine:
                 )
             )
 
+    def _check_frontier_stamped(self, manifest: dict, what: str) -> None:
+        """Frontier rows carry their robots verdict/crawl_delay as
+        STAMPED columns (round 4). A workdir committed by a pre-stamping
+        engine stores frontier parquet without those columns — the
+        schema-on-read fills NULLs, which the round loop would coalesce
+        to denied=False / default delay: previously-denied urls would be
+        fetched (robots violation) and budgets would use the wrong
+        delay. With politeness active that is a silent semantic break,
+        so fail loudly (same pin-and-assert pattern as seen_buckets);
+        with politeness inactive the stamped columns are unused and the
+        legacy workdir resumes fine."""
+        if manifest.get("frontier_stamped") or not self._politeness_active:
+            return
+        raise ValueError(
+            "%s: this workdir's frontier log predates add-time robots "
+            "stamping (no 'frontier_stamped' manifest pin) and politeness "
+            "is active — resuming would treat every queued row as "
+            "robots-allowed with the default crawl delay. Re-crawl into a "
+            "fresh workdir (or resume with politeness disabled if that "
+            "matches the original run's config)." % what
+        )
+
     # -- robots dimension: persisted bucketed layout + add-time stamping ----
     _ROBOTS_DIM_SCHEMA = (
         "host string, disallow array<string>, crawl_delay double"
@@ -1125,49 +1163,63 @@ class CrawlEngine:
             ),
             F.lit(False),
         )
-        if n_probe <= self._seen_probe_max():
-            hosts = df.select("host").distinct()
-            cap = self.config.seen_prune_max_probe
-            # ONE bounded job fetches (host, rb) pairs — limit cap+1 so an
-            # over-cap host set is detected without a count job
-            pairs = hosts.select(
-                "host",
-                F.pmod(F.hash("host"), F.lit(self.config.robots_buckets or 1))
-                .cast("int")
-                .alias("rb"),
-            ).limit(cap + 1).collect()
-            if not pairs:
-                return df.withColumn(
-                    "crawl_delay", F.lit(None).cast("double")
-                ).withColumn("denied", F.lit(False))
-            if len(pairs) <= cap:
-                # small host set: TWO pushable predicates replace the
-                # semi-join — the rb isin prunes hive partitions, the
-                # host isin skips row groups via the host-sorted files'
-                # min/max stats. The robots scan cost is then ~flat in
-                # |robots| (O(touched row groups), not O(table)).
-                if bucketed:
-                    touched = sorted({p.rb for p in pairs})
-                    if len(touched) < self.config.robots_buckets:
-                        rsrc = rsrc.filter(F.col("rb").isin(touched))
-                rslice = rsrc.filter(
-                    F.col("host").isin([p.host for p in pairs])
-                ).select("host", "disallow", "crawl_delay")
-            else:
+        # strategy selection is by DISTINCT HOSTS, not link rows: the
+        # broadcast side is always the ≤|hosts| robots slice (never the
+        # links), so a 10^6-link fan-out over a few hundred hosts still
+        # takes the pruned-scan probe — gating on n_probe here would
+        # needlessly fall back to a full robots shuffle join exactly in
+        # the production case (large batches, few hosts).
+        hosts = df.select("host").distinct()
+        cap = self.config.seen_prune_max_probe
+        # ONE bounded job fetches (host, rb) pairs — limit cap+1 so an
+        # over-cap host set is detected without a count job
+        pairs = hosts.select(
+            "host",
+            F.pmod(F.hash("host"), F.lit(self.config.robots_buckets or 1))
+            .cast("int")
+            .alias("rb"),
+        ).limit(cap + 1).collect()
+        if not pairs:
+            return df.withColumn(
+                "crawl_delay", F.lit(None).cast("double")
+            ).withColumn("denied", F.lit(False))
+        if len(pairs) <= cap:
+            # small host set: TWO pushable predicates replace the
+            # semi-join — the rb isin prunes hive partitions, the
+            # host isin skips row groups via the host-sorted files'
+            # min/max stats. The robots scan cost is then ~flat in
+            # |robots| (O(touched row groups), not O(table)).
+            if bucketed:
+                touched = sorted({p.rb for p in pairs})
+                if len(touched) < self.config.robots_buckets:
+                    rsrc = rsrc.filter(F.col("rb").isin(touched))
+            rslice = rsrc.filter(
+                F.col("host").isin([p.host for p in pairs])
+            ).select("host", "disallow", "crawl_delay")
+            joined = df.join(F.broadcast(rslice), "host", "left")
+        else:
+            # > cap distinct hosts: the isin/prune lists stop paying.
+            # n_probe bounds |hosts|, so when the LINKS fit the probe
+            # budget the host set certainly does — semi-join the scan
+            # against the broadcast host set and broadcast the slice
+            # back. Past that, one bounded count decides; only a host
+            # set too big to broadcast falls to the shuffle join
+            # (against the persisted scan — the constructor DataFrame
+            # may be an arbitrary upstream plan; AQE skew-split applies).
+            n_hosts = (
+                n_probe if n_probe <= self._seen_probe_max() else hosts.count()
+            )
+            if n_hosts <= self._seen_probe_max():
                 rslice = rsrc.select("host", "disallow", "crawl_delay").join(
                     F.broadcast(hosts), "host", "leftsemi"
                 )
-            joined = df.join(F.broadcast(rslice), "host", "left")
-        else:
-            # probe too large to broadcast: classic shuffle join, but
-            # against the PERSISTED bucketed scan when available (AQE
-            # skew-split applies; the constructor DataFrame may be an
-            # arbitrary upstream plan that would recompute here)
-            joined = df.join(
-                rsrc.select("host", "disallow", "crawl_delay"),
-                "host",
-                "left",
-            )
+                joined = df.join(F.broadcast(rslice), "host", "left")
+            else:
+                joined = df.join(
+                    rsrc.select("host", "disallow", "crawl_delay"),
+                    "host",
+                    "left",
+                )
         return joined.withColumn("denied", denied).drop("disallow")
 
     # -- host_state merge-on-read delta log ----------------------------------
@@ -1241,6 +1293,7 @@ class CrawlEngine:
             with open(mf) as f:
                 manifest = json.load(f)
             self._check_robots_fp(manifest, "read_table('frontier')")
+            self._check_frontier_stamped(manifest, "read_table('frontier')")
             log = manifest["frontier_log"]
             missing = [
                 p
@@ -1547,9 +1600,9 @@ class CrawlEngine:
             # the frontier — the merge-on-read never touches the robots
             # table (the old per-read broadcast(robots) join shipped the
             # whole dimension to every executor on every frontier read;
-            # GBs at a 10^8-host web-scale frontier). NULL = legacy
-            # pre-stamping row: treat as allowed, matching the old
-            # join's left-miss behavior for hosts with no rules.
+            # GBs at a 10^8-host web-scale frontier). denied is non-null
+            # by construction — pre-stamping workdirs are rejected by
+            # _check_frontier_stamped when politeness is active.
             denied_cond = F.coalesce(F.col("denied"), F.lit(False))
             f = f.filter(~(processed & denied_cond))
         return f.select(*_FRONTIER_COLS)
@@ -1675,6 +1728,7 @@ class CrawlEngine:
                     manifest = json.load(f)
                 self._check_robots_fp(manifest, "resume")
                 self._check_seen_buckets(manifest, "resume")
+                self._check_frontier_stamped(manifest, "resume")
                 self._staged_drained = set(manifest.get("staged_drained", []))
                 self._frontier_log = manifest["frontier_log"]
                 frontier = self._read_frontier(self._frontier_log, last)
@@ -1925,6 +1979,9 @@ class CrawlEngine:
                 # bucketed seen deltas' sb values are only meaningful
                 # under this B — pinned and asserted on resume/read
                 "seen_buckets": cfg.seen_buckets,
+                # frontier rows carry stamped robots columns (round 4) —
+                # pinned so pre-stamping workdirs fail loudly on resume
+                "frontier_stamped": True,
                 # staged-seed high-watermark: files already drained from
                 # staged_seeds_dir (skipped by later drains — the pickup
                 # cost stays O(new files), not O(all files ever staged))
@@ -1959,9 +2016,16 @@ class CrawlEngine:
             n_frontier = c["deferred_by_politeness"] + c["scheduled"]
             seen = self._read_seen(self._seen_rels)
             host_state = self._read_host_state_deltas(self._host_state_rels)
-            # retention note: every state table (seen, frontier,
-            # host_state) now lives in a shared append-only delta log
-            # pruned only by its own compaction — round dirs hold just
-            # O(batch) outputs (errors/extracted/transcript) plus the
-            # O(1) manifest, so there is nothing per-round left to reap.
+            # retention: state tables live in shared delta logs (pruned
+            # only by their own compaction) and round dirs hold O(batch)
+            # OUTPUTS — the one redundant per-round artifact is the
+            # Bloom snapshot (each fully supersedes the previous; a
+            # resume from an older round rebuilds from the seen log)
+            if self._bloom is not None and cfg.keep_rounds:
+                for d in sorted(os.listdir(cfg.workdir)):
+                    if d.startswith("round_") and not d.endswith(".tmp"):
+                        rr = int(d.split("_")[1])
+                        npz = os.path.join(cfg.workdir, d, "bloom.npz")
+                        if rr <= r - cfg.keep_rounds and os.path.exists(npz):
+                            os.remove(npz)
         return res

@@ -947,3 +947,57 @@ def test_robots_dim_rebuilt_when_missing(spark, tiny_fixture, tmp_path_factory):
     res = mk().run(seeds, resume=True)
     assert res.transcript == golden.transcript
     assert os.path.isdir(os.path.join(wd, "robots_dim"))  # rebuilt
+
+
+def test_resume_rejects_prestamping_workdir(spark, tiny_fixture, tmp_path_factory):
+    """A workdir committed by a pre-stamping engine (no 'frontier_stamped'
+    manifest pin) must be REJECTED on resume while politeness is active:
+    its frontier parquet lacks the denied/crawl_delay columns, and
+    schema-on-read NULLs would silently un-deny robots-blocked rows.
+    With politeness inactive the stamped columns are unused and a legacy
+    workdir must still resume."""
+    import json
+    import os
+
+    pages, seeds, robots = _load(tiny_fixture)
+
+    def strip_pins(wd):
+        for d in os.listdir(wd):
+            mf = os.path.join(wd, d, "manifest.json")
+            if d.startswith("round_") and os.path.exists(mf):
+                with open(mf) as f:
+                    m = json.load(f)
+                m.pop("frontier_stamped", None)
+                with open(mf, "w") as f:
+                    json.dump(m, f)
+
+    # politeness ACTIVE: same robots both runs (fp matches), pin missing
+    # -> loud rejection
+    wd1 = str(tmp_path_factory.mktemp("prestamp_act"))
+    mk1 = lambda: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]),
+        config=EngineConfig(batch_cap=40, max_rounds=4, workdir=wd1,
+                            collect_transcript=True),
+    )
+    mk1().run(seeds, max_rounds=2)
+    strip_pins(wd1)
+    with pytest.raises(ValueError, match="frontier_stamped"):
+        mk1().run(seeds, resume=True)
+
+    # politeness INACTIVE: the unstamped verdicts are unused -> the
+    # legacy workdir resumes fine
+    wd2 = str(tmp_path_factory.mktemp("prestamp_inact"))
+    mk2 = lambda: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        config=EngineConfig(batch_cap=40, max_rounds=4, workdir=wd2,
+                            collect_transcript=True),
+    )
+    mk2().run(seeds, max_rounds=2)
+    strip_pins(wd2)
+    res = mk2().run(seeds, resume=True)
+    assert res.rounds == 4
