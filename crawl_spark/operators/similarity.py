@@ -28,9 +28,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .topk import grouped_topk
+
 
 def _vecd(c: Column) -> Column:
     return c.cast("array<double>")
+
+
+def _checked_vec(vec_col: str, dim: int, id_col: str) -> Column:
+    """array<double> vector that FAILS LOUDLY on mis-sized rows.
+
+    Without the guard, ``F.slice`` returns short arrays for a
+    wrong-length embedding, ``zip_with`` NULL-pads, the micro-distance
+    goes NULL and the packed argmin yields NULL codes — silently wrong
+    results. A per-row ``size() == dim`` check is O(1) and matches the
+    strictness of ``_collect_codebooks``'s missing-code error."""
+    v = _vecd(F.col(vec_col))
+    return F.when(F.size(v) == dim, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pq: size(%s) != dim=%d at %s=" % (vec_col, dim, id_col)),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -272,21 +293,26 @@ def ivf_topk(
         F.col("query_id") != F.col("nbr_id")
     )
     if shortlist_dims is not None:
-        ws = Window.partitionBy("query_id").orderBy(
-            F.col("__scos").desc(), F.col("nbr_id")
-        )
-        cand = (
+        # per-query shortlist via grouped_topk, NOT a bare window: the
+        # probed candidate set is bounded (~nprobe·N/ncells) but under
+        # adversarial query counts / hot cells a partitionBy(query_id)
+        # window funnels a query's whole candidate list into one task;
+        # grouped_topk local-prunes to ≤ P·(k·mult) rows per query first
+        # (topk.py — key (−scos, nbr_id) is unique per query, and the
+        # input recomputes deterministically from the checkpointed
+        # query frame + the corpus scan, its documented contract).
+        cand = grouped_topk(
             cand.withColumn(
-                "__scos",
-                cosine(
+                "__negscos",
+                -cosine(
                     F.slice(F.col("qv"), 1, shortlist_dims),
                     F.slice(F.col("vv"), 1, shortlist_dims),
                 ),
-            )
-            .withColumn("__srn", F.row_number().over(ws))
-            .filter(F.col("__srn") <= k * shortlist_mult)
-            .drop("__scos", "__srn")
-        )
+            ),
+            ["query_id"],
+            ["__negscos", "nbr_id"],
+            k * shortlist_mult,
+        ).drop("__negscos")
     scored = (
         cand.select("query_id", "nbr_id", cosine(F.col("qv"), F.col("vv")).alias("cos"))
         .groupBy("query_id", "nbr_id")
@@ -505,8 +531,9 @@ def _pq_query_frame(
     full vector (for the coarse quantizer / exact re-rank) plus the
     per-subspace slices as REAL COLUMNS — HOF lambdas below reference
     columns, never slice expressions (CLAUDE.md: an outer-column
-    EXPRESSION inside a lambda re-evaluates per element)."""
-    v = _vecd(F.col(vec_col))
+    EXPRESSION inside a lambda re-evaluates per element). Mis-sized
+    query vectors raise (``_checked_vec``)."""
+    v = _checked_vec(vec_col, m * ds, id_col)
     return queries.select(
         F.col(id_col).alias("query_id"),
         v.alias("__q"),
@@ -596,7 +623,9 @@ def pq_encode(
     per-subspace slices are materialized as real columns behind a lazy
     checkpoint so the argmin lambdas reference COLUMNS — both the
     nested-HOF CSE gap and the outer-expression-in-lambda per-element
-    re-eval are avoided (CLAUDE.md perf rules)."""
+    re-eval are avoided (CLAUDE.md perf rules). Rows whose embedding
+    length != ``dim`` raise at scan time (``_checked_vec``) instead of
+    silently producing NULL codes."""
     ds = dim // m
     cb = _collect_codebooks(
         codebooks
@@ -605,7 +634,7 @@ def pq_encode(
         m,
         k,
     )
-    v = _vecd(F.col(vec_col))
+    v = _checked_vec(vec_col, dim, id_col)
     vdf = vectors.select(
         F.col(id_col),
         *[F.slice(v, j * ds + 1, ds).alias("__s%d" % j) for j in range(m)],
@@ -667,11 +696,22 @@ def pq_topk(
             _pq_adc().alias("adc_d2"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("adc_d2", "nbr_id")
     topn = q_k * rerank_mult if rerank_mult else q_k
-    ranked = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topn)
+    # Rank the ADC scan with grouped_topk, NOT Window.partitionBy: the
+    # scan produces O(|corpus|) scored rows PER QUERY, and a bare
+    # per-query window funnels all of them into one task — a single-task
+    # sort at 10^9+ codes. grouped_topk local-prunes each scan partition
+    # to its top-n per query first (narrow, no shuffle), so the window
+    # sees ≤ P·topn rows per query. Its deterministic-recomputation
+    # contract holds: both pipeline inputs sit behind lazy checkpoints
+    # (encoded slices / query frame), codes+tables are plan literals,
+    # and (adc_d2, nbr_id) is unique per query. The ADC expression is
+    # recomputed once more by the self-aggregate-join — m integer
+    # lookups per row, far cheaper at scale than materializing the
+    # O(|corpus|·|queries|) scored frame.
+    ranked = grouped_topk(
+        scored, ["query_id"], ["adc_d2", "nbr_id"], topn,
+        rank_col="rank", keep_rank=True,
     )
     if not rerank_mult:
         return ranked.select("query_id", "rank", "nbr_id", "adc_d2")
@@ -714,7 +754,7 @@ def train_pq_codebooks(
         vectors.select(
             F.col(id_col),
             F.lit(j).alias("subspace"),
-            F.slice(_vecd(F.col(vec_col)), j * ds + 1, ds).alias("sv"),
+            F.slice(_checked_vec(vec_col, dim, id_col), j * ds + 1, ds).alias("sv"),
         )
         for j in range(m)
     ]
@@ -824,10 +864,13 @@ def ivf_pq_topk(
         .filter(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id", _pq_adc().alias("adc_d2"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_d2", "nbr_id")
     topn = q_k * rerank_mult if rerank_mult else q_k
-    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= topn
+    # Candidates are already bounded (nprobe cells per query), but the
+    # same grouped_topk ranking as pq_topk keeps the per-query task
+    # bounded even when a hot cell concentrates the corpus (topk.py).
+    ranked = grouped_topk(
+        scored, ["query_id"], ["adc_d2", "nbr_id"], topn,
+        rank_col="rank", keep_rank=True,
     )
     if not rerank_mult:
         return ranked.select("query_id", "rank", "nbr_id", "adc_d2")

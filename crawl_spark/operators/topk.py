@@ -51,6 +51,7 @@ def grouped_topk(
     key_cols: list[str],
     k,
     rank_col: str = "__grank",
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Exact per-group top-k (rank ≤ k within each group by key order)
     WITHOUT funneling a whole group's rows into one task.
@@ -76,6 +77,10 @@ def grouped_topk(
     unique keys + a deterministic source (parquet scan / checkpointed
     state, as in the engine) guarantee it — the same contract
     ``ranked_topk`` step 0 already relies on.
+
+    ``keep_rank=True`` keeps ``rank_col`` (the exact 1-based in-group
+    rank) in the output for callers whose contract exposes it
+    (pq_topk / ivf_topk emit a ``rank`` column).
     """
     from pyspark.sql import Window
 
@@ -88,11 +93,10 @@ def grouped_topk(
         .drop("__mid", "__pid", "__idx", "__g0")
     )
     w = Window.partitionBy(*group_cols).orderBy(*key_cols)
-    return (
-        candidates.withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= kcol)
-        .drop(rank_col)
+    out = candidates.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= kcol
     )
+    return out if keep_rank else out.drop(rank_col)
 
 
 def ranked_topk(

@@ -1234,3 +1234,26 @@ def test_ivf_pq_full_probe_equals_pq(spark):
     for _, g in c.groupby("query_id"):
         g = g.sort_values("rank")
         assert list(g.d2) == sorted(g.d2)
+
+
+def test_pq_missized_embedding_raises(spark):
+    """A corpus row whose embedding length != dim must FAIL LOUDLY in
+    the PQ paths (round 5): without the guard, F.slice silently
+    shortens the sub-vectors and the argmin yields NULL codes."""
+    from crawl_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = spark.read.parquet(EMB)
+    bad = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") == 7, F.slice("embedding", 1, 10))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    with pytest.raises(Exception, match="pq: size"):
+        pq_encode(bad).collect()
+    # mis-sized QUERY vectors fail the same way
+    with pytest.raises(Exception, match="pq: size"):
+        pq_topk(emb, bad.filter(F.col("vec_id") < 8), q_k=3).collect()
+    # well-sized rows are untouched by the guard
+    ok = pq_encode(bad.filter(F.col("vec_id") != 7))
+    assert ok.filter(F.col("codes").isNull()).count() == 0
