@@ -404,24 +404,98 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cell: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by IVF cell.
 
     Pairs are only compared within a coarse cell (same blocking idea as
     MinHash bands) — O(sum of cell²) not O(n²); recall is bounded by the
     quantizer (train the codebook for tighter cells), the standard
-    scale/quality trade."""
+    scale/quality trade.
+
+    Hot-cell guard (round 5): one degenerate cell (untrained codebook,
+    duplicate-heavy corpus) makes cell² explode INSIDE A SINGLE JOIN
+    KEY — same-shape tasks as the banned single-partition window. Cell
+    sizes are counted in one aggregate over the (already materialized)
+    assignment; any cell above ``max_cell`` triggers a loud warning and
+    an EXACT triangle salt-split: rows get ``salt = hash(id) mod S``
+    (S = ⌈n/max_cell⌉) and each unordered sub-block pair (i ≤ j) is
+    joined once — left replicas carry keys (salt, j≥salt), right
+    replicas (i≤salt, salt), so every intra-cell pair is compared
+    exactly once (i == j dedups by id order; i < j appears in exactly
+    one block) while per-key work drops from n² to ~(n/S)². Total pair
+    count is unchanged (exactness); only the skew is defused. The
+    fast path (no hot cells) keeps the round-4 plan shape unchanged."""
     assign = ivf_assign(
         vectors, centroid_mod, id_col, vec_col, centroids=centroids
     ).select(F.col(id_col), "centroid_id")
     v = vectors.select(F.col(id_col), _vecd(F.col(vec_col)).alias("vv"))
-    av = assign.join(v, id_col)
-    a = av.select(F.col(id_col).alias("id_a"), F.col("centroid_id"), F.col("vv").alias("va"))
-    b = av.select(F.col(id_col).alias("id_b"), F.col("centroid_id"), F.col("vv").alias("vb"))
+    # lazy-checkpoint the assigned corpus: the size probe + BOTH sides
+    # of the self-join read it (the round-4 path recomputed the
+    # window-argmax assignment once per side).
+    av = assign.join(v, id_col).localCheckpoint(eager=False)
+    # ≤ |codebook| rows to the driver (codebooks are ≤ 65536 cells).
+    hot = {
+        r["centroid_id"]: r["__n"]
+        for r in av.groupBy("centroid_id")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_cell)
+        .collect()
+    }
+    if not hot:
+        a = av.select(F.col(id_col).alias("id_a"), F.col("centroid_id"), F.col("vv").alias("va"))
+        b = av.select(F.col(id_col).alias("id_b"), F.col("centroid_id"), F.col("vv").alias("vb"))
+        return (
+            a.join(b, ["centroid_id"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+
+    import math
+    import warnings
+
+    worst = max(hot.values())
+    warnings.warn(
+        "embedding_neardup_pairs: %d cell(s) exceed max_cell=%d (largest=%d"
+        " rows → %d² intra-cell pairs in one join key); salt-splitting"
+        " those cells (exact). Train the codebook for tighter cells."
+        % (len(hot), max_cell, worst, worst),
+        stacklevel=2,
+    )
+    sdf = vectors.sparkSession.createDataFrame(
+        [(int(cid), int(math.ceil(n / max_cell))) for cid, n in sorted(hot.items())],
+        "centroid_id long, __S int",
+    )
+    salted = (
+        av.join(F.broadcast(sdf), "centroid_id", "left")
+        .withColumn("__S", F.coalesce(F.col("__S"), F.lit(1)))
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("__S")).cast("int")
+        )
+    )
+    left = salted.select(
+        F.col(id_col).alias("id_a"),
+        "centroid_id",
+        F.col("vv").alias("va"),
+        F.col("__salt").alias("__i"),
+        F.explode(F.sequence(F.col("__salt"), F.col("__S") - 1)).alias("__j"),
+    )
+    right = salted.select(
+        F.col(id_col).alias("id_b"),
+        "centroid_id",
+        F.col("vv").alias("vb"),
+        F.explode(F.sequence(F.lit(0), F.col("__salt"))).alias("__i"),
+        F.col("__salt").alias("__j"),
+    )
     return (
-        a.join(b, ["centroid_id"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        left.join(right, ["centroid_id", "__i", "__j"])
+        .filter((F.col("__i") != F.col("__j")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            cosine(F.col("va"), F.col("vb")).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 

@@ -1257,3 +1257,32 @@ def test_pq_missized_embedding_raises(spark):
     # well-sized rows are untouched by the guard
     ok = pq_encode(bad.filter(F.col("vec_id") != 7))
     assert ok.filter(F.col("codes").isNull()).count() == 0
+
+
+def test_neardup_hot_cell_salt_split_exact(spark):
+    """Hot-cell guard (round 5): a degenerate all-one-cell corpus must
+    (a) warn loudly, (b) salt-split into bounded sub-block joins, and
+    (c) return EXACTLY the same pair set as the unsalted path."""
+    import warnings
+
+    from crawl_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(EMB).filter(F.col("vec_id") < 120)
+    # one centroid -> every vector lands in a single cell
+    one_cell = spark.createDataFrame(
+        [(0, [1.0] * 32)], "centroid_id long, cv array<double>"
+    )
+    kw = dict(threshold=0.0, centroids=one_cell)
+    plain = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_neardup_pairs(emb, max_cell=10**9, **kw).collect()
+    }
+    assert plain  # fixture yields pairs at this threshold
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        salted = {
+            (r.id_a, r.id_b, r.cos)
+            for r in embedding_neardup_pairs(emb, max_cell=16, **kw).collect()
+        }
+    assert any("salt-splitting" in str(w.message) for w in seen)
+    assert salted == plain
