@@ -201,19 +201,29 @@ def repeated_spans(
     """
     from .textops import shingles, tokens
 
-    toks = tokens(F.col(text_col))
-    grams = F.transform(shingles(toks, window), lambda s: F.md5(s))
-    base = df.select(
-        F.col(id_col), F.size(toks).alias("n_tokens"), grams.alias("g")
+    # materialize the token array ONCE (lazy checkpoint): the shingle
+    # zip_with chain below references it in `window`+1 slice nodes, and
+    # Catalyst does not CSE nested higher-order functions — inlined,
+    # the tokenize pipeline (lower+split+filter) re-ran ~window× per
+    # row (the same no-CSE trap fingerprint/minhash fixed).
+    tdf = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).localCheckpoint(eager=False)
+    grams = F.transform(
+        shingles(F.col("__t"), window), lambda s: F.md5(s)
     )
+    # n_tokens for the final join is a narrow re-read of the token
+    # checkpoint — NOT a re-run of the gram build (which the old
+    # base.join(per_doc) shape paid a second time).
+    base = tdf.select(F.col(id_col), F.size("__t").alias("n_tokens"))
     # the (doc, p, digest) starts table feeds TWO consumers (the corpus
     # digest count and the repeated-start join) whose exchanges differ
     # (partial-agg rows vs raw rows), so Catalyst cannot reuse one scan
     # — without this checkpoint the O(n·w) gram build runs twice
     # (measured 2× wall at sf0.1). 28 B/row, spills to disk; the same
     # order of magnitude the digest shuffle pays anyway.
-    starts = base.select(
-        F.col(id_col), F.posexplode("g").alias("p", "h")
+    starts = tdf.select(
+        F.col(id_col), F.posexplode(grams).alias("p", "h")
     ).localCheckpoint(eager=False)
     rep = (
         starts.groupBy("h")

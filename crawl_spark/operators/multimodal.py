@@ -3,13 +3,16 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side machinery here is real and tested — schemas, partitioning,
 mapInPandas batch shapes, metadata extraction from container headers.
-The *codec* step (actual JPEG decode / audio resample / video frame
-extraction) is stubbed: the sandbox has no image/audio libraries, so
-``decode_image``-style helpers either parse what the raw container bytes
-expose (magic numbers, PNG/JPEG/WAV header fields — pure struct parsing,
-implemented for real) or raise ``NotImplementedError`` at the clearly
-marked codec boundary.  Swapping in Pillow/librosa/pyav is a one-function
-change; every DataFrame contract stays identical.
+PNG additionally decodes FOR REAL (stdlib zlib inflate + RFC 2083
+defilter, :func:`decode_png`), which powers honest perceptual hashing
+(:func:`image_hashes`) and hamming-banded image near-dup
+(:func:`image_neardup_pairs`). The remaining *codec* steps (JPEG decode
+/ audio resample / video frame extraction) stay stubbed: the sandbox has
+no image/audio libraries, so those helpers either parse what the raw
+container bytes expose (magic numbers, JPEG/WAV header fields — pure
+struct parsing, implemented for real) or raise ``NotImplementedError``
+at the clearly marked codec boundary.  Swapping in Pillow/librosa/pyav
+is a one-function change; every DataFrame contract stays identical.
 
 Scale notes: binary payloads ride Arrow batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``); metadata extraction is
@@ -186,8 +189,14 @@ def sniff_container(payload: bytes | None):
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """CODEC BOUNDARY — real decode needs Pillow/libjpeg (absent here)."""
-    raise NotImplementedError("image decode requires an image codec library")
+    """Image decode dispatch. PNG decodes FOR REAL (stdlib zlib inflate
+    + defilter — see :func:`decode_png` below); JPEG remains the honest
+    CODEC BOUNDARY (needs libjpeg/Pillow, absent in this sandbox)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    raise NotImplementedError(
+        "non-PNG image decode requires a codec library (JPEG: libjpeg)"
+    )
 
 
 def fake_feature(payload: bytes | None, dim: int = 8) -> list[float]:
@@ -426,3 +435,364 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             mime = "video/mp4"
         rows.append((i, kind, payload, mime, {"src": f"synth:{i}"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# -- real PNG codec (stdlib) + perceptual hashing ---------------------------
+# PNG is the one container the sandbox can decode HONESTLY: the pixel
+# stream is zlib (stdlib) and the per-scanline filters are pure integer
+# arithmetic (RFC 2083 §6). This closes the `decode_image` boundary for
+# PNG — JPEG keeps its honest NotImplementedError (needs libjpeg) — and
+# enables a REAL image near-dup operator: stdlib decode → grayscale →
+# area resize → aHash/dHash → hamming-banded candidate-then-verify
+# (the image twin of dedup.simhash / similarity.signbit_neardup_pairs).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode an 8-bit-depth, non-interlaced PNG with the stdlib only
+    (zlib inflate + RFC 2083 defilter). Returns (h, w, channels) uint8;
+    palette images resolve through PLTE to RGB.
+
+    Honest boundaries: bit depths != 8 and Adam7 interlacing raise
+    NotImplementedError (they need sub-byte unpacking / pass
+    reassembly a real deployment gets from Pillow); malformed streams
+    raise ValueError/zlib.error. The defilter is a per-byte Python
+    loop for the sequential filters (Sub/Average/Paeth carry the
+    reconstructed left neighbor) — the documented per-image cost of
+    stdlib-only decode, paid inside an Arrow-batched pandas UDF."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    ihdr = None
+    plte = None
+    idat = []
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError("PNG bit depth %d (only 8 supported)" % depth)
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG")
+    if comp != 0 or filt != 0 or color not in _PNG_CHANNELS:
+        raise ValueError("unsupported PNG compression/filter/color")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    nch = _PNG_CHANNELS[color]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("short PNG pixel stream")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    rp = 0
+    for y in range(h):
+        f = raw[rp]
+        cur = bytearray(raw[rp + 1 : rp + 1 + stride])
+        rp += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(nch, stride):
+                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                c = prev[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + _paeth(a, prev[x], c)) & 0xFF
+        else:
+            raise ValueError("unknown PNG filter %d" % f)
+        out[y * stride : (y + 1) * stride] = cur
+        prev = cur
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, nch)
+    if color == 3:  # palette → RGB
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        arr = pal[arr[:, :, 0]]
+    return arr
+
+
+def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (fixture/test utility — the operators only
+    DECODE): 8-bit gray/gray+alpha/RGB/RGBA from a (h, w[, ch]) uint8
+    array, every scanline filtered with ``filter_type`` (0-4) so tests
+    can exercise each defilter path. Stdlib-only (zlib + crc32)."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    stride = w * nch
+    lines = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        cur = bytearray(a[y].tobytes())
+        lines.append(filter_type)
+        if filter_type == 0:
+            lines += cur
+        elif filter_type == 1:
+            lines += bytes(
+                (cur[x] - (cur[x - nch] if x >= nch else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif filter_type == 2:
+            lines += bytes((cur[x] - prev[x]) & 0xFF for x in range(stride))
+        elif filter_type == 3:
+            lines += bytes(
+                (cur[x] - (((cur[x - nch] if x >= nch else 0) + prev[x]) >> 1))
+                & 0xFF
+                for x in range(stride)
+            )
+        elif filter_type == 4:
+            lines += bytes(
+                (
+                    cur[x]
+                    - _paeth(
+                        cur[x - nch] if x >= nch else 0,
+                        prev[x],
+                        prev[x - nch] if x >= nch else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        else:
+            raise ValueError("filter_type must be 0-4")
+        prev = cur
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _to_gray(arr: "np.ndarray") -> "np.ndarray":
+    """(h, w, ch) uint8 → (h, w) float64 luma (BT.601 for color)."""
+    a = arr.astype(np.float64)
+    if arr.shape[2] >= 3:
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    return a[:, :, 0]
+
+
+def _area_resize(g: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Box (area-mean) resize — deterministic, no interpolation libs.
+    Cell (i, j) = mean of the source block [h·i/oh, h·(i+1)/oh) ×
+    [w·j/ow, w·(j+1)/ow), blocks forced non-empty for tiny images."""
+    h, w = g.shape
+    ye = [h * i // out_h for i in range(out_h + 1)]
+    xe = [w * j // out_w for j in range(out_w + 1)]
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        y0, y1 = ye[i], max(ye[i + 1], ye[i] + 1)
+        y1 = min(y1, h) or 1
+        for j in range(out_w):
+            x0, x1 = xe[j], max(xe[j + 1], xe[j] + 1)
+            x1 = min(x1, w) or 1
+            out[i, j] = g[y0:y1, x0:x1].mean()
+    return out
+
+
+def _pack_bits64(bits) -> int:
+    """Row-major MSB-first 64-bit pack → two's-complement int64 (the
+    value Spark's LongType carries)."""
+    v = 0
+    for b in np.asarray(bits, dtype=bool).flatten():
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def average_hash(gray: "np.ndarray") -> int:
+    """aHash: 8×8 area resize, bit = cell ≥ mean of the 64 cells."""
+    cells = _area_resize(gray, 8, 8)
+    return _pack_bits64(cells >= cells.mean())
+
+
+def dhash(gray: "np.ndarray") -> int:
+    """dHash: 9×8 area resize, bit = right cell > left cell (gradient
+    sign — more robust to global brightness shifts than aHash)."""
+    cells = _area_resize(gray, 9, 8)
+    return _pack_bits64(cells[:, 1:] > cells[:, :-1])
+
+
+IMAGE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def image_hashes(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image perceptual hashes over REAL stdlib PNG decode.
+
+    Arrow-batched mapInPandas (payloads never round-trip through row
+    objects); per row: decode_png → luma → aHash + dHash. Rows whose
+    payload is not a decodable 8-bit PNG (JPEG — a codec boundary —
+    or malformed bytes) emit ``decode_ok=false`` with NULL hashes:
+    never a fake hash. 100 TB shape: the decode cost is embarrassingly
+    parallel per partition, output is 3 longs + 2 ints per image, and
+    downstream near-dup never touches payload bytes again."""
+    import zlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ahs, dhs, ws, hs, oks = [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                mids.append(int(mid))
+                try:
+                    arr = decode_png(bytes(p) if p is not None else b"")
+                    g = _to_gray(arr)
+                    ahs.append(average_hash(g))
+                    dhs.append(dhash(g))
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                    oks.append(True)
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                ):
+                    ahs.append(None)
+                    dhs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "ahash": pd.array(ahs, dtype="Int64"),
+                    "dhash": pd.array(dhs, dtype="Int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(fn, IMAGE_HASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    max_dist: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    bands: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs by hamming-banded candidate-then-verify
+    over a 64-bit perceptual hash — the image twin of the simhash /
+    sign-bucket text paths.
+
+    EXACT under banding: with B ≥ max_dist+1 bands (the default), two
+    hashes within hamming distance max_dist agree on at least one full
+    band (pigeonhole), so every qualifying pair is a candidate in some
+    band — no recall loss. Candidates join on (band_idx, band_value);
+    the verify is two JVM column ops (bit_count(a XOR b), whole-stage
+    codegen) — payloads and pixels never reappear. O(Σ bucket²) like
+    every banded path; wider bands (fewer) = fewer, bigger buckets.
+
+    Emits (id_a, id_b, hamming) with id_a < id_b, distance ≤ max_dist."""
+    B = bands if bands is not None else max_dist + 1
+    if B < max_dist + 1:
+        raise ValueError(
+            "bands=%d cannot guarantee recall at max_dist=%d (need ≥ %d: "
+            "pigeonhole)" % (B, max_dist, max_dist + 1)
+        )
+    width = 64 // B
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col).alias("__h")
+    )
+    # (id, band_idx, band_val): last band absorbs the 64 % B remainder
+    bexprs = []
+    for b in range(B):
+        shift = b * width
+        wid = width + (64 % B if b == B - 1 else 0)
+        mask = (1 << wid) - 1
+        bexprs.append(
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.shiftrightunsigned(F.col("__h"), shift)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+        )
+    bands_df = h.select(
+        F.col(id_col), F.col("__h"), F.explode(F.array(*bexprs)).alias("bd")
+    ).select(id_col, "__h", F.col("bd.bi").alias("bi"), F.col("bd.bv").alias("bv"))
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), F.col("__h").alias("ha"), "bi", "bv"
+    )
+    c = bands_df.select(
+        F.col(id_col).alias("id_b"), F.col("__h").alias("hb"), "bi", "bv"
+    )
+    return (
+        a.join(c, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+        .distinct()  # a pair may collide in several bands
+    )

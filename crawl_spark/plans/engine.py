@@ -256,6 +256,14 @@ class EngineConfig:
     # scanning (or worse, broadcasting) all 10^8 hosts. None = probe the
     # in-memory robots DataFrame without partition pruning.
     robots_buckets: int | None = 64
+    # small-dim stamp fast path (round 5): a robots table with at most
+    # this many rows is broadcast outright by `_stamp_robots` — one
+    # join, no per-batch host-probe driver job, and no persisted
+    # robots_dim either (the pruned scan would never be used). None
+    # derives the cap from autoBroadcastJoinThreshold exactly like the
+    # seen probe (`_seen_probe_max`); 0 forces the pruned-scan probe
+    # path regardless of size (used by plan-evidence tooling).
+    robots_broadcast_max: int | None = None
     # host_state is a merge-on-read delta log (host_state_log/): each
     # round appends only the batch's host-clock updates (≤ batch hosts
     # rows); the state is the per-host MAX over the deltas (valid
@@ -421,6 +429,7 @@ class CrawlEngine:
         )
         self._n_robots = n_rb
         self._robots_dim_path: str | None = None  # set by _ensure_robots_dim
+        self._robots_small: DataFrame | None = None  # small-dim stamp cache
         self._errors_schema = "url string, round int, error_class string, message string"
         self._parallelism = spark.sparkContext.defaultParallelism
         self._robots_fp: dict | None = None
@@ -938,7 +947,12 @@ class CrawlEngine:
         # politeness stamp at add time: one bucket-pruned robots probe
         # over the round's NEW links (bounded) replaces the old
         # full-frontier robots broadcast join in every later round.
-        new_rows = self._stamp_robots(new_rows, n_valid).select(*_FRONTIER_COLS)
+        # hosts_src=links: the strategy probe's host set comes from the
+        # CHECKPOINTED pre-anti-join frame (a superset of new_rows'
+        # hosts), so the seen anti-join is never evaluated twice.
+        new_rows = self._stamp_robots(
+            new_rows, n_valid, hosts_src=links
+        ).select(*_FRONTIER_COLS)
         # new_rows feeds BOTH the frontier and the seen snapshot writes —
         # materialize once so the dedup window + seen anti-join don't run
         # twice. Bounded by the links of one batch.
@@ -1099,6 +1113,8 @@ class CrawlEngine:
         B = self.config.robots_buckets
         if not B or not self._politeness_active or self._n_robots == 0:
             return
+        if self._n_robots <= self._robots_bc_max():
+            return  # small-dim stamp broadcasts outright — no dim needed
         final = os.path.join(self.config.workdir, "robots_dim")
         meta_p = os.path.join(final, "_meta.json")
         want = {"buckets": B, "fp": self.robots_fingerprint()}
@@ -1139,7 +1155,9 @@ class CrawlEngine:
             )
         return self.robots, False
 
-    def _stamp_robots(self, df: DataFrame, n_probe: int) -> DataFrame:
+    def _stamp_robots(
+        self, df: DataFrame, n_probe: int, hosts_src: DataFrame | None = None
+    ) -> DataFrame:
         """Stamp (crawl_delay, denied) onto rows ENTERING the frontier.
 
         ``df`` is bounded (one batch's link fan-out / a seed list / a
@@ -1150,7 +1168,20 @@ class CrawlEngine:
         broadcast the ≤|hosts| surviving slice back onto the rows.
         Probes above the broadcast row cap fall back to a shuffle join
         (AQE applies). With politeness inactive the stamp is two
-        literals — no jobs."""
+        literals — no jobs.
+
+        Round 5: (a) a robots table small enough to broadcast outright
+        (≤ the same row cap the seen probe derives from
+        autoBroadcastJoinThreshold) skips the host probe entirely — one
+        broadcast join, ZERO driver jobs per stamp; this removes the
+        fixed ~1 s/round probe floor BENCH §e6 measured below ~10^6
+        hosts while keeping the flat pruned-scan asymptotics above it.
+        (b) ``hosts_src``, when given, must be a MATERIALIZED frame
+        whose distinct hosts are a superset of df's — the strategy
+        probe collects from it instead of re-evaluating df's
+        un-checkpointed plan (the links path hands the checkpointed
+        pre-anti-join frame, so the seen anti-join is not run twice
+        per round)."""
         if not self._politeness_active or self._n_robots == 0:
             return df.withColumn(
                 "crawl_delay", F.lit(None).cast("double")
@@ -1163,13 +1194,22 @@ class CrawlEngine:
             ),
             F.lit(False),
         )
+        if self._n_robots <= self._robots_bc_max():
+            if self._robots_small is None:
+                # materialized once, broadcast from cached blocks every
+                # later stamp (no per-round scan/footer re-read)
+                self._robots_small = rsrc.select(
+                    "host", "disallow", "crawl_delay"
+                ).localCheckpoint(eager=False)
+            joined = df.join(F.broadcast(self._robots_small), "host", "left")
+            return joined.withColumn("denied", denied).drop("disallow")
         # strategy selection is by DISTINCT HOSTS, not link rows: the
         # broadcast side is always the ≤|hosts| robots slice (never the
         # links), so a 10^6-link fan-out over a few hundred hosts still
         # takes the pruned-scan probe — gating on n_probe here would
         # needlessly fall back to a full robots shuffle join exactly in
         # the production case (large batches, few hosts).
-        hosts = df.select("host").distinct()
+        hosts = (hosts_src if hosts_src is not None else df).select("host").distinct()
         cap = self.config.seen_prune_max_probe
         # ONE bounded job fetches (host, rb) pairs — limit cap+1 so an
         # over-cap host set is detected without a count job
@@ -1451,6 +1491,15 @@ class CrawlEngine:
     # broadcast threshold; the probe is broadcast explicitly either way.
     _PROBE_ROW_BYTES = 96
 
+    def _robots_bc_max(self) -> int:
+        """Row cap under which the whole robots table is broadcast by
+        the stamp instead of host-probed (config override, else the
+        same autoBroadcastJoinThreshold-derived cap the seen probe
+        uses)."""
+        if self.config.robots_broadcast_max is not None:
+            return self.config.robots_broadcast_max
+        return self._seen_probe_max()
+
     def _seen_probe_max(self) -> int:
         """Resolved row cap for the scan-probe membership strategy.
 
@@ -1578,7 +1627,9 @@ class CrawlEngine:
     # New rows (round_added == r+1) are exempt from both, matching the
     # round loop, which only expires/denies rows it dequeues from the
     # previous snapshot.
-    def _read_frontier(self, log: dict, upto_r: int) -> DataFrame:
+    def _read_frontier(
+        self, log: dict, upto_r: int, denied_filter: bool = False
+    ) -> DataFrame:
         wd = self.config.workdir
         # ONE multi-path scan for base+adds and one for dels (the dirs
         # are flat, so no basePath gymnastics needed): a per-dir union
@@ -1595,7 +1646,19 @@ class CrawlEngine:
         processed = F.col("round_added") <= upto_r
         expired = F.col("deadline").isNotNull() & (F.col("deadline") <= upto_r)
         f = f.filter(~(processed & expired))
-        if self._politeness_active:
+        # rebase_robots() re-stamps the log under NEW rules at round k
+        # (log["restamped_at"] = k): a re-stamped denial counts as
+        # "processed" only from round k on — max(round_added, k) ≤ upto_r
+        # — so the resume read KEEPS newly-denied rows for round k to
+        # error-and-drop (exactly like a freshly added denied row), while
+        # rows added after the rebase keep the normal round_added rule.
+        restamp = log.get("restamped_at")
+        processed_denied = (
+            processed
+            if restamp is None
+            else F.greatest(F.col("round_added"), F.lit(restamp)) <= upto_r
+        )
+        if self._politeness_active or denied_filter:
             # the robots verdict is a COLUMN stamped when the row entered
             # the frontier — the merge-on-read never touches the robots
             # table (the old per-read broadcast(robots) join shipped the
@@ -1603,8 +1666,13 @@ class CrawlEngine:
             # GBs at a 10^8-host web-scale frontier). denied is non-null
             # by construction — pre-stamping workdirs are rejected by
             # _check_frontier_stamped when politeness is active.
+            # denied_filter=True forces the predicate even when THIS
+            # engine's politeness is inactive: rebase_robots() reading
+            # the OLD epoch's log must keep its processed denials
+            # dropped (refmodel step-2 drops are permanent) even when
+            # the NEW rules turn politeness off.
             denied_cond = F.coalesce(F.col("denied"), F.lit(False))
-            f = f.filter(~(processed & denied_cond))
+            f = f.filter(~(processed_denied & denied_cond))
         return f.select(*_FRONTIER_COLS)
 
     def latest_round(self) -> int | None:
@@ -1618,6 +1686,116 @@ class CrawlEngine:
             and os.path.exists(os.path.join(self.config.workdir, d, "manifest.json"))
         ]
         return max(rounds) if rounds else None
+
+    # -- robots epoch switch -------------------------------------------------
+    def rebase_robots(self) -> dict:
+        """Adopt NEW robots/politeness rules for a committed workdir —
+        the sanctioned epoch switch (reference users re-fetch robots.txt
+        between crawls; cf. the deadline/TTL freshness semantics in
+        ``nsq/nsqcrawl/queue.go:90-94``).
+
+        Construct the engine with the NEW robots_df over the OLD
+        workdir and call this BEFORE ``run(resume=True)`` — a plain
+        resume under changed rules is rejected by the fingerprint pin
+        (`_check_robots_fp`). One bounded pass re-stamps the LIVE
+        frontier under the new rules and atomically rewrites the latest
+        manifest to open the new lineage:
+
+        * the live view is read under the OLD epoch's log, with the
+          stamped-denied predicate FORCED (``denied_filter=True``):
+          urls denied and errored in an earlier epoch stay dropped
+          even if the new rules would allow them — in the refmodel
+          (``tests/refmodel.py`` ``robots_switch=(k, new_robots)``,
+          the oracle for this contract) step-2 drops are permanent;
+        * every surviving row is re-stamped (crawl_delay, denied) via
+          the same add-time probe new rows use, so budgets and
+          verdicts from round k = last+1 follow the new rules;
+        * the restamped rows become a fresh compacted base with
+          ``restamped_at = k`` in the log: the merge-on-read counts a
+          re-stamped denial as processed only from round k on, so the
+          resume KEEPS newly-denied rows for round k to error-and-drop
+          exactly like freshly added denied rows;
+        * the latest manifest is replaced (tmp + rename, the same
+          atomic-commit pattern as the round snapshots) with the new
+          fingerprint, the new log and a pinned ``n_frontier``
+          (re-stamping changes which logged rows are live, so the
+          derived deferred+scheduled size no longer applies).
+
+        host_state is untouched: per-host next_time survives the epoch
+        (the refmodel keeps its clock across the switch), and the
+        per-host-MAX merge of the host_state delta log stays valid —
+        every written delta is greatest(nt, r) + k·d > nt regardless
+        of which epoch's d produced it.
+
+        Scale: the one full-frontier pass (merge + re-stamp + base
+        write) is the same cost as a frontier compaction, paid once
+        per epoch switch — never per round. Returns the rewritten
+        manifest; no-op (manifest returned unchanged) when the rules
+        already match."""
+        cfg = self.config
+        last = self.latest_round()
+        if last is None:
+            raise ValueError(
+                "rebase_robots: no committed rounds under %r — nothing to "
+                "rebase (run the first epoch with run())" % cfg.workdir
+            )
+        base = os.path.join(cfg.workdir, "round_%05d" % last)
+        with open(os.path.join(base, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest.get("robots") == self.robots_fingerprint():
+            return manifest  # same rules — resume directly
+        self._check_seen_buckets(manifest, "rebase_robots")
+        if not manifest.get("frontier_stamped"):
+            raise ValueError(
+                "rebase_robots: this workdir's frontier log predates "
+                "add-time robots stamping — the old epoch's denials "
+                "cannot be replayed. Re-crawl into a fresh workdir."
+            )
+        k = last + 1
+        live = self._read_frontier(
+            manifest["frontier_log"], last, denied_filter=True
+        )
+        # ONE materialization feeds the count, the stamp probe and the
+        # base write — without it the merge scan + del anti-join would
+        # re-run per consumer, and the probe would evaluate an
+        # un-checkpointed plan (the double-evaluation rule)
+        live = live.drop("crawl_delay", "denied").localCheckpoint(eager=True)
+        n_frontier = live.count()
+        self._ensure_robots_dim()  # new fingerprint → fresh bucketed layout
+        restamped = self._stamp_robots(live, n_frontier).select(*_FRONTIER_COLS)
+        new_base = self._write_delta(
+            restamped, "base_rebase_%05d" % k, log="frontier_log"
+        )
+        old_refs = [
+            manifest["frontier_log"]["base"],
+            *manifest["frontier_log"]["adds"],
+            *manifest["frontier_log"]["dels"],
+        ]
+        manifest = {
+            **manifest,
+            "frontier_log": {
+                "base": new_base,
+                "adds": [],
+                "dels": [],
+                "restamped_at": k,
+            },
+            "robots": self.robots_fingerprint(),
+            "n_frontier": n_frontier,
+            "rebase": {"at_round": k, "base": new_base},
+        }
+        tmp = os.path.join(base, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(base, "manifest.json"))  # atomic commit
+        # the committed manifest references only the restamped base —
+        # drop the old epoch's log dirs (older manifests lose
+        # time-travel: the same documented retention as compaction).
+        # A crash before this cleanup leaves overwritable orphans.
+        for rel in old_refs:
+            p = os.path.join(cfg.workdir, rel)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        return manifest
 
     # -- out-of-band staged-seed pickup ------------------------------------
     _STAGED_SEQ_BASE = 1 << 50  # after every link seq of the same round
@@ -1752,7 +1930,12 @@ class CrawlEngine:
                 # next-frontier size is derivable from the last counters —
                 # saves a count job (deferred rows + newly scheduled)
                 lc = manifest["counters"]
-                n_frontier = lc["deferred_by_politeness"] + lc["scheduled"]
+                # rebase_robots() overrides the derived size: re-stamping
+                # changes which logged rows are live, so the rebase counts
+                # the new view once and pins it in the manifest
+                n_frontier = manifest.get(
+                    "n_frontier", lc["deferred_by_politeness"] + lc["scheduled"]
+                )
                 if cfg.collect_transcript:
                     # reuse the one reconstruction implementation
                     res.rounds = last + 1
@@ -1870,7 +2053,7 @@ class CrawlEngine:
                 if f.endswith(".parquet")
             )
             frontier_log_next = {
-                "base": self._frontier_log["base"],
+                **self._frontier_log,  # keeps a rebase's restamped_at
                 "adds": self._frontier_log["adds"] + [add_rel],
                 "dels": self._frontier_log["dels"] + [del_rel],
             }
@@ -1883,6 +2066,10 @@ class CrawlEngine:
                     *frontier_log_next["adds"],
                     *frontier_log_next["dels"],
                 ]
+                # restamped_at is intentionally dropped: the merge above
+                # ran at upto_r = r ≥ the rebase round, so every
+                # re-stamped denial has been processed and predicate-
+                # dropped — the compacted base holds none of them.
                 frontier_log_next = {"base": new_base, "adds": [], "dels": []}
                 tick("compact_frontier")
             tick("write_frontier_deltas")

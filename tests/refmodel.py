@@ -108,7 +108,13 @@ def crawl(
     robots: dict | None = None,  # host -> (disallow list, crawl_delay)
     batch_cap: int = 1000,
     max_rounds: int = 50,
+    robots_switch: tuple | None = None,  # (round k, new robots dict)
 ) -> RefResult:
+    """``robots_switch=(k, new_robots)`` swaps the politeness inputs from
+    round k on — the oracle for the engine's ``rebase_robots()`` epoch
+    contract (rows already robots-dropped in rounds < k stay dropped;
+    budgets and verdicts from round k use the new rules). Default None
+    leaves PINNED ROUND SPEC v1 behavior byte-identical."""
     robots = robots or {}
     res = RefResult()
     frontier: list[Row] = []
@@ -145,6 +151,8 @@ def crawl(
     next_time = res.host_state
 
     for r in range(max_rounds):
+        if robots_switch is not None and r == robots_switch[0]:
+            robots = robots_switch[1] or {}
         if not frontier:
             break
         c = {

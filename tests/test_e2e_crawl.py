@@ -794,7 +794,10 @@ def test_host_state_delta_log_bounded_merge_and_compaction(
         robots_df=spark.read.parquet(tiny_fixture["robots"]),
         config=EngineConfig(
             batch_cap=40, max_rounds=5, workdir=wd,
-            host_state_compact_min_deltas=4, collect_transcript=True),
+            host_state_compact_min_deltas=4, collect_transcript=True,
+            # the fixture robots is below the small-dim broadcast cap
+            # (round 5) — force the pruned-scan probe this test pins
+            robots_broadcast_max=0),
     )
     mk().run(seeds, max_rounds=2)  # "crash" after round 1's commit
     dim = os.path.join(wd, "robots_dim")
@@ -940,7 +943,11 @@ def test_robots_dim_rebuilt_when_missing(spark, tiny_fixture, tmp_path_factory):
         _registry(),
         robots_df=spark.read.parquet(tiny_fixture["robots"]),
         config=EngineConfig(batch_cap=40, max_rounds=5, workdir=wd,
-                            collect_transcript=True),
+                            collect_transcript=True,
+                            # force the probe path (round 5): the tiny
+                            # fixture would otherwise broadcast the dim
+                            # outright and never persist robots_dim
+                            robots_broadcast_max=0),
     )
     mk().run(seeds, max_rounds=2)
     shutil.rmtree(os.path.join(wd, "robots_dim"))
@@ -1001,3 +1008,146 @@ def test_resume_rejects_prestamping_workdir(spark, tiny_fixture, tmp_path_factor
     strip_pins(wd2)
     res = mk2().run(seeds, resume=True)
     assert res.rounds == 4
+
+
+def _switch_robots(robots: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic epoch-2 rules: flip every delay (hosts that were
+    unlimited get a real budget and vice versa) and deny every 7th host
+    outright — guarantees newly-denied live rows AND budget-flipped
+    hosts at the switch round."""
+    rows = []
+    for i, r in enumerate(robots.to_dict("records")):
+        rows.append(
+            {
+                "host": r["host"],
+                "disallow": ["/"] if i % 7 == 0 else [],
+                "crawl_delay": 0.0 if float(r["crawl_delay"]) > 0 else 0.5,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _robots_map(df: pd.DataFrame) -> dict:
+    return {
+        r["host"]: (list(r["disallow"]), float(r["crawl_delay"]))
+        for r in df.to_dict("records")
+    }
+
+
+def test_rebase_robots_epoch_switch(spark, tiny_fixture, tmp_path_factory):
+    """Robots refresh across epochs (VERDICT r4 item 3): run 2 rounds
+    under epoch-1 rules, swap robots, rebase_robots(), resume — the
+    transcript/counters/errors/seen must equal a refmodel run with
+    robots_switch at that round. Also pins: a plain resume under
+    changed rules still fails loudly, and a rebase under UNCHANGED
+    rules is a no-op."""
+    import os
+
+    pages, seeds, robots = _load(tiny_fixture)
+    robots2 = _switch_robots(robots)
+    pages_map = dict(zip(pages["url"], pages["html"]))
+    golden = refmodel.crawl(
+        pages_map,
+        seeds.to_dict("records"),
+        _registry(),
+        robots=_robots_map(robots),
+        batch_cap=40,
+        max_rounds=5,
+        robots_switch=(2, _robots_map(robots2)),
+    )
+    wd = str(tmp_path_factory.mktemp("rebase_work"))
+    robots1_df = spark.read.parquet(tiny_fixture["robots"])
+    robots2_df = spark.createDataFrame(
+        robots2, "host string, disallow array<string>, crawl_delay double"
+    )
+    mk = lambda rb: CrawlEngine(  # noqa: E731
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        robots_df=rb,
+        config=EngineConfig(batch_cap=40, max_rounds=5, workdir=wd,
+                            keep_rounds=99, collect_transcript=True),
+    )
+    mk(robots1_df).run(seeds, max_rounds=2)  # epoch 1: rounds 0-1
+
+    # changed rules WITHOUT a rebase: the fingerprint pin fires
+    with pytest.raises(ValueError, match="robots/politeness inputs differ"):
+        mk(robots2_df).run(seeds, max_rounds=5, resume=True)
+
+    eng2 = mk(robots2_df)
+    m = eng2.rebase_robots()
+    assert m["frontier_log"]["restamped_at"] == 2
+    assert m["rebase"]["at_round"] == 2
+    assert m["n_frontier"] >= 0
+    # idempotent: same-rules rebase is a no-op returning the manifest
+    assert mk(robots2_df).rebase_robots()["rebase"] == m["rebase"]
+
+    result = eng2.run(seeds, max_rounds=5, resume=True)
+    assert result.transcript == golden.transcript
+    keys = ["fetched", "deduped", "deferred_by_politeness", "expired"]
+    assert len(result.counters) == len(golden.counters)
+    for got, exp in zip(result.counters, golden.counters):
+        for kk in keys:
+            assert got[kk] == exp[kk], "round %s counter %s: got %s want %s" % (
+                got["round"], kk, got[kk], exp[kk])
+    # robots_denied errors — incl. round-2 denials of RE-STAMPED rows
+    # that entered the frontier under epoch-1 rules — match exactly
+    got_denied = set()
+    for r in range(result.rounds):
+        p = os.path.join(wd, "round_%05d" % r, "errors")
+        if os.path.exists(p):
+            got_denied |= {
+                (row.url, row.round)
+                for row in spark.read.parquet(p).collect()
+                if row.error_class == "robots_denied"
+            }
+    exp_denied = {(u, r) for (u, r, c) in golden.errors if c == "robots_denied"}
+    assert got_denied == exp_denied
+    assert exp_denied, "fixture must exercise post-switch denials"
+    assert any(r >= 2 for (_, r) in exp_denied), "switch must deny live rows"
+    seen = {row.url_canon for row in eng2.read_table("seen").collect()}
+    assert seen == golden.seen
+
+
+def test_rebase_robots_to_empty_rules(spark, tiny_fixture, tmp_path_factory):
+    """Epoch switch to NO rules (politeness off in the new engine):
+    urls denied and errored under epoch 1 stay dropped (refmodel step-2
+    drops are permanent — the rebase read forces the stamped-denied
+    predicate even though the new engine's politeness is inactive),
+    while every surviving row runs with unlimited budget."""
+    pages, seeds, robots = _load(tiny_fixture)
+    pages_map = dict(zip(pages["url"], pages["html"]))
+    empty = pd.DataFrame({"host": pd.Series([], dtype=str),
+                          "disallow": pd.Series([], dtype=object),
+                          "crawl_delay": pd.Series([], dtype=float)})
+    golden = refmodel.crawl(
+        pages_map,
+        seeds.to_dict("records"),
+        _registry(),
+        robots=_robots_map(robots),
+        batch_cap=40,
+        max_rounds=5,
+        robots_switch=(2, {}),
+    )
+    wd = str(tmp_path_factory.mktemp("rebase_empty_work"))
+    cfg = lambda: EngineConfig(batch_cap=40, max_rounds=5, workdir=wd,  # noqa: E731
+                               keep_rounds=99, collect_transcript=True)
+    CrawlEngine(
+        spark, spark.read.parquet(tiny_fixture["pages"]), _registry(),
+        robots_df=spark.read.parquet(tiny_fixture["robots"]), config=cfg(),
+    ).run(seeds, max_rounds=2)
+    eng2 = CrawlEngine(
+        spark, spark.read.parquet(tiny_fixture["pages"]), _registry(),
+        robots_df=spark.createDataFrame(
+            empty, "host string, disallow array<string>, crawl_delay double"
+        ),
+        config=cfg(),
+    )
+    eng2.rebase_robots()
+    result = eng2.run(seeds, max_rounds=5, resume=True)
+    assert result.transcript == golden.transcript
+    for got, exp in zip(result.counters, golden.counters):
+        for kk in ["fetched", "deduped", "deferred_by_politeness", "expired"]:
+            assert got[kk] == exp[kk]
+    seen = {row.url_canon for row in eng2.read_table("seen").collect()}
+    assert seen == golden.seen

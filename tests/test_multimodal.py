@@ -161,3 +161,166 @@ def test_resize_plumbing(spark):
     assert (out.width == 16).all() and (out.height == 8).all()
     with pytest.raises(Exception):
         resize_images(media, fake_decode=False).collect()
+
+
+# -- real PNG decode + perceptual hashing -----------------------------------
+
+
+def _checker(h, w, nch, seed=3):
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.randint(0, 256, size=(h, w, nch), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("nch", [1, 2, 3, 4])
+def test_decode_png_roundtrip_all_filters_and_colors(filter_type, nch):
+    """decode(encode(arr)) == arr for every scanline filter (None, Sub,
+    Up, Average, Paeth) × color type (gray, gray+alpha, RGB, RGBA)."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import decode_png, encode_png
+
+    arr = _checker(13, 7, nch, seed=filter_type * 10 + nch)
+    got = decode_png(encode_png(arr, filter_type=filter_type))
+    assert got.shape == arr.shape
+    assert np.array_equal(got, arr)
+
+
+def test_decode_png_palette_and_boundaries():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from crawl_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    # hand-built palette PNG: 2×2, indices [[0,1],[2,0]]
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    scan = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    exp = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(got, exp)
+
+    # honest boundaries: 16-bit depth and interlace raise NotImplementedError
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = _PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError):
+        decode_png(png16)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    png_i = _PNG_SIG + chunk(b"IHDR", ihdr_i) + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError):
+        decode_png(png_i)
+    with _pytest.raises(ValueError):
+        decode_png(b"nope" * 4)
+
+
+def test_decode_image_dispatch_jpeg_stays_boundary():
+    import pytest as _pytest
+
+    from crawl_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0junk")
+
+
+def test_average_hash_and_dhash_hand_computed():
+    """Hashes match a by-hand computation on an 8×8 (aHash) / 9×8
+    (dHash) image where resize is the identity."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import average_hash, dhash
+
+    g = np.arange(64, dtype=np.float64).reshape(8, 8)  # mean = 31.5
+    # aHash: bit i (row-major, MSB first) = g.flat[i] >= 31.5 → first 32
+    # bits 0, last 32 bits 1 → value = (2^32 - 1)
+    assert average_hash(g) == (1 << 32) - 1
+
+    g2 = np.zeros((8, 9), dtype=np.float64)
+    g2[:, 1] = 10.0  # only column pair (0→1) increases
+    # dHash bit (row-major over 8 rows × 8 pairs): pair j compares
+    # col j+1 > col j → bit 0 of each row set (MSB-first → bit index 0,
+    # 8, 16, ... = unsigned Σ 2^(63-8k), carried as two's-complement
+    # int64 like Spark's LongType)
+    exp = sum(1 << (63 - 8 * k) for k in range(8))
+    exp = exp - (1 << 64) if exp >= (1 << 63) else exp
+    assert dhash(g2) == exp
+
+
+def test_image_hashes_and_neardup_pairs(spark):
+    """End-to-end: real PNGs through image_hashes (decode_ok=True, real
+    dims), non-PNG rows nulled honestly; near-dup banding finds exactly
+    the planted pairs with exact recall at max_dist."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        dhash,
+        encode_png,
+        image_hashes,
+        image_neardup_pairs,
+        _to_gray,
+    )
+
+    base = _checker(24, 24, 3, seed=7)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]  # tiny perturbation → small hamming
+    far = _checker(24, 24, 3, seed=8)
+    rows = [
+        (0, "image", encode_png(base), "image/png", {}),
+        (1, "image", encode_png(near), "image/png", {}),
+        (2, "image", encode_png(far), "image/png", {}),
+        (3, "image", b"\xff\xd8\xff\xe0jpegish", "image/jpeg", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_hashes(df).collect()}
+    assert got[0].decode_ok and got[0].width == 24 and got[0].height == 24
+    assert not got[3].decode_ok and got[3].dhash is None
+    # Spark-side hash equals the driver-side function on the same pixels
+    assert got[0].dhash == dhash(_to_gray(base))
+    d01 = bin(
+        (got[0].dhash ^ got[1].dhash) & ((1 << 64) - 1)
+    ).count("1")
+    d02 = bin((got[0].dhash ^ got[2].dhash) & ((1 << 64) - 1)).count("1")
+    assert d01 <= 6 < d02, (d01, d02)
+
+    hashes = image_hashes(df)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_neardup_pairs(hashes, max_dist=6).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == d01
+    # exact recall pinned: even a pair differing in max_dist bits in
+    # adversarial positions is found (pigeonhole over bands)
+    h0 = got[0].dhash
+    # flip 6 bits spread across 6 different default bands (width 9)
+    h_adv = h0
+    for b in range(6):
+        h_adv ^= 1 << (b * 9)
+    import pandas as pd
+
+    adv = spark.createDataFrame(
+        pd.DataFrame({"media_id": [10, 11], "dhash": [h0, h_adv]})
+    )
+    advp = image_neardup_pairs(adv, max_dist=6).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in advp] == [(10, 11, 6)]
+    # bands too few for the distance: loud error, not silent recall loss
+    with pytest.raises(ValueError):
+        image_neardup_pairs(adv, max_dist=6, bands=4)

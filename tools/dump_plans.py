@@ -145,7 +145,11 @@ def main() -> None:
         reg,
         robots_df=spark.read.parquet(fx["robots"]),
         config=EngineConfig(
-            batch_cap=25, max_rounds=3, workdir=tempfile.mkdtemp(prefix="plans_wd_")
+            batch_cap=25, max_rounds=3, workdir=tempfile.mkdtemp(prefix="plans_wd_"),
+            # the fixture robots is tiny — at real scale it would take
+            # the small-dim broadcast fast path; force the pruned-scan
+            # probe so the captured plan shows the >cap strategy
+            robots_broadcast_max=0,
         ),
     )
     eng.run(pd.read_parquet(fx["seeds"]))
@@ -302,11 +306,15 @@ def main() -> None:
         "PartitionFilters (rb IN-list: hive-bucket prune) AND "
         "PushedFilters (host IN-list: row groups skip via the "
         "host-sorted files' min/max stats), so the scan cost is ~flat "
-        "in |robots| (bench e6: 1.1 s at 10^5 AND 10^7 hosts, vs the "
-        "old per-round whole-table broadcast at 0.3 s → 8.0 s). The "
-        "≤|batch hosts| surviving slice broadcasts back onto the rows; "
-        "the round loop then applies the verdict as a plain column "
-        "predicate — no robots join anywhere per round.",
+        "in |robots| (bench e6 round 5: 1.1 s at 10^7 hosts, vs the "
+        "old per-round whole-table broadcast at 8.1 s). Below the "
+        "autoBroadcastJoinThreshold-derived row cap the stamp instead "
+        "broadcasts the whole (cached) dim outright — no probe job at "
+        "all (e6: 0.25 s at 10^5 hosts); this capture forces the "
+        ">cap probe path (robots_broadcast_max=0) to show its shape. "
+        "The ≤|batch hosts| surviving slice broadcasts back onto the "
+        "rows; the round loop then applies the verdict as a plain "
+        "column predicate — no robots join anywhere per round.",
         eng._stamp_robots(stamp_links, 30),
     )
 
