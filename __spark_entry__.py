@@ -833,6 +833,63 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_image_hashes(spark, sf_dir):
+    """Real stdlib PNG decode → perceptual hashes (rows-only check: the
+    zlib-inflate + defilter decode is Python-side, not ANSI-SQL).
+    Payloads are deterministic PNGs synthesized per doc (16×16 RGB from
+    the doc's text bytes), so the whole decode→luma→aHash/dHash path
+    runs for real over every row (operators/multimodal.py:decode_png)."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import encode_png, image_hashes
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = (t or "").encode()[:768]
+                b = b + bytes(768 - len(b))
+                arr = np.frombuffer(b, dtype=np.uint8).reshape(16, 16, 3)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(mk, "media_id long, payload binary")
+    return image_hashes(media)
+
+
+def q_image_neardup(spark, sf_dir):
+    """Hamming-banded image near-dup pairs (multimodal.
+    image_neardup_pairs) over hashes derived in-plan so DuckDB can
+    brute-force the oracle: docs in the same group of 10 share a
+    60-bit md5-derived base hash, each perturbed by (doc_id%10) low
+    bits — so in-group pairs sit at hamming |Δ| and the banding must
+    find exactly those with |Δ| ≤ 5 (pigeonhole-exact recall). The
+    oracle is the O(n²) popcount join; the Spark side is the banded
+    candidate-then-verify (never all-pairs)."""
+    from crawl_spark.operators.multimodal import image_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.conv(
+        F.substring(F.md5(F.floor(F.col("doc_id") / 10).cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    # pyspark's F.shiftleft only takes a literal bit count — the SQL
+    # function form accepts a column
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 10 as int)) - 1")
+    hashes = d.select(
+        F.col("doc_id").alias("media_id"),
+        base.bitwiseXOR(mask).alias("dhash"),
+    )
+    return image_neardup_pairs(hashes, max_dist=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -890,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signbit_buckets": q_signbit_buckets,
         "signbit_neardup": q_signbit_neardup,
         "multimodal_meta": q_multimodal_meta,  # rows-only: binary plumbing
+        "image_hashes": q_image_hashes,  # rows-only: Python PNG decode
+        "image_neardup": q_image_neardup,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -1940,5 +1999,19 @@ JOIN n x ON x.vec_id = a.vec_id
 JOIN n y ON y.vec_id = b.vec_id
 WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
             / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.25
+""",
+        # brute-force O(n²) popcount truth for the banded Spark path —
+        # the SAME planted-hash derivation (group base ⊕ low-bit mask)
+        "image_neardup": """
+WITH h AS (
+  SELECT doc_id,
+         xor(CAST(('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)), 1, 15)) AS BIGINT),
+             (CAST(1 AS BIGINT) << CAST(doc_id % 10 AS INT)) - 1) AS dh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 5
 """,
     }

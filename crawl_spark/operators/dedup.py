@@ -166,6 +166,7 @@ def repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 50,
+    tokenizer=None,
 ) -> DataFrame:
     """Arbitrary-offset repeated-span detection (the Lee et al.
     "Deduplicating Training Data Makes Language Models Better"
@@ -199,7 +200,7 @@ def repeated_spans(
          groupBy per island). Two starts merge iff their gap ≤ window
          (overlapping or abutting w-grams).
     """
-    from .textops import shingles, tokens
+    from .textops import resolve_tokens, shingles
 
     # materialize the token array ONCE (lazy checkpoint): the shingle
     # zip_with chain below references it in `window`+1 slice nodes, and
@@ -207,7 +208,7 @@ def repeated_spans(
     # the tokenize pipeline (lower+split+filter) re-ran ~window× per
     # row (the same no-CSE trap fingerprint/minhash fixed).
     tdf = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        F.col(id_col), resolve_tokens(F.col(text_col), tokenizer).alias("__t")
     ).localCheckpoint(eager=False)
     grams = F.transform(
         shingles(F.col("__t"), window), lambda s: F.md5(s)
@@ -581,6 +582,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
+    tokenizer=None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs that share any word
     ``n``-gram with an evaluation/benchmark set (the GPT-3 appendix-C /
@@ -600,8 +602,16 @@ def decontaminate(
 
     Emits per-doc (n_hit_grams, keep) over ALL input docs — docs shorter
     than ``n`` tokens have no grams and always pass.
+
+    ``tokenizer`` (textops.resolve_tokens hook) switches BOTH sides to
+    the same token space — the published rules are defined over BPE
+    tokens; the default keeps the whitespace oracle contract.
     """
-    gram = lambda c: F.explode(shingles(tokens(c), n)).alias("g")  # noqa: E731
+    from .textops import resolve_tokens
+
+    gram = lambda c: F.explode(  # noqa: E731
+        shingles(resolve_tokens(c, tokenizer), n)
+    ).alias("g")
     ev = (
         eval_df.select(gram(F.col(text_col)))
         .select(F.md5("g").alias("gram_md5"))

@@ -113,6 +113,7 @@ def pack_sequences(
     text_col: str = "text",
     seq_len: int = 2048,
     streams: int = 64,
+    tokenizer=None,
 ) -> DataFrame:
     """Assign documents to fixed-length training sequences (the standard
     pretraining packing step: concatenate docs, chunk every ``seq_len``
@@ -133,9 +134,10 @@ def pack_sequences(
     Emits one row per doc: (id, stream, n_tokens, start_offset, bin) —
     ``start_offset`` is the token offset where the doc begins inside its
     stream's concatenation, ``bin = start_offset // seq_len`` the
-    training-sequence index it starts in. Tokens = whitespace tokens
-    (swap in a real tokenizer count upstream by renaming a column to
-    ``__n_tokens`` before calling).
+    training-sequence index it starts in. Tokens = whitespace tokens by
+    default; pass ``tokenizer=`` (textops.resolve_tokens hook, e.g.
+    textops.BpeTokenizer) to pack in real tokenizer space, or rename a
+    precomputed count column to ``__n_tokens`` (which wins over both).
 
     SQL twin: sum(n) OVER (PARTITION BY stream ORDER BY md5(id), id
     ROWS UNBOUNDED PRECEDING) - n.
@@ -148,7 +150,7 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    from .textops import tokens
+    from .textops import resolve_tokens
 
     par = df.sparkSession.sparkContext.defaultParallelism
     if streams < par:
@@ -166,7 +168,7 @@ def pack_sequences(
     if "__n_tokens" in df.columns:
         n_tok = F.col("__n_tokens")
     else:
-        n_tok = F.size(tokens(F.col(text_col)))
+        n_tok = F.size(resolve_tokens(F.col(text_col), tokenizer))
     pick = F.md5(F.col(id_col).cast("string"))
     base = df.select(
         F.col(id_col),

@@ -17,6 +17,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 (pandas_udf type-hint resolution)
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,6 +47,81 @@ def tokens(text: Column) -> Column:
     SQL twin: list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '')
     """
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def resolve_tokens(text: Column, tokenizer=None) -> Column:
+    """The pluggable tokenizer hook shared by token-space operators
+    (``token_count``, ``pack_sequences``, ``decontaminate``,
+    ``repeated_spans``): ``tokenizer=None`` keeps the module's
+    whitespace contract (:func:`tokens` — all DuckDB oracles are
+    defined over it); otherwise ``tokenizer`` is any callable mapping
+    a string Column to an ``array<string>`` Column — e.g.
+    :class:`BpeTokenizer` — and the operator runs in that token space
+    (real training pipelines define dedup/decontamination/packing over
+    BPE tokens: Lee et al. 2022, GPT-3 appendix C)."""
+    return tokens(text) if tokenizer is None else tokenizer(text)
+
+
+class BpeTokenizer:
+    """Deterministic greedy longest-match vocab tokenizer — the
+    vectorized ``tokenizer=`` plug-in for token-space operators.
+
+    Not a trained BPE (no merges learned here); it applies a FIXED
+    vocabulary with the same greedy longest-match-first segmentation a
+    BPE vocab is used with at inference: lowercase (optional),
+    whitespace pre-split, then per word repeatedly emit the longest
+    vocab piece matching at the cursor; a maximal unmatched run emits
+    one ``unk``. Deterministic by construction (pure function of
+    (vocab, text)), so re-runs and the driver/executor sides agree.
+
+    Spark path: ``__call__(col)`` returns an Arrow-batched pandas UDF
+    column — the vocab ships once per task inside the serialized UDF
+    closure (fine to ~10^5 pieces; wrap the piece list in
+    ``SparkContext.broadcast`` upstream for bigger vocabs and pass the
+    ``.value`` in). ``tokenize(str)`` is the driver-side twin used by
+    tests/oracles."""
+
+    def __init__(self, vocab: list[str], lowercase: bool = True, unk: str = "<unk>"):
+        import re
+
+        if not vocab:
+            raise ValueError("BpeTokenizer needs a non-empty vocab")
+        # longest-first alternation = greedy longest match at each cursor
+        # (Python re alternation is first-match, so order IS the policy)
+        self.pieces = sorted(set(vocab), key=lambda p: (-len(p), p))
+        self.lowercase = lowercase
+        self.unk = unk
+        self._re = re.compile("|".join(re.escape(p) for p in self.pieces))
+
+    def tokenize(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+        if self.lowercase:
+            text = text.lower()
+        out: list[str] = []
+        for word in text.split():
+            pos = 0
+            while pos < len(word):
+                m = self._re.match(word, pos)
+                if m:
+                    out.append(m.group(0))
+                    pos = m.end()
+                else:
+                    nxt = self._re.search(word, pos)
+                    out.append(self.unk)
+                    pos = nxt.start() if nxt else len(word)
+        return out
+
+    def __call__(self, col: Column) -> Column:
+        from pyspark.sql.functions import pandas_udf
+
+        tok = self
+
+        @pandas_udf("array<string>")
+        def _tk(s: pd.Series) -> pd.Series:
+            return s.map(tok.tokenize)
+
+        return _tk(col)
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
@@ -150,15 +226,25 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def token_count(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex word pieces.
 
     n_ws_tokens = whitespace-split count; n_word_pieces = matches of
     ``[a-z0-9]+`` on the lowercased text (a cheap stand-in for a BPE
     pre-tokenizer); n_uniq_tokens = distinct whitespace tokens.
+
+    ``tokenizer`` (see :func:`resolve_tokens`) swaps the token space:
+    n_ws_tokens / n_uniq_tokens then count the tokenizer's pieces
+    (column names kept — the default path is the oracle contract);
+    n_word_pieces stays the regex estimate either way.
     """
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = resolve_tokens(t, tokenizer)
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_ws_tokens"),

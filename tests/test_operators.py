@@ -1286,3 +1286,105 @@ def test_neardup_hot_cell_salt_split_exact(spark):
         }
     assert any("salt-splitting" in str(w.message) for w in seen)
     assert salted == plain
+
+
+# -- pluggable tokenizer (round 5) ------------------------------------------
+
+
+def test_bpe_tokenizer_greedy_longest_match():
+    """Driver-side contract: greedy longest piece at each cursor, one
+    <unk> per maximal unmatched run, lowercase + whitespace pre-split."""
+    from crawl_spark.operators.textops import BpeTokenizer
+
+    tok = BpeTokenizer(["ab", "abc", "c", "de", "e"])
+    # "abcde": abc (longest at 0) + de; never ab+c+de
+    assert tok.tokenize("Abcde") == ["abc", "de"]
+    # unmatched run "xy" collapses to ONE unk; then "c" matches
+    assert tok.tokenize("xyc") == ["<unk>", "c"]
+    # interior gap: ab, then "zz" unk, then e
+    assert tok.tokenize("abzze") == ["ab", "<unk>", "e"]
+    assert tok.tokenize("ab cde  abc") == ["ab", "c", "de", "abc"]
+    assert tok.tokenize("") == []
+    assert tok.tokenize(None) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BpeTokenizer([])
+
+
+def test_token_count_in_tokenizer_space(spark):
+    """token_count(tokenizer=...) counts the tokenizer's pieces; the
+    Spark pandas-UDF path equals the driver-side tokenize() twin."""
+    import pandas as pd
+
+    from crawl_spark.operators.textops import BpeTokenizer, token_count
+
+    tok = BpeTokenizer(["lo", "rem", "ip", "sum", "dol"])
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["Lorem ipsum", "dolor lorem", ""]}
+    )
+    df = spark.createDataFrame(docs)
+    got = {r.doc_id: r for r in token_count(df, tokenizer=tok).collect()}
+    for _, row in docs.iterrows():
+        pieces = tok.tokenize(row["text"])
+        assert got[row["doc_id"]].n_ws_tokens == len(pieces)
+        assert got[row["doc_id"]].n_uniq_tokens == len(set(pieces))
+    # default path unchanged: whitespace counts
+    base = {r.doc_id: r for r in token_count(df).collect()}
+    assert base[1].n_ws_tokens == 2 and base[3].n_ws_tokens == 0
+
+
+def test_pack_sequences_in_tokenizer_space(spark):
+    """pack_sequences(tokenizer=...) packs by tokenizer-piece counts —
+    n_tokens per doc equals the driver twin, offsets stay a stream-local
+    prefix sum, and the default whitespace path is untouched."""
+    import pandas as pd
+
+    from crawl_spark.operators.sampling import pack_sequences
+    from crawl_spark.operators.textops import BpeTokenizer
+
+    tok = BpeTokenizer(["aa", "a", "bb", "b"])
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(12)),
+            "text": ["aaa bb a" * (i % 3 + 1) for i in range(12)],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    rows = pack_sequences(df, seq_len=8, streams=4, tokenizer=tok).collect()
+    exp_n = {
+        int(r["doc_id"]): len(tok.tokenize(r["text"]))
+        for _, r in docs.iterrows()
+    }
+    assert {r.doc_id: r.n_tokens for r in rows} == exp_n
+    # per-stream: offsets are the prefix sum of n_tokens in (md5, id) order
+    by_stream = {}
+    for r in sorted(rows, key=lambda r: (r.stream, r.start_offset)):
+        nxt = by_stream.get(r.stream, 0)
+        assert r.start_offset == nxt
+        assert r.bin == r.start_offset // 8
+        by_stream[r.stream] = nxt + r.n_tokens
+
+
+def test_decontaminate_in_tokenizer_space(spark):
+    """decontaminate(tokenizer=...) applies the SAME tokenizer to both
+    sides: an eval doc overlapping only in token space (not in
+    whitespace space) flags the training doc."""
+    import pandas as pd
+
+    from crawl_spark.operators.dedup import decontaminate
+    from crawl_spark.operators.textops import BpeTokenizer
+
+    tok = BpeTokenizer(["foo", "bar", "baz", "qux"])
+    # whitespace views differ ("foobarbaz qux" vs "foo barbaz qux"),
+    # token views agree: [foo bar baz qux]
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["foobarbaz qux", "qux qux qux far"]})
+    )
+    ev = spark.createDataFrame(pd.DataFrame({"text": ["foo barbaz qux"]}))
+    got = {r.doc_id: r for r in decontaminate(train, ev, n=4, tokenizer=tok).collect()}
+    assert got[1].n_hit_grams == 1 and not got[1].keep
+    assert got[2].n_hit_grams == 0 and got[2].keep
+    # default whitespace space: no 4-gram overlap → both pass
+    base = {r.doc_id: r for r in decontaminate(train, ev, n=4).collect()}
+    assert base[1].keep and base[2].keep
