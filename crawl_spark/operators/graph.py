@@ -301,12 +301,19 @@ def connected_components_star(
             .agg(F.min("v").alias("mv"))
             .select("u", F.least("u", "mv").alias("m"))
         )
+        # NO distinct on ls (round 5, measured): its two consumers are a
+        # min-aggregate (dups are identity) and the join feeding the
+        # round's FINAL distinct — the inner dedup re-shuffled O(E)
+        # rows for nothing. ls is bounded either way: one row per
+        # (u,v>u) edge of sym, so dropping the dedup can't blow up the
+        # join (each ls row matches exactly one smin row). §e5b
+        # same-hour pair: 32.6 → 26.7 s (seg-65 chain), 70.0 → 52.4 s
+        # (diameter-2M chain), rounds and output identical.
         ls = (
             sym.filter(F.col("v") > F.col("u"))
             .join(lmin, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         smin = ls.groupBy("u").agg(F.min("v").alias("m"))
         ss = (
