@@ -837,8 +837,9 @@ def q_image_hashes(spark, sf_dir):
     """Real stdlib PNG decode → perceptual hashes (rows-only check: the
     zlib-inflate + defilter decode is Python-side, not ANSI-SQL).
     Payloads are deterministic PNGs synthesized per doc (16×16 RGB from
-    the doc's text bytes), so the whole decode→luma→aHash/dHash path
-    runs for real over every row (operators/multimodal.py:decode_png)."""
+    the doc's text bytes), so the whole decode→luma→aHash/dHash/pHash path
+    runs for real over every row (operators/multimodal.py:decode_png);
+    round 5 adds the spectral pHash column (32×32 DCT-II low block)."""
     import numpy as np
 
     from crawl_spark.operators.multimodal import encode_png, image_hashes

@@ -665,11 +665,40 @@ def dhash(gray: "np.ndarray") -> int:
     return _pack_bits64(cells[:, 1:] > cells[:, :-1])
 
 
+def _dct_rows(n: int, m: int) -> "np.ndarray":
+    """First ``m`` rows of the orthonormal n-point DCT-II matrix —
+    explicit cosines, so the transform is deterministic and
+    dependency-free (no scipy in the container)."""
+    k = np.arange(m, dtype=np.float64)[:, None]
+    x = np.arange(n, dtype=np.float64)[None, :]
+    rows = np.cos(np.pi * k * (2.0 * x + 1.0) / (2.0 * n)) * np.sqrt(2.0 / n)
+    rows[0] /= np.sqrt(2.0)
+    return rows
+
+
+def phash(gray: "np.ndarray", hash_size: int = 8, highfreq: int = 4) -> int:
+    """pHash: 32×32 area resize → 2-D DCT-II → keep the top-left
+    hash_size² low-frequency block → bit = coeff > median of the block
+    (DC included in the median, the common convention).
+
+    Spectral, so invariant to uniform brightness shifts everywhere
+    except the DC term (aHash flips cells near the mean; dHash flips
+    ties) and robust to blur/resize (those attenuate high frequencies
+    the hash never reads). Only the m×n DCT rows are materialized —
+    low = M · cells · Mᵀ is two small matmuls per image."""
+    n = hash_size * highfreq
+    cells = _area_resize(gray, n, n)
+    M = _dct_rows(n, hash_size)
+    low = M @ cells @ M.T
+    return _pack_bits64(low > np.median(low))
+
+
 IMAGE_HASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("ahash", T.LongType()),
         T.StructField("dhash", T.LongType()),
+        T.StructField("phash", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("decode_ok", T.BooleanType()),
@@ -683,7 +712,9 @@ def image_hashes(
     """Per-image perceptual hashes over REAL stdlib PNG decode.
 
     Arrow-batched mapInPandas (payloads never round-trip through row
-    objects); per row: decode_png → luma → aHash + dHash. Rows whose
+    objects); per row: decode_png → luma → aHash + dHash + pHash
+    (spectral, round 5 — the near-dup default for anything beyond
+    byte-identical resizes). Rows whose
     payload is not a decodable 8-bit PNG (JPEG — a codec boundary —
     or malformed bytes) emit ``decode_ok=false`` with NULL hashes:
     never a fake hash. 100 TB shape: the decode cost is embarrassingly
@@ -693,7 +724,7 @@ def image_hashes(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mids, ahs, dhs, ws, hs, oks = [], [], [], [], [], []
+            mids, ahs, dhs, phs, ws, hs, oks = [], [], [], [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 mids.append(int(mid))
                 try:
@@ -701,6 +732,7 @@ def image_hashes(
                     g = _to_gray(arr)
                     ahs.append(average_hash(g))
                     dhs.append(dhash(g))
+                    phs.append(phash(g))
                     hs.append(arr.shape[0])
                     ws.append(arr.shape[1])
                     oks.append(True)
@@ -713,6 +745,7 @@ def image_hashes(
                 ):
                     ahs.append(None)
                     dhs.append(None)
+                    phs.append(None)
                     ws.append(None)
                     hs.append(None)
                     oks.append(False)
@@ -721,6 +754,7 @@ def image_hashes(
                     "media_id": mids,
                     "ahash": pd.array(ahs, dtype="Int64"),
                     "dhash": pd.array(dhs, dtype="Int64"),
+                    "phash": pd.array(phs, dtype="Int64"),
                     "width": pd.array(ws, dtype="Int32"),
                     "height": pd.array(hs, dtype="Int32"),
                     "decode_ok": oks,

@@ -263,6 +263,64 @@ def test_average_hash_and_dhash_hand_computed():
     assert dhash(g2) == exp
 
 
+def test_phash_matches_naive_dct():
+    """phash ≡ an O(n⁴) textbook DCT-II computed loop-by-loop (the
+    matmul in the operator is just that sum factored), on images where
+    the 32×32 resize is the identity."""
+    import math
+
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import _area_resize, phash
+
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        g = rng.randint(0, 256, size=(32, 32)).astype(np.float64)
+        n, hs = 32, 8
+        low = np.empty((hs, hs))
+        for u in range(hs):
+            for v in range(hs):
+                s = 0.0
+                for y in range(n):
+                    for x in range(n):
+                        s += (
+                            g[y, x]
+                            * math.cos(math.pi * u * (2 * y + 1) / (2 * n))
+                            * math.cos(math.pi * v * (2 * x + 1) / (2 * n))
+                        )
+                cu = math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n)
+                cv = math.sqrt(1.0 / n) if v == 0 else math.sqrt(2.0 / n)
+                low[u, v] = cu * cv * s
+        bits = (low > np.median(low)).flatten()
+        exp = 0
+        for b in bits:
+            exp = (exp << 1) | int(b)
+        exp = exp - (1 << 64) if exp >= (1 << 63) else exp
+        assert phash(g) == exp
+        assert _area_resize(g, 32, 32).tolist() == g.tolist()
+
+
+def test_phash_brightness_invariance_beats_ahash():
+    """A uniform brightness shift only moves the DC coefficient, so
+    pHash barely changes; aHash re-thresholds every cell against the
+    shifted mean and flips the cells the shift crosses."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import average_hash, phash
+
+    rng = np.random.RandomState(11)
+    g = rng.randint(60, 196, size=(64, 64)).astype(np.float64)
+    g2 = np.clip(g + 30.0, 0, 255)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(phash(g), phash(g2)) <= 2
+    # sanity on the mechanism, not a strict dominance claim: the
+    # spectral hash must be at least as stable as the spatial one here
+    assert ham(phash(g), phash(g2)) <= ham(average_hash(g), average_hash(g2))
+
+
 def test_image_hashes_and_neardup_pairs(spark):
     """End-to-end: real PNGs through image_hashes (decode_ok=True, real
     dims), non-PNG rows nulled honestly; near-dup banding finds exactly
