@@ -891,6 +891,40 @@ def q_image_neardup(spark, sf_dir):
     return image_neardup_pairs(hashes, max_dist=5)
 
 
+def q_audio_features(spark, sf_dir):
+    """Real stdlib WAV-PCM decode → audio features + spectral hash
+    (rows-only check: rfft/decode are Python-side, not ANSI-SQL).
+    Payloads are deterministic 16-bit PCM WAVs synthesized per doc
+    (2,048 samples derived from the doc's text bytes), so the whole
+    decode→rms/zcr→spectral-hash path runs for real over every row
+    (operators/multimodal.py:decode_wav / audio_spectral_hash)."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import audio_features, encode_wav
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = (t or "").encode()[:2048]
+                b = b + bytes(2048 - len(b))
+                a = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                    - 128.0
+                ) / 128.0
+                payloads.append(encode_wav(a, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(mk, "media_id long, payload binary")
+    return audio_features(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -949,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signbit_neardup": q_signbit_neardup,
         "multimodal_meta": q_multimodal_meta,  # rows-only: binary plumbing
         "image_hashes": q_image_hashes,  # rows-only: Python PNG decode
+        "audio_features": q_audio_features,  # rows-only: Python WAV decode
         "image_neardup": q_image_neardup,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }

@@ -382,3 +382,144 @@ def test_image_hashes_and_neardup_pairs(spark):
     # bands too few for the distance: loud error, not silent recall loss
     with pytest.raises(ValueError):
         image_neardup_pairs(adv, max_dist=6, bands=4)
+
+
+def test_decode_wav_roundtrip_and_downmix():
+    """encode_wav → decode_wav round-trips 16-bit and 8-bit PCM within
+    quantization error; stereo downmixes by mean."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import decode_wav, encode_wav
+
+    t = np.arange(800) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    rate, a = decode_wav(encode_wav(sine, 8000))
+    assert rate == 8000 and len(a) == 800
+    assert np.abs(a - sine).max() < 1.0 / 32768 + 1e-12
+
+    rate8, a8 = decode_wav(encode_wav(sine, 8000, bits=8))
+    assert rate8 == 8000 and np.abs(a8 - sine).max() < 1.0 / 128 + 1e-12
+
+    # stereo: L = sine, R = -sine → mean downmix ~ 0
+    inter = np.empty(1600)
+    inter[0::2] = sine
+    inter[1::2] = -sine
+    _, am = decode_wav(encode_wav(inter, 8000, channels=2))
+    assert len(am) == 800 and np.abs(am).max() < 1.0 / 32768 + 1e-12
+
+
+def test_decode_wav_honest_boundaries():
+    """Float PCM (tag 3) and 24-bit stay NotImplementedError; junk is
+    ValueError — mirrors the JPEG codec-boundary contract."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from crawl_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros(64), 8000)
+    # flip format tag to 3 (IEEE float) in the fmt chunk (offset 20)
+    float_wav = good[:20] + struct.pack("<H", 3) + good[22:]
+    with pytest.raises(NotImplementedError):
+        decode_wav(float_wav)
+    bits24 = good[:34] + struct.pack("<H", 24) + good[36:]
+    with pytest.raises(NotImplementedError):
+        decode_wav(bits24)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        decode_wav(b"")
+
+
+def test_audio_features_sine_physics():
+    """rms and zcr of a pure sine match theory: rms = amp/√2, zcr ≈
+    2·f/rate (two sign flips per cycle)."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import decode_wav, encode_wav
+
+    rate, f, amp = 8000, 440.0, 0.5
+    t = np.arange(rate) / rate  # 1 second
+    payload = encode_wav(amp * np.sin(2 * np.pi * f * t), rate)
+    _, a = decode_wav(payload)
+    rms = float(np.sqrt(np.mean(a * a)))
+    assert abs(rms - amp / np.sqrt(2)) < 1e-3
+    sgn = np.signbit(a)
+    zcr = np.count_nonzero(sgn[1:] != sgn[:-1]) / (len(a) - 1)
+    assert abs(zcr - 2 * f / rate) < 5e-3
+
+
+def test_audio_spectral_hash_neardup(spark):
+    """Same tone + light noise → small hamming; different tone → large;
+    amplitude scaling → identical hash. Near-dup pairs ride the image
+    hamming banding unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from crawl_spark.operators.multimodal import (
+        audio_spectral_hash,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    rate = 8000
+    t = np.arange(2 * rate) / rate
+    base = 0.5 * np.sin(2 * np.pi * 440.0 * t) + 0.2 * np.sin(
+        2 * np.pi * 1200.0 * t
+    )
+    near = base + 0.01 * rng.randn(len(base))
+    far = 0.5 * np.sin(2 * np.pi * 2600.0 * t)
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    h0, h1, h2 = (audio_spectral_hash(x) for x in (base, near, far))
+    assert ham(h0, h1) <= 6 < ham(h0, h2)
+    assert audio_spectral_hash(0.3 * base) == h0  # scale-invariant
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0, 1, 2], "spectral_hash": [h0, h1, h2]})
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(
+            df, max_dist=6, hash_col="spectral_hash"
+        ).collect()
+    }
+    assert pairs == {(0, 1)}
+
+
+def test_audio_features_spark_matches_driver(spark):
+    """Spark-side audio_features equals the driver-side functions on the
+    same payloads; junk rows are honestly decode_ok=false."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        audio_spectral_hash,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    p0 = encode_wav(0.5 * np.sin(2 * np.pi * 440.0 * t), rate)
+    p1 = encode_wav(0.25 * np.sin(2 * np.pi * 900.0 * t), rate, bits=8)
+    rows = [
+        (0, "audio", p0, "audio/wav", {}),
+        (1, "audio", p1, "audio/wav", {}),
+        (2, "audio", b"\xff\xd8not-audio", "image/jpeg", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    for mid, payload in ((0, p0), (1, p1)):
+        r_, a = decode_wav(payload)
+        assert got[mid].sample_rate == r_
+        assert got[mid].n_samples == len(a)
+        assert got[mid].duration_ms == 1000
+        assert abs(got[mid].rms - float(np.sqrt(np.mean(a * a)))) < 1e-12
+        assert got[mid].spectral_hash == audio_spectral_hash(a)
+        assert got[mid].decode_ok
+    assert not got[2].decode_ok and got[2].rms is None
