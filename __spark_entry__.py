@@ -925,6 +925,43 @@ def q_audio_features(spark, sf_dir):
     return audio_features(media)
 
 
+def q_video_demux(spark, sf_dir):
+    """REAL MP4 demux, ORACLE-CHECKED: per doc, a self-contained MP4 is
+    synthesized with ns = 4 + doc_id%5 samples (sample i = ascii
+    's<doc_id>:<i>;', 100 ms apart, split across two chunks with junk
+    between them), then extract_video_samples demuxes the sample table
+    (stts/stsz/stsc/stco walk — operators/multimodal.py:
+    mp4_sample_table) and emits 3 frames. The planted layout is a pure
+    function of doc_id, so DuckDB computes the EXPECTED timestamps and
+    sample-byte md5s in plain SQL — any offset/timestamp/slice error in
+    the struct parsing breaks the value match."""
+    from crawl_spark.operators.multimodal import encode_mp4, extract_video_samples
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ns = 4 + did % 5
+                samples = [("s%d:%d;" % (did, i)).encode() for i in range(ns)]
+                payloads.append(encode_mp4(samples, [ns // 2, ns - ns // 2]))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(mk, "media_id long, payload binary")
+    out = extract_video_samples(media, n_frames=3)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms"),
+        F.md5(F.col("sample_bytes")).alias("frame_md5"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -985,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hashes": q_image_hashes,  # rows-only: Python PNG decode
         "audio_features": q_audio_features,  # rows-only: Python WAV decode
         "image_neardup": q_image_neardup,
+        "video_demux": q_video_demux,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -2049,5 +2087,24 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dh, b.dh)) <= 5
+""",
+        # video_demux: the planted MP4 layout is a pure function of
+        # doc_id, so the oracle recomputes the demuxer's expected output
+        # (true timestamps + sample-byte md5s) without parsing anything
+        "video_demux": """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS ns FROM documents
+), f AS (
+  SELECT doc_id, ns, 0 AS frame_idx, 0 AS si FROM d
+  UNION ALL SELECT doc_id, ns, 1, (ns - 1) // 2 FROM d
+  UNION ALL SELECT doc_id, ns, 2, ns - 1 FROM d
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(si * 100 AS BIGINT) AS ts_ms,
+       md5('s' || CAST(doc_id AS VARCHAR) || ':' || CAST(si AS VARCHAR) || ';') AS frame_md5,
+       CAST(ns AS BIGINT) AS n_samples
+FROM f
+ORDER BY doc_id, frame_idx
 """,
     }

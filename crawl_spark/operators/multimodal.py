@@ -1036,3 +1036,335 @@ def audio_features(
     return df.select(
         F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
     ).mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+
+
+# -- video tier: real MP4 demux (container-level), codec-free (round 5) --
+#
+# The container triad completed: PNG DECODES for real, WAV DECODES for
+# real, and MP4 DEMUXES for real — walking the ISO-BMFF sample table is
+# pure struct parsing, so per-frame encoded bytes and their true decode
+# timestamps come out without any codec. Turning those bytes into
+# pixels (H.264/AV1/...) remains the honest NotImplementedError
+# boundary (`decode_video_frame`).
+
+
+def _child_boxes(b: bytes, lo: int, hi: int):
+    """Iterate (type, payload_lo, payload_hi) over the ISO-BMFF boxes in
+    b[lo:hi] (64-bit largesize handled; malformed sizes end the walk)."""
+    i = lo
+    while i + 8 <= hi:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > hi:
+                return
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            hdr = 16
+        if size < hdr:
+            return
+        yield btype, i + hdr, min(i + size, hi)
+        i += size
+
+
+def _find_box(b: bytes, lo: int, hi: int, name: bytes):
+    for t, p, q in _child_boxes(b, lo, hi):
+        if t == name:
+            return (p, q)
+    return None
+
+
+_MAX_MP4_SAMPLES = 1 << 22  # malformed-count guard: ~4M samples/clip
+
+
+def mp4_sample_table(payload: bytes) -> list:
+    """REAL MP4 demux, no codec: walk ``moov → trak → mdia → minf →
+    stbl`` of the first video-handler track (hdlr ``vide``; first track
+    as fallback) and combine the four sample-table boxes —
+
+    * ``stts`` decode deltas → per-sample timestamps,
+    * ``stsz`` per-sample byte sizes,
+    * ``stsc`` sample→chunk runs,
+    * ``stco``/``co64`` chunk file offsets —
+
+    into ``[(ts_ms, byte_offset, size), ...]``, one entry per sample in
+    decode order. Offsets index into THIS payload (self-contained
+    file-level MP4, the common crawl case). Raises ValueError on
+    missing/malformed tables — callers surface that as ``demux_ok =
+    false``, never fake data."""
+    b = payload or b""
+    moov = _find_box(b, 0, len(b), b"moov")
+    if not moov:
+        raise ValueError("no moov box")
+    video_trak = first_trak = None
+    for t, p, q in _child_boxes(b, *moov):
+        if t != b"trak":
+            continue
+        if first_trak is None:
+            first_trak = (p, q)
+        mdia = _find_box(b, p, q, b"mdia")
+        if mdia:
+            hdlr = _find_box(b, *mdia, b"hdlr")
+            if hdlr and b[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+                video_trak = (p, q)
+                break
+    trak = video_trak or first_trak
+    if not trak:
+        raise ValueError("no trak box")
+    mdia = _find_box(b, *trak, b"mdia")
+    if not mdia:
+        raise ValueError("no mdia box")
+    mdhd = _find_box(b, *mdia, b"mdhd")
+    if not mdhd:
+        raise ValueError("no mdhd box")
+    p = mdhd[0]
+    version = b[p]
+    ts_off = p + (20 if version == 1 else 12)
+    if ts_off + 4 > mdhd[1]:
+        raise ValueError("truncated mdhd")
+    (timescale,) = struct.unpack(">I", b[ts_off : ts_off + 4])
+    if not timescale:
+        raise ValueError("zero mdhd timescale")
+    minf = _find_box(b, *mdia, b"minf")
+    stbl = _find_box(b, *minf, b"stbl") if minf else None
+    if not stbl:
+        raise ValueError("no stbl box")
+
+    def full(name, alt=None):
+        box = _find_box(b, *stbl, name)
+        if box is None and alt is not None:
+            box = _find_box(b, *stbl, alt)
+        if box is None:
+            raise ValueError("missing %s box" % name.decode())
+        return box
+
+    # stts → cumulative decode time per sample
+    p, q = full(b"stts")
+    (n_ent,) = struct.unpack(">I", b[p + 4 : p + 8])
+    deltas = []
+    pos, t_total = p + 8, 0
+    for _ in range(n_ent):
+        if pos + 8 > q:
+            raise ValueError("truncated stts")
+        cnt, dt = struct.unpack(">II", b[pos : pos + 8])
+        if cnt > _MAX_MP4_SAMPLES:
+            raise ValueError("malformed stts count")
+        deltas.append((cnt, dt))
+        pos += 8
+    # stsz → per-sample sizes
+    p, q = full(b"stsz")
+    uniform, n_samples = struct.unpack(">II", b[p + 4 : p + 12])
+    if n_samples > _MAX_MP4_SAMPLES:
+        raise ValueError("malformed stsz count")
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        if p + 12 + 4 * n_samples > q:
+            raise ValueError("truncated stsz")
+        sizes = list(
+            struct.unpack(">%dI" % n_samples, b[p + 12 : p + 12 + 4 * n_samples])
+        )
+    # stco / co64 → chunk offsets
+    co = _find_box(b, *stbl, b"stco")
+    wide = False
+    if co is None:
+        co = _find_box(b, *stbl, b"co64")
+        wide = True
+    if co is None:
+        raise ValueError("missing stco/co64 box")
+    p, q = co
+    (n_chunks,) = struct.unpack(">I", b[p + 4 : p + 8])
+    if n_chunks > _MAX_MP4_SAMPLES:
+        raise ValueError("malformed chunk count")
+    w = 8 if wide else 4
+    if p + 8 + w * n_chunks > q:
+        raise ValueError("truncated chunk offsets")
+    fmt = ">%d%s" % (n_chunks, "Q" if wide else "I")
+    chunk_offs = list(struct.unpack(fmt, b[p + 8 : p + 8 + w * n_chunks]))
+    # stsc → samples-per-chunk runs (first_chunk is 1-based)
+    p, q = full(b"stsc")
+    (n_runs,) = struct.unpack(">I", b[p + 4 : p + 8])
+    runs = []
+    pos = p + 8
+    for _ in range(n_runs):
+        if pos + 12 > q:
+            raise ValueError("truncated stsc")
+        first, spc, _desc = struct.unpack(">III", b[pos : pos + 12])
+        runs.append((first, spc))
+        pos += 12
+    if not runs:
+        raise ValueError("empty stsc")
+    # expand: decode-order walk over chunks, slicing samples within each
+    out = []
+    t_cum = 0
+    ts_iter = iter(deltas)
+    cur_cnt, cur_dt = 0, 0
+    si = 0
+    for ci in range(n_chunks):
+        spc = 0
+        for first, s in runs:
+            if first <= ci + 1:
+                spc = s
+            else:
+                break
+        off = chunk_offs[ci]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            while cur_cnt == 0:
+                try:
+                    cur_cnt, cur_dt = next(ts_iter)
+                except StopIteration:
+                    cur_cnt, cur_dt = 1 << 62, 0  # stts exhausted: dt 0
+            out.append((t_cum * 1000 // timescale, off, sizes[si]))
+            t_cum += cur_dt
+            cur_cnt -= 1
+            off += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError(
+            "stsc/stco cover %d of %d samples" % (si, n_samples)
+        )
+    return out
+
+
+VIDEO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("sample_bytes", T.BinaryType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("demux_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_video_samples(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame extraction at the container level: demux each clip's
+    sample table (:func:`mp4_sample_table`) and emit the ``n_frames``
+    samples nearest to evenly spaced true timestamps — ``sample_bytes``
+    is the sample's actual encoded bytes sliced out of the payload,
+    ``ts_ms`` its real decode timestamp. Decoding those bytes to pixels
+    is the codec boundary (:func:`decode_video_frame`); a training
+    pipeline with pyav plugs it in per sample without touching this
+    plan. Un-demuxable payloads emit one ``demux_ok=false`` row (NULL
+    frame fields) — never fake bytes. Same 100 TB shape as the other
+    media operators: Arrow-batched mapInPandas, per-row fan-out bounded
+    by n_frames, payload read once."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("media_id", "frame_idx", "ts_ms", "sample_bytes",
+                     "n_samples", "demux_ok")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p) if p is not None else b""
+                try:
+                    table = mp4_sample_table(raw)
+                    if not table:
+                        raise ValueError("empty sample table")
+                except (ValueError, struct.error):
+                    cols["media_id"].append(int(mid))
+                    cols["frame_idx"].append(None)
+                    cols["ts_ms"].append(None)
+                    cols["sample_bytes"].append(None)
+                    cols["n_samples"].append(None)
+                    cols["demux_ok"].append(False)
+                    continue
+                dur = table[-1][0]
+                for i in range(n_frames):
+                    want = i * dur // max(n_frames - 1, 1) if n_frames > 1 else 0
+                    ts, off, size = min(
+                        table, key=lambda s: (abs(s[0] - want), s[0])
+                    )
+                    cols["media_id"].append(int(mid))
+                    cols["frame_idx"].append(i)
+                    cols["ts_ms"].append(ts)
+                    cols["sample_bytes"].append(raw[off : off + size])
+                    cols["n_samples"].append(len(table))
+                    cols["demux_ok"].append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": cols["media_id"],
+                    "frame_idx": pd.array(cols["frame_idx"], dtype="Int32"),
+                    "ts_ms": pd.array(cols["ts_ms"], dtype="Int64"),
+                    "sample_bytes": cols["sample_bytes"],
+                    "n_samples": pd.array(cols["n_samples"], dtype="Int32"),
+                    "demux_ok": cols["demux_ok"],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(fn, VIDEO_SAMPLE_SCHEMA)
+
+
+def encode_mp4(
+    sample_bytes_list: list,
+    chunks: list,
+    timescale: int = 1000,
+    delta: int = 100,
+    handler: bytes = b"vide",
+) -> bytes:
+    """Minimal self-contained MP4 encoder for fixtures (the video twin
+    of :func:`encode_png` / :func:`encode_wav`): ftyp + mdat holding the
+    samples laid out per ``chunks`` (contiguous within a chunk, 2 junk
+    bytes between chunks — the demux must skip them via stco) + a
+    moov/trak/mdia/minf/stbl whose stts/stsz/stsc/stco describe exactly
+    that layout. Sample i gets decode timestamp i·delta/timescale."""
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 8)
+    body = b""
+    chunk_offs_rel = []
+    si = 0
+    for ci, cnt in enumerate(chunks):
+        if ci:
+            body += b"\xee\xee"
+        chunk_offs_rel.append(len(body))
+        for _ in range(cnt):
+            body += sample_bytes_list[si]
+            si += 1
+    if si != len(sample_bytes_list):
+        raise ValueError("chunks must cover every sample exactly once")
+    mdat = box(b"mdat", body)
+    data_base = len(ftyp) + 8
+    chunk_offs = [data_base + r for r in chunk_offs_rel]
+    n = len(sample_bytes_list)
+    stts = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n, delta))
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in sample_bytes_list),
+    )
+    runs = []
+    for ci, cnt in enumerate(chunks):
+        if ci == 0 or cnt != chunks[ci - 1]:
+            runs.append((ci + 1, cnt))
+    stsc = box(
+        b"stsc",
+        struct.pack(">II", 0, len(runs))
+        + b"".join(struct.pack(">III", f, c, 1) for f, c in runs),
+    )
+    stco = box(
+        b"stco",
+        struct.pack(">II", 0, len(chunk_offs))
+        + b"".join(struct.pack(">I", o) for o in chunk_offs),
+    )
+    stbl = box(b"stbl", stts + stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 13)
+    mdhd = box(
+        b"mdhd",
+        b"\x00" * 12 + struct.pack(">II", timescale, n * delta) + b"\x00" * 4,
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    return ftyp + mdat + box(b"moov", box(b"trak", mdia))

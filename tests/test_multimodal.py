@@ -523,3 +523,72 @@ def test_audio_features_spark_matches_driver(spark):
         assert got[mid].spectral_hash == audio_spectral_hash(a)
         assert got[mid].decode_ok
     assert not got[2].decode_ok and got[2].rms is None
+
+
+# -- real MP4 demux ----------------------------------------------------------
+
+
+def _build_mp4(sample_bytes_list, chunks, timescale=1000, delta=100,
+               handler=b"vide"):
+    from crawl_spark.operators.multimodal import encode_mp4
+
+    return encode_mp4(sample_bytes_list, chunks, timescale, delta, handler)
+
+
+def test_mp4_sample_table_exact():
+    """Demux recovers every planted sample's true (ts, offset, size)
+    across multi-sample chunks with junk between them."""
+    from crawl_spark.operators.multimodal import mp4_sample_table
+
+    samples = [bytes([65 + i]) * (3 + i) for i in range(6)]  # AAA, BBBB, ...
+    mp4 = _build_mp4(samples, chunks=[4, 2])
+    table = mp4_sample_table(mp4)
+    assert len(table) == 6
+    assert [t for t, _, _ in table] == [0, 100, 200, 300, 400, 500]
+    for i, (ts, off, size) in enumerate(table):
+        assert mp4[off : off + size] == samples[i], i
+
+
+def test_mp4_sample_table_honest_failures():
+    import pytest
+
+    from crawl_spark.operators.multimodal import mp4_sample_table
+
+    with pytest.raises(ValueError):
+        mp4_sample_table(b"\x00\x00\x00\x10ftypisom" + b"\x00" * 8)  # no moov
+    samples = [b"xx"] * 3
+    good = _build_mp4(samples, chunks=[3])
+    with pytest.raises(ValueError):
+        mp4_sample_table(good[: len(good) - 20])  # truncated stbl
+    with pytest.raises(ValueError):
+        mp4_sample_table(b"")
+
+
+def test_extract_video_samples_spark(spark):
+    """Spark-side demux returns the REAL encoded bytes at real
+    timestamps; junk payloads emit demux_ok=false rows."""
+    from crawl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_samples,
+    )
+
+    samples = [bytes([48 + i]) * 10 for i in range(11)]  # ts 0..1000
+    mp4 = _build_mp4(samples, chunks=[5, 6])
+    rows = [
+        (0, "video", mp4, "video/mp4", {}),
+        (1, "video", b"\x00\x00\x00\x10ftypisomJUNK", "video/mp4", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_video_samples(df, n_frames=3).toPandas()
+    ok = got[got.media_id == 0].sort_values("frame_idx")
+    # duration 1000 ms → wanted ts 0, 500, 1000; stts delta 100 → exact
+    assert list(ok.ts_ms) == [0, 500, 1000]
+    assert [bytes(b) for b in ok.sample_bytes] == [
+        samples[0],
+        samples[5],
+        samples[10],
+    ]
+    assert (ok.n_samples == 11).all() and ok.demux_ok.all()
+    bad = got[got.media_id == 1]
+    assert len(bad) == 1 and not bad.demux_ok.iloc[0]
+    assert bad.sample_bytes.iloc[0] is None
