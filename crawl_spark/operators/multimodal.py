@@ -352,25 +352,41 @@ def sample_frames(
 def resize_images(
     df: DataFrame, width: int = 32, height: int = 32, fake_decode: bool = True
 ) -> DataFrame:
-    """Resize plumbing: image rows → fixed-size pixel buffers
-    (width·height bytes, grayscale contract).
+    """Resize image rows → fixed-size pixel buffers (width·height
+    bytes, grayscale contract).
 
-    Real machinery: prefix sniff for dimensions (PNG/JPEG headers),
-    mapInPandas batch shape, bounded output buffers. The decode+resample
-    itself is the codec boundary: ``fake_decode=True`` produces a
+    Round 5: decodable PNGs resize FOR REAL — :func:`decode_png` →
+    BT.601 luma → deterministic area resize, actual pixels out. For
+    payloads the stdlib can't decode (JPEG, malformed), the behavior is
+    the original plumbing contract: ``fake_decode=True`` produces a
     deterministic byte-tiled buffer seeded from the payload (stable
     across runs — usable to test downstream batch/shuffle logic);
-    ``False`` raises at the Pillow-shaped hole."""
+    ``False`` raises at the codec boundary."""
+    import zlib
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids, pixels = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                if not fake_decode:
-                    decode_image(payload)  # raises: codec boundary
-                reps = (width * height) // max(len(payload), 1) + 1
-                pixels.append((payload * reps)[: width * height])
+                try:
+                    arr = decode_png(payload)
+                    cells = _area_resize(_to_gray(arr), width, height)
+                    buf = bytes(
+                        np.clip(np.round(cells), 0, 255).astype(np.uint8)
+                    )
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                ):
+                    if not fake_decode:
+                        decode_image(payload)  # raises: codec boundary
+                    reps = (width * height) // max(len(payload), 1) + 1
+                    buf = (payload * reps)[: width * height]
+                pixels.append(buf)
                 mids.append(int(mid))
             yield pd.DataFrame(
                 {

@@ -592,3 +592,35 @@ def test_extract_video_samples_spark(spark):
     bad = got[got.media_id == 1]
     assert len(bad) == 1 and not bad.demux_ok.iloc[0]
     assert bad.sample_bytes.iloc[0] is None
+
+
+def test_resize_images_real_png_pixels(spark):
+    """Decodable PNGs resize for REAL: Spark-side buffer equals the
+    driver-side decode→luma→area-resize on the same image; junk-body
+    rows keep the deterministic tiled fallback."""
+    import numpy as np
+
+    from crawl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _area_resize,
+        _to_gray,
+        encode_png,
+        resize_images,
+    )
+
+    img = _checker(24, 20, 3, seed=9)
+    junk = b"\x89PNG\r\n\x1a\njunkjunkjunkjunk"
+    rows = [
+        (0, "image", encode_png(img), "image/png", {}),
+        (1, "image", junk, "image/png", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(df, width=8, height=6).collect()}
+    exp = bytes(
+        np.clip(np.round(_area_resize(_to_gray(img), 8, 6)), 0, 255).astype(
+            np.uint8
+        )
+    )
+    assert bytes(out[0].pixels) == exp
+    reps = (8 * 6) // len(junk) + 1
+    assert bytes(out[1].pixels) == (junk * reps)[: 8 * 6]
