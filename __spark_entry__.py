@@ -724,6 +724,31 @@ def q_embed_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
 
 
+def q_semdedup(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    IVF cells stand in for the paper's k-means clusters, 6dp-cosine
+    near pairs are found within cells only, connected components
+    collapse chains, min-id per group is the kept canonical
+    (similarity.semdedup — composition of the hot-cell-guarded pair
+    blocker and the bucketed min-label CC)."""
+    from crawl_spark.operators.similarity import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.25)
+
+
+def q_dsir_score(spark, sf_dir):
+    """DSIR importance scores (Xie et al. 2023, arXiv:2302.03169):
+    hashed unigram+bigram log-likelihood ratios of a target vs raw
+    bag-of-ngrams model (sampling.dsir_weights / dsir_score). Target =
+    every 7th doc (deterministic), 512 md5 buckets, per-bucket ratios
+    rounded 6dp, per-doc sums decimal-exact."""
+    from crawl_spark.operators.sampling import dsir_score, dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_weights(d.filter(F.col("doc_id") % 7 == 0), d, n_buckets=512)
+    return dsir_score(d, w, n_buckets=512)
+
+
 def q_tfidf(spark, sf_dir):
     """Per-doc top-5 terms by smoothed TF-IDF (textops.tfidf_top_terms):
     keyword extraction over the corpus, ranked on the 6dp-rounded score
@@ -1016,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train": q_ivf_train,
         "ivf_topk": q_ivf_topk,
         "embed_neardup": q_embed_neardup,
+        "semdedup": q_semdedup,
+        "dsir_score": q_dsir_score,
         "signbit_buckets": q_signbit_buckets,
         "signbit_neardup": q_signbit_neardup,
         "multimodal_meta": q_multimodal_meta,  # rows-only: binary plumbing
@@ -2032,6 +2059,80 @@ JOIN n x ON x.vec_id = a.vec_id
 JOIN n y ON y.vec_id = b.vec_id
 WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
             / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.25
+""",
+        "semdedup": f"""
+WITH RECURSIVE {_COSINE_CTES},
+cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                 / (sqrt(v.nn) * sqrt(c.cnn)), 6) AS cos,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                                             / (sqrt(v.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
+    FROM n v, cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN n x ON x.vec_id = a.vec_id
+  JOIN n y ON y.vec_id = b.vec_id
+  WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
+              / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.25
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+),
+comp AS (SELECT node, least(node, min(lbl)) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT v.vec_id, coalesce(c.cluster_id, v.vec_id) AS cluster_id
+  FROM v LEFT JOIN comp c ON c.node = v.vec_id
+),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.vec_id, l.cluster_id, s.cluster_size,
+       l.vec_id = l.cluster_id AS is_canonical
+FROM lab l JOIN sz s USING (cluster_id)
+""",
+        "dsir_score": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM tk
+  UNION ALL
+  SELECT tk.doc_id, t[u.i] || ' ' || t[u.i + 1] AS g
+  FROM tk, unnest(range(1, len(t))) AS u(i)
+),
+bk AS (SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS INT) AS b
+       FROM grams),
+ct AS (SELECT b, count(*) AS c FROM bk WHERE doc_id % 7 = 0 GROUP BY b),
+cr AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+tot AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM ct) AS ts,
+               (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM cr) AS rs),
+w AS (
+  SELECT CAST(sp.b AS INT) AS b,
+         round(ln((coalesce(ct.c, 0) + 1) / (tot.ts + 512))
+               - ln((coalesce(cr.c, 0) + 1) / (tot.rs + 512)), 6) AS lr
+  FROM range(0, 512) sp(b)
+  CROSS JOIN tot
+  LEFT JOIN ct ON ct.b = sp.b
+  LEFT JOIN cr ON cr.b = sp.b
+)
+SELECT d.doc_id,
+       CAST(count(bk.b) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(CAST(w.lr AS DECIMAL(18,6))), 0) AS DOUBLE) AS score
+FROM documents d
+LEFT JOIN bk ON bk.doc_id = d.doc_id
+LEFT JOIN w ON w.b = bk.b
+GROUP BY d.doc_id
 """,
         "signbit_buckets": f"""
 WITH {_COSINE_CTES},

@@ -192,3 +192,194 @@ def pack_sequences(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / seq_len
         ).cast("long").alias("bin"),
     )
+
+
+# -- DSIR: hashed-n-gram importance resampling (data selection) -------------
+# Xie et al., "Data Selection for Language Models via Importance
+# Resampling" (NeurIPS 2023, arXiv:2302.03169 — public method): estimate
+# how target-domain-like each raw document is by the log-likelihood
+# ratio of its hashed n-gram features under a target vs a raw bag-of-
+# ngrams model, then keep the highest-scoring fraction. This is the
+# classifier-free data-selection step between the quality filters
+# (textops.quality_score / gopher_repetition) and packing.
+#
+# Scale shape (100 TB raw corpus):
+# - the feature space is FIXED at ``n_buckets`` hashed buckets, so the
+#   learned weights are an O(n_buckets) table — broadcast, never
+#   shuffled with the corpus;
+# - weight fitting is two corpus aggregates (one shuffle each, partial
+#   map-side combine on the bucket key; the target sample is small by
+#   definition);
+# - scoring is explode → broadcast-join → one groupBy(doc) sum: a
+#   single shuffle on doc_id, no window, no driver loop;
+# - selection routes through topk.ranked_topk (distributed global
+#   top-k, never a single-partition ORDER BY).
+#
+# Cross-engine exactness: buckets are md5-derived (first 8 hex chars →
+# int, the repo's hash contract); per-bucket log-ratios are rounded to
+# 6dp and per-doc sums accumulate as DECIMAL(18,6) — order-independent,
+# so Spark and DuckDB agree bit-for-bit.
+
+
+def _dsir_tokened(df: DataFrame, cols: list[Column], text_col: str, tokenizer):
+    """(cols…, __t tokens) with the token array materialized ONCE —
+    the gram builder below references it three times (unigrams + two
+    bigram slices) and Catalyst does not CSE nested HOFs (CLAUDE.md)."""
+    from .textops import resolve_tokens
+
+    return df.select(
+        *cols, resolve_tokens(F.col(text_col), tokenizer).alias("__t")
+    ).localCheckpoint(eager=False)
+
+
+def _dsir_grams(tok_col: Column) -> Column:
+    """Unigrams + space-joined bigrams (with multiplicity) of a
+    MATERIALIZED token-array column. SQL twin: unnest(t) UNION ALL
+    t[i] || ' ' || t[i+1] for i in range(1, len(t))."""
+    n1 = F.greatest(F.size(tok_col) - 1, F.lit(0))
+    bis = F.zip_with(
+        F.slice(tok_col, 1, n1),
+        F.slice(tok_col, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(tok_col, bis)
+
+
+def _dsir_bucket(g: Column, n_buckets: int) -> Column:
+    """md5-hash a gram into [0, n_buckets): first 8 hex chars as an
+    integer, mod n_buckets. SQL twin:
+    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % n_buckets."""
+    return (
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+
+
+def _dsir_bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int, tokenizer
+) -> DataFrame:
+    """Corpus-level (bucket, c) hashed-gram counts: one partial-agg
+    groupBy on the bucket key — ≤ n_buckets result rows regardless of
+    corpus size."""
+    tdf = _dsir_tokened(df, [], text_col, tokenizer)
+    return (
+        tdf.select(
+            F.explode(_dsir_grams(F.col("__t"))).alias("__g")
+        )
+        .select(_dsir_bucket(F.col("__g"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    tokenizer=None,
+) -> DataFrame:
+    """Fit the DSIR importance weights: per hash bucket b,
+    log p_target(b) − log p_raw(b) under add-one-smoothed bag-of-ngram
+    models. Returns the FULL (bucket, logratio) spine — exactly
+    ``n_buckets`` rows, broadcastable by construction; buckets unseen
+    in both corpora carry the smoothing-only prior ratio.
+
+    ``target`` is the (small) target-domain sample, ``raw`` the corpus
+    being scored (or any representative sample of it — the paper fits
+    the raw model on a sample). Both count jobs are single partial-agg
+    shuffles; the two totals are 2-scalar driver reads of the already-
+    aggregated ≤ n_buckets-row frames.
+    """
+    spark = raw.sparkSession
+    B = int(n_buckets)
+    ct = _dsir_bucket_counts(target, text_col, B, tokenizer).localCheckpoint(
+        eager=False
+    )
+    cr = _dsir_bucket_counts(raw, text_col, B, tokenizer).localCheckpoint(
+        eager=False
+    )
+    t_total = ct.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s")).collect()[0]["s"]
+    r_total = cr.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s")).collect()[0]["s"]
+    spine = spark.range(B).select(F.col("id").cast("int").alias("bucket"))
+    ctt = ct.withColumnRenamed("c", "__ct")
+    crr = cr.withColumnRenamed("c", "__cr")
+    return (
+        spine.join(ctt, "bucket", "left")
+        .join(crr, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                    / F.lit(float(t_total + B))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__cr"), F.lit(0)) + 1)
+                    / F.lit(float(r_total + B))
+                ),
+                6,
+            ).alias("logratio"),
+        )
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    tokenizer=None,
+) -> DataFrame:
+    """Score every document: sum of its hashed-gram log-ratios (higher
+    = more target-like). Emits (id, n_grams, score); token-less docs
+    keep a row with n_grams = 0, score = 0.
+
+    One explode + broadcast weight join + one groupBy(id) shuffle; the
+    per-doc sum accumulates 6dp DECIMALs (order-independent — the
+    DuckDB twin is bit-identical). ``n_buckets`` must match the value
+    the weights were fitted with (the join is on the bucket id).
+    """
+    tdf = _dsir_tokened(df, [F.col(id_col)], text_col, tokenizer)
+    g = tdf.select(
+        F.col(id_col),
+        F.explode_outer(_dsir_grams(F.col("__t"))).alias("__g"),
+    ).select(
+        F.col(id_col), _dsir_bucket(F.col("__g"), n_buckets).alias("bucket")
+    )
+    return (
+        g.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.col("logratio").cast("decimal(18,6)")),
+                F.lit(0).cast("decimal(28,6)"),
+            )
+            .cast("double")
+            .alias("score"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    tokenizer=None,
+) -> DataFrame:
+    """Keep the k most-target-like documents: dsir_score →
+    topk.ranked_topk on (−score, id) — the distributed exact global
+    top-k (local prune to ≤ P·k rows, one bounded range shuffle; never
+    a single-partition ORDER BY). Deterministic: id breaks score ties.
+    """
+    from .topk import ranked_topk
+
+    scored = dsir_score(df, weights, id_col, text_col, n_buckets, tokenizer)
+    ranked = scored.withColumn("__neg", -F.col("score"))
+    return ranked_topk(ranked, ["__neg", id_col], k, pos_col="sel_rank").drop(
+        "__neg"
+    )

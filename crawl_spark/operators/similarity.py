@@ -500,6 +500,84 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    centroid_mod: int = 41,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    max_cell: int = 100_000,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540 — public method): k-means-cluster the embedding
+    space, mark cosine-near pairs WITHIN each cluster as semantic
+    duplicates, and keep one canonical document per duplicate group.
+    The paper's point is that web-scale corpora carry large volumes of
+    *semantically* redundant text that lexical dedup (MinHash/simhash)
+    never sees; pruning it improves training efficiency.
+
+    Composition of the module's scale machinery, no new join shapes:
+
+    - clustering + within-cluster pairs = :func:`embedding_neardup_pairs`
+      (IVF cells ARE the paper's k-means clusters; O(sum cell²) not
+      O(n²), hot-cell salt-split guard included). Pass a trained
+      ``centroids`` frame (``train_ivf_centroids``) for paper-faithful
+      clusters; the deterministic modular codebook is the test default.
+    - duplicate groups = :func:`~crawl_spark.operators.graph.
+      connected_components` over the pair graph (A~B, B~C collapse to
+      ONE kept doc — min-label, O(pairs) per round, bounded by group
+      diameter; near-dup groups are shallow).
+    - canonical survivor = min id per component (deterministic, no RNG
+      — the paper keeps a random point per group; min-id is the
+      engine's reproducibility contract, same rule as
+      ``dedup.neardup_clusters``).
+
+    Returns (id, cluster_id, cluster_size, is_canonical): training-set
+    construction keeps ``is_canonical`` rows; ``1 - sum(is_canonical)/n``
+    is the semantic-dup rate. Cross-engine exact: cosines are 6dp-rounded
+    before the threshold (module float contract), so the pair graph —
+    and hence the components — is bit-identical in Spark and DuckDB.
+
+    Recall is bounded by the quantizer (pairs straddling a cell boundary
+    are missed) — that is SemDeDup's own design trade, not an
+    approximation added here; the paper likewise only compares within
+    cluster.
+    """
+    from .graph import connected_components
+
+    pairs = embedding_neardup_pairs(
+        vectors,
+        threshold=threshold,
+        centroid_mod=centroid_mod,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        max_cell=max_cell,
+    )
+    labels = connected_components(pairs, a="id_a", b="id_b", max_iters=max_iter)
+    out = (
+        vectors.select(F.col(id_col))
+        .join(
+            labels.withColumnRenamed("node", id_col).withColumnRenamed(
+                "component", "label"
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("label"), F.col(id_col)))
+        .drop("label")
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 # -- product quantization (PQ): compressed codes + ADC scan ----------------
 # The >10^9-vector memory path (Jégou et al., "Product Quantization for
 # Nearest Neighbor Search", TPAMI 2011 — public method): split each

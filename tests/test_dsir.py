@@ -1,0 +1,182 @@
+"""DSIR importance resampling + SemDeDup vs pure-Python oracles.
+
+Same philosophy as test_operators.py: the DuckDB contract in
+__spark_entry__ checks cross-engine agreement; these tests pin the
+SEMANTICS against a from-first-principles Python model, so a bug
+mirrored into both the SQL and the Spark side still gets caught.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+B = 512  # hashed-feature buckets used throughout (small → real collisions)
+
+
+def py_tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+def py_grams(toks: list[str]) -> list[str]:
+    return list(toks) + [
+        toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+    ]
+
+
+def py_bucket(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+
+def py_weights(target_texts, raw_texts):
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for texts, acc in ((target_texts, ct), (raw_texts, cr)):
+        for t in texts:
+            for g in py_grams(py_tokens(t)):
+                b = py_bucket(g)
+                acc[b] = acc.get(b, 0) + 1
+    T, R = sum(ct.values()), sum(cr.values())
+    return {
+        b: round(
+            math.log((ct.get(b, 0) + 1) / (T + B))
+            - math.log((cr.get(b, 0) + 1) / (R + B)),
+            6,
+        )
+        for b in range(B)
+    }
+
+
+def py_score(text: str, w: dict[int, float]) -> float:
+    # mirror the engine's decimal-exact sum: each term is a 6dp value
+    return round(sum(w[py_bucket(g)] for g in py_grams(py_tokens(text))), 6)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # deterministic synthetic split: target-flavored docs share a vocab
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            txt = f"science result {i % 5} experiment data measure proton"
+        elif i % 3 == 1:
+            txt = f"buy cheap deal {i % 7} sale discount offer now"
+        else:
+            txt = f"science data {i % 4} sale mixed report value"
+        rows.append((i, txt))
+    # one empty and one single-token doc exercise the edge rows
+    rows.append((60, ""))
+    rows.append((61, "proton"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_weights_match_python_model(spark, corpus):
+    from crawl_spark.operators.sampling import dsir_weights
+
+    target = corpus.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60))
+    w = dsir_weights(target, corpus, n_buckets=B)
+    got = {r["bucket"]: r["logratio"] for r in w.collect()}
+    pdf = corpus.toPandas().set_index("doc_id").text
+    exp = py_weights(
+        [pdf[i] for i in range(0, 60, 3)], list(pdf.values)
+    )
+    assert len(got) == B  # full spine, smoothing prior included
+    for b in range(B):
+        assert abs(got[b] - exp[b]) < 1e-9, b
+
+
+def test_dsir_score_matches_python_model(spark, corpus):
+    from crawl_spark.operators.sampling import dsir_score, dsir_weights
+
+    target = corpus.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60))
+    w = dsir_weights(target, corpus, n_buckets=B)
+    wmap = {r["bucket"]: r["logratio"] for r in w.collect()}
+    got = {r["doc_id"]: r for r in dsir_score(corpus, w, n_buckets=B).collect()}
+    pdf = corpus.toPandas().set_index("doc_id").text
+    assert len(got) == 62  # empty doc keeps its row
+    for i, text in pdf.items():
+        toks = py_tokens(text)
+        assert got[i]["n_grams"] == max(2 * len(toks) - 1, 0), i
+        assert abs(got[i]["score"] - py_score(text, wmap)) < 1e-9, i
+    assert got[60]["score"] == 0.0 and got[60]["n_grams"] == 0
+
+
+def test_dsir_separates_target_like_docs(spark, corpus):
+    """Sanity on the method, not just the arithmetic: target-vocab docs
+    must outscore off-domain docs by a clear margin."""
+    from crawl_spark.operators.sampling import dsir_score, dsir_weights
+
+    target = corpus.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60))
+    w = dsir_weights(target, corpus, n_buckets=B)
+    s = {r["doc_id"]: r["score"] for r in dsir_score(corpus, w, n_buckets=B).collect()}
+    sci = [s[i] for i in range(0, 60) if i % 3 == 0]
+    spam = [s[i] for i in range(0, 60) if i % 3 == 1]
+    mixed = [s[i] for i in range(0, 60) if i % 3 == 2]
+    assert min(sci) > max(spam)
+    assert min(sci) > max(mixed)  # mixed docs sit between
+    assert min(mixed) > max(spam)
+
+
+def test_dsir_select_is_exact_global_topk(spark, corpus):
+    from crawl_spark.operators.sampling import dsir_score, dsir_select, dsir_weights
+
+    target = corpus.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60))
+    w = dsir_weights(target, corpus, n_buckets=B)
+    scored = sorted(
+        ((r["score"], r["doc_id"]) for r in dsir_score(corpus, w, n_buckets=B).collect()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    got = dsir_select(corpus, w, k=10, n_buckets=B).collect()
+    assert len(got) == 10
+    by_rank = {r["sel_rank"]: r["doc_id"] for r in got}
+    for rank, (_, did) in enumerate(scored[:10], start=1):
+        assert by_rank[rank] == did
+
+
+def test_semdedup_is_cc_over_pair_graph(spark):
+    """SemDeDup clusters must be the exact transitive closure of the
+    within-cell cosine pair graph (BFS oracle), singletons their own
+    canonical cluster — same contract as dedup.neardup_clusters but in
+    embedding space."""
+    from crawl_spark.operators.similarity import embedding_neardup_pairs, semdedup
+
+    emb = spark.read.parquet(EMB)
+    pairs = embedding_neardup_pairs(emb, threshold=0.25).collect()
+    assert len(pairs) > 0
+    adj: dict[int, set[int]] = {}
+    for row in pairs:
+        adj.setdefault(row.id_a, set()).add(row.id_b)
+        adj.setdefault(row.id_b, set()).add(row.id_a)
+    expect: dict[int, int] = {}
+    for start in adj:
+        if start in expect:
+            continue
+        comp, todo = {start}, [start]
+        while todo:
+            n = todo.pop()
+            for m in adj.get(n, ()):
+                if m not in comp:
+                    comp.add(m)
+                    todo.append(m)
+        lbl = min(comp)
+        for n in comp:
+            expect[n] = lbl
+    got = semdedup(emb, threshold=0.25).collect()
+    assert len(got) == emb.count()
+    sizes: dict[int, int] = {}
+    for r in got:
+        cid = expect.get(r.vec_id, r.vec_id)
+        assert r.cluster_id == cid, (r.vec_id, r.cluster_id, cid)
+        assert r.is_canonical == (r.vec_id == cid)
+        sizes[cid] = sizes.get(cid, 0) + 1
+    for r in got:
+        assert r.cluster_size == sizes[r.cluster_id]
+    # dedup-rate accounting: kept fraction is canonicals / corpus
+    kept = sum(1 for r in got if r.is_canonical)
+    assert kept < len(got)  # the fixture has real semantic dups
