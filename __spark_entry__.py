@@ -749,6 +749,18 @@ def q_dsir_score(spark, sf_dir):
     return dsir_score(d, w, n_buckets=512)
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (gear CDC, Xia et al. ATC'16,
+    operators/cdc.cdc_dedup): per-doc chunk/byte survival after
+    corpus-wide first-occurrence dedup of content-defined chunks.
+    Rows-only contract: the rolling-hash boundary walk is not
+    SQL-expressible; the chunking contract is pinned bit-for-bit by the
+    pure-Python twin in tests/test_cdc.py instead."""
+    from crawl_spark.operators.cdc import cdc_dedup
+
+    return cdc_dedup(_t(spark, sf_dir, "documents"))
+
+
 def q_tfidf(spark, sf_dir):
     """Per-doc top-5 terms by smoothed TF-IDF (textops.tfidf_top_terms):
     keyword extraction over the corpus, ranked on the 6dp-rounded score
@@ -1043,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "semdedup": q_semdedup,
         "dsir_score": q_dsir_score,
+        "cdc_dedup": q_cdc_dedup,  # rows-only: boundary walk pinned by the Python twin
         "signbit_buckets": q_signbit_buckets,
         "signbit_neardup": q_signbit_neardup,
         "multimodal_meta": q_multimodal_meta,  # rows-only: binary plumbing

@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "cc_star",
     "repeated_spans",
     "pq_topk",
+    # round-5 operators
+    "semdedup",
+    "dsir_score",
+    "cdc_dedup",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

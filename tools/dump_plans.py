@@ -369,6 +369,43 @@ def main() -> None:
         pq_topk(emb, emb.filter(F.col("vec_id") < 4), q_k=5),
     )
 
+    # 18. DSIR scoring: broadcast weights, one groupBy(doc) shuffle
+    from crawl_spark.operators.sampling import dsir_score, dsir_weights
+
+    w = dsir_weights(docs.filter(F.col("doc_id") % 7 == 0), docs, n_buckets=512)
+    cap(
+        "DSIR importance scoring (broadcast weights, one doc shuffle)",
+        "Round-5 operator (Xie et al. 2023). The fitted weight table is "
+        "O(n_buckets) by construction and must enter as a "
+        "BroadcastExchange → BroadcastHashJoin (never shuffled with the "
+        "corpus); the two model totals fold into plan LITERALS (the fit "
+        "ran before planning, against lazily-checkpointed ≤n_buckets-row "
+        "count frames). Scoring must be ONE HashAggregate pair "
+        "(partial_count/partial_sum of DECIMAL(18,6) map-side, then a "
+        "single Exchange on doc_id) — no window, no second corpus "
+        "shuffle; the token array is Scan ExistingRDD (materialized "
+        "once; the gram builder references it three times and Catalyst "
+        "does not CSE nested HOFs).",
+        dsir_score(docs, w, n_buckets=512),
+    )
+
+    # 19. SemDeDup: within-cell pair join + bucketed CC (composition)
+    from crawl_spark.operators.similarity import semdedup
+
+    cap(
+        "SemDeDup clustering (IVF-cell pair blocking + min-label CC)",
+        "Round-5 operator (Abbas et al. 2023). Both sides of the "
+        "within-cell self-join must read the SAME lazily-checkpointed "
+        "(id, cell, vector) Scan ExistingRDD (the round-4 path "
+        "recomputed the window-argmax assignment per side); the join "
+        "key is the cell id only — O(sum cell²) pairs, never a "
+        "cartesian. The CC labels then join back to the corpus spine "
+        "as an O(near-dup nodes) side — at a real dup rate that side "
+        "is MUCH smaller than the corpus and broadcast-eligible under "
+        "AQE. No O(corpus²) shape anywhere.",
+        semdedup(emb, threshold=0.25),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
