@@ -180,3 +180,92 @@ def test_semdedup_is_cc_over_pair_graph(spark):
     # dedup-rate accounting: kept fraction is canonicals / corpus
     kept = sum(1 for r in got if r.is_canonical)
     assert kept < len(got)  # the fixture has real semantic dups
+
+
+def test_dsir_in_bpe_token_space(spark):
+    """The tokenizer= hook must carry through fit AND score: weights
+    fitted and docs scored in the same BPE piece space agree with the
+    pure-Python model run over tok.tokenize (the driver-side twin)."""
+    from crawl_spark.operators.sampling import dsir_score, dsir_weights
+    from crawl_spark.operators.textops import BpeTokenizer
+
+    tok = BpeTokenizer(["sci", "ence", "data", "sale", "deal", "x"])
+    rows = [
+        (0, "science data"),
+        (1, "sale deal sale"),
+        (2, "science sale xx"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") == 0)
+    w = dsir_weights(target, df, n_buckets=B, tokenizer=tok)
+    wmap = {r["bucket"]: r["logratio"] for r in w.collect()}
+    got = {
+        r["doc_id"]: r
+        for r in dsir_score(df, w, n_buckets=B, tokenizer=tok).collect()
+    }
+
+    def toks(t):
+        return tok.tokenize(t)
+
+    exp_w = {}
+    ct, cr = {}, {}
+    for did, t in rows:
+        for g in py_grams(toks(t)):
+            b = py_bucket(g)
+            cr[b] = cr.get(b, 0) + 1
+            if did == 0:
+                ct[b] = ct.get(b, 0) + 1
+    T, R = sum(ct.values()), sum(cr.values())
+    for b in range(B):
+        exp_w[b] = round(
+            math.log((ct.get(b, 0) + 1) / (T + B))
+            - math.log((cr.get(b, 0) + 1) / (R + B)),
+            6,
+        )
+    for b in range(B):
+        assert abs(wmap[b] - exp_w[b]) < 1e-9, b
+    for did, t in rows:
+        pieces = toks(t)
+        assert got[did]["n_grams"] == max(2 * len(pieces) - 1, 0), (did, pieces)
+        exp_s = round(sum(exp_w[py_bucket(g)] for g in py_grams(pieces)), 6)
+        assert abs(got[did]["score"] - exp_s) < 1e-9, did
+    # token space must actually differ from whitespace space here
+    assert toks("science data") != ["science", "data"]
+
+
+def test_semdedup_accepts_trained_centroids(spark):
+    """The paper-faithful path: k-means-trained centroids change the
+    cell partition (recall boundary), but the output must STILL be the
+    exact transitive closure of the resulting pair graph."""
+    from crawl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semdedup,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(EMB)
+    cents = train_ivf_centroids(emb, k=8, iters=2)
+    pairs = embedding_neardup_pairs(emb, threshold=0.25, centroids=cents).collect()
+    got = semdedup(emb, threshold=0.25, centroids=cents).collect()
+    adj: dict[int, set[int]] = {}
+    for row in pairs:
+        adj.setdefault(row.id_a, set()).add(row.id_b)
+        adj.setdefault(row.id_b, set()).add(row.id_a)
+    expect: dict[int, int] = {}
+    for start in adj:
+        if start in expect:
+            continue
+        comp, todo = {start}, [start]
+        while todo:
+            n = todo.pop()
+            for m in adj.get(n, ()):
+                if m not in comp:
+                    comp.add(m)
+                    todo.append(m)
+        lbl = min(comp)
+        for n in comp:
+            expect[n] = lbl
+    assert len(got) == emb.count()
+    for r in got:
+        assert r.cluster_id == expect.get(r.vec_id, r.vec_id)
