@@ -761,6 +761,32 @@ def q_cdc_dedup(spark, sf_dir):
     return cdc_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_curate(spark, sf_dir):
+    """The COMPOSED curation pipeline end-to-end
+    (operators/pipeline.curate_training_set): PII scrub → exact dedup +
+    lang + quality gates → Gopher repetition gate → DSIR importance
+    selection (target = every 7th doc, top 100) → sharded sequence
+    packing — one DataFrame program, one DuckDB program, compared row
+    by row. Relined input so the line-level gate has real lines (same
+    as q_gopher_repetition); gate thresholds tuned mixed at sf0.01."""
+    from crawl_spark.operators.pipeline import curate_training_set
+
+    d = _docs_relined(spark, sf_dir)
+    return curate_training_set(
+        d,
+        min_tokens=30,
+        min_quality=4.0,
+        langs=("en",),
+        max_dup_line_frac=0.05,
+        max_top2gram_frac=0.06,
+        target_df=d.filter(F.col("doc_id") % 7 == 0),
+        dsir_keep=100,
+        dsir_buckets=512,
+        seq_len=512,
+        streams=16,
+    )
+
+
 def q_tfidf(spark, sf_dir):
     """Per-doc top-5 terms by smoothed TF-IDF (textops.tfidf_top_terms):
     keyword extraction over the corpus, ranked on the 6dp-rounded score
@@ -1056,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dsir_score": q_dsir_score,
         "cdc_dedup": q_cdc_dedup,  # rows-only: boundary walk pinned by the Python twin
+        "curate": q_curate,
         "signbit_buckets": q_signbit_buckets,
         "signbit_neardup": q_signbit_neardup,
         "multimodal_meta": q_multimodal_meta,  # rows-only: binary plumbing
@@ -2114,6 +2141,152 @@ sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROU
 SELECT l.vec_id, l.cluster_id, s.cluster_size,
        l.vec_id = l.cluster_id AS is_canonical
 FROM lab l JOIN sz s USING (cluster_id)
+""",
+        "curate": f"""
+WITH rel AS (SELECT doc_id, {_RELINED} AS text FROM documents),
+d AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_IPV4}', '<IP>', 'g'),
+          '{_PII_PHONE}', '<PHONE>', 'g') AS text
+      FROM rel),
+ctk AS (SELECT doc_id, md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS content_md5 FROM d),
+dedup AS (
+  SELECT doc_id, n_copies FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS INT) AS rn,
+           CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT) AS n_copies
+    FROM ctk
+  ) WHERE rn = 1
+),
+ltk AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM d),
+lsc AS (SELECT doc_id, {score_cols} FROM ltk),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN {best} = 0 THEN 'und' {pred_cases_b} END AS lang_pred
+  FROM lsc
+),
+qb AS (SELECT doc_id, text, {_TOKS} AS t FROM d),
+qf AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         round(CASE WHEN len(t) > 0
+               THEN len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','on','for'], x))) / len(t)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         round(CASE WHEN length(text) > 0
+               THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio,
+         len(t) AS n_tok
+  FROM qb
+),
+quality AS (
+  SELECT doc_id, n_tokens,
+         round(5 * least(n_tok / 40.0, 1.0)
+               + 3 * least(stopword_ratio * 5, 1.0)
+               + 2 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS quality
+  FROM qf
+),
+gb AS (SELECT doc_id, text,
+              list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+              {_TOKS} AS t
+       FROM d),
+gbase AS (
+  SELECT doc_id,
+         round(CASE WHEN len(lines) > 0
+               THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+               ELSE 0.0 END, 6) AS dup_line_frac,
+         t
+  FROM gb),
+ggrams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(range(0, len(t)-1), i -> t[i+1] || ' ' || t[i+2])
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM gbase),
+gpg AS (SELECT doc_id, gram, count(*) AS c FROM ggrams GROUP BY doc_id, gram),
+gtop AS (SELECT doc_id, max(c) AS tp, sum(c) AS tot FROM gpg GROUP BY doc_id),
+gop AS (
+  SELECT gbase.doc_id, dup_line_frac,
+         round(coalesce(CAST(tp AS DOUBLE) / tot, 0.0), 6) AS top2gram_frac,
+         (dup_line_frac <= 0.05
+          AND round(coalesce(CAST(tp AS DOUBLE) / tot, 0.0), 6) <= 0.06) AS keep
+  FROM gbase LEFT JOIN gtop USING (doc_id)),
+surv AS (
+  SELECT dd.doc_id, dd.n_copies, l.lang_pred, q.quality,
+         g.dup_line_frac, g.top2gram_frac
+  FROM dedup dd
+  JOIN lang l USING (doc_id)
+  JOIN quality q USING (doc_id)
+  JOIN gop g USING (doc_id)
+  WHERE l.lang_pred IN ('en') AND q.n_tokens >= 30 AND q.quality >= 4.0
+        AND g.keep
+),
+stk AS (SELECT d.doc_id, {_TOKS} AS t FROM d JOIN surv USING (doc_id)),
+ttk AS (SELECT doc_id, {_TOKS} AS t FROM rel WHERE doc_id % 7 = 0),
+sgr AS (
+  SELECT doc_id, unnest(t) AS g FROM stk
+  UNION ALL
+  SELECT stk.doc_id, t[u.i] || ' ' || t[u.i + 1] AS g
+  FROM stk, unnest(range(1, len(t))) AS u(i)
+),
+tgr AS (
+  SELECT doc_id, unnest(t) AS g FROM ttk
+  UNION ALL
+  SELECT ttk.doc_id, t[u.i] || ' ' || t[u.i + 1] AS g
+  FROM ttk, unnest(range(1, len(t))) AS u(i)
+),
+sbk AS (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS INT) AS b
+        FROM sgr),
+tbk AS (SELECT CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS INT) AS b
+        FROM tgr),
+wct AS (SELECT b, count(*) AS c FROM tbk GROUP BY b),
+wcr AS (SELECT b, count(*) AS c FROM sbk GROUP BY b),
+wtot AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM wct) AS ts,
+                (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM wcr) AS rs),
+w AS (
+  SELECT CAST(sp.b AS INT) AS b,
+         round(ln((coalesce(wct.c, 0) + 1) / (wtot.ts + 512))
+               - ln((coalesce(wcr.c, 0) + 1) / (wtot.rs + 512)), 6) AS lr
+  FROM range(0, 512) sp(b)
+  CROSS JOIN wtot
+  LEFT JOIN wct ON wct.b = sp.b
+  LEFT JOIN wcr ON wcr.b = sp.b
+),
+scores AS (
+  SELECT s.doc_id,
+         CAST(coalesce(sum(CAST(w.lr AS DECIMAL(18,6))), 0) AS DOUBLE) AS score
+  FROM surv s
+  LEFT JOIN sbk ON sbk.doc_id = s.doc_id
+  LEFT JOIN w ON w.b = sbk.b
+  GROUP BY s.doc_id
+),
+sel AS (
+  SELECT doc_id, score, sel_rank FROM (
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sel_rank
+    FROM scores
+  ) WHERE sel_rank <= 100
+),
+pb AS (SELECT d.doc_id, md5(CAST(d.doc_id AS VARCHAR)) AS pick,
+              CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+       FROM d JOIN sel ON sel.doc_id = d.doc_id),
+ps AS (SELECT doc_id, CAST((('0x' || substr(pick, 1, 8))::BIGINT % 16) AS INT) AS stream,
+              n_tokens, pick
+       FROM pb),
+packd AS (
+  SELECT doc_id, stream, n_tokens,
+         CAST(sum(n_tokens) OVER w2 - n_tokens AS BIGINT) AS start_offset,
+         CAST(floor((sum(n_tokens) OVER w2 - n_tokens) / 512) AS BIGINT) AS bin
+  FROM ps
+  WINDOW w2 AS (PARTITION BY stream ORDER BY pick, doc_id ROWS UNBOUNDED PRECEDING)
+)
+SELECT p.doc_id, p.stream, p.n_tokens, p.start_offset, p.bin,
+       s2.n_copies, s2.lang_pred, s2.quality, s2.dup_line_frac, s2.top2gram_frac,
+       sel.score, sel.sel_rank
+FROM packd p
+JOIN surv s2 ON s2.doc_id = p.doc_id
+JOIN sel ON sel.doc_id = p.doc_id
 """,
         "dsir_score": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -1,0 +1,151 @@
+"""The composed end-to-end curation pipeline — crawl text in, packed
+training sequences out.
+
+``curate_training_set`` chains the module's individual operators into
+the standard web-corpus preparation recipe (the FineWeb / Dolma /
+Gopher-family shape, all public methods):
+
+    PII scrub → exact dedup + language gate + quality gate
+    (clean_corpus) → repetition gate (gopher_repetition)
+    [→ benchmark decontamination] [→ DSIR importance selection]
+    [→ domain quota] → sequence packing
+
+Each stage is the already-oracle-checked operator; this module adds only
+composition, so the pipeline's correctness decomposes into the stages'
+(and the composed contract query checks the whole chain end-to-end
+against one DuckDB program anyway).
+
+Plan shape at 100 TB — what the composition adds or avoids:
+
+- the scrubbed text is materialized ONCE (lazy localCheckpoint): five
+  downstream stages read it, and without the materialization each
+  would re-run the three regex passes over the full corpus (the
+  module's no-CSE rule, CLAUDE.md). On a real cluster the equivalent
+  is a persisted intermediate table (the engine's bucketed-layout
+  pattern); in-process, localCheckpoint spills executor-side — never
+  through the driver.
+- every gate joins NARROW per-doc score frames on the id — text never
+  rides a shuffle after the scrub projection. The shuffles are exactly
+  the stages' own: one digest exchange (dedup), one (doc, gram) partial
+  agg (gopher top-2-gram), a broadcast of eval-set digests
+  (decontaminate), one groupBy(doc) (DSIR score), grouped_topk /
+  ranked_topk (quota, selection), and the sharded packing windows.
+- gate-frame joins stay inner on unique ids (no fan-out); survivors
+  shrink monotonically, so the later, more expensive stages (DSIR fit,
+  packing) run over the reduced corpus, not the raw crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import (
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+    clean_corpus,
+    gopher_repetition,
+)
+
+
+def scrub_text(col) -> "F.Column":
+    """The pii_scrub replacement chain as a reusable text expression
+    (same order contract as textops.pii_scrub: emails → IPs → phones)."""
+    t1 = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+
+
+def curate_training_set(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    scrub_pii: bool = True,
+    min_tokens: int = 30,
+    min_quality: float = 4.0,
+    langs: tuple[str, ...] = ("en",),
+    max_dup_line_frac: float = 0.30,
+    max_top2gram_frac: float = 0.20,
+    eval_df: DataFrame | None = None,
+    eval_ngram: int = 13,
+    target_df: DataFrame | None = None,
+    dsir_keep: int | None = None,
+    dsir_buckets: int = 4096,
+    domain_col: str | None = None,
+    domain_cap: int | None = None,
+    seq_len: int = 2048,
+    streams: int = 64,
+    tokenizer=None,
+) -> DataFrame:
+    """Run the full curation pipeline; one output row per PACKED
+    surviving document: (id, stream, n_tokens, start_offset, bin) from
+    the packer plus the provenance scores that kept it (n_copies,
+    lang_pred, quality, dup_line_frac, top2gram_frac, and score/
+    sel_rank when DSIR selection is on).
+
+    Optional stages engage by argument: ``eval_df`` adds 13-gram
+    benchmark decontamination; ``target_df`` + ``dsir_keep`` adds DSIR
+    importance selection (weights fitted target-vs-SURVIVORS, top
+    ``dsir_keep`` kept); ``domain_col`` + ``domain_cap`` caps any one
+    domain's contribution (applied AFTER selection — the quota shapes
+    the final mixture). ``tokenizer`` switches decontamination, DSIR
+    and packing into the same tokenizer space (textops.resolve_tokens
+    hook); the gates' published rules stay whitespace-defined.
+    """
+    from .dedup import decontaminate
+    from .sampling import domain_quota, dsir_select, dsir_weights, pack_sequences
+
+    keep_cols = [F.col(id_col), F.col(text_col)]
+    if domain_col:
+        keep_cols.append(F.col(domain_col))
+    base = df.select(*keep_cols)
+    if scrub_pii:
+        base = base.withColumn(text_col, scrub_text(F.col(text_col)))
+    # five stages scan this; without materialization each re-runs the
+    # scrub regexes over the corpus (no-CSE rule)
+    base = base.localCheckpoint(eager=False)
+
+    kept = clean_corpus(
+        base, id_col, text_col, min_tokens=min_tokens,
+        min_quality=min_quality, langs=langs,
+    ).drop("n_tokens")  # the packer re-emits the same count
+    gr = (
+        gopher_repetition(
+            base, id_col, text_col,
+            max_dup_line_frac=max_dup_line_frac,
+            max_top2gram_frac=max_top2gram_frac,
+        )
+        .filter(F.col("keep"))
+        .select(F.col(id_col), "dup_line_frac", "top2gram_frac")
+    )
+    kept = kept.join(gr, id_col)
+    if eval_df is not None:
+        dec = (
+            decontaminate(base, eval_df, id_col, text_col, n=eval_ngram,
+                          tokenizer=tokenizer)
+            .filter(F.col("keep"))
+            .select(F.col(id_col))
+        )
+        kept = kept.join(dec, id_col)
+    if target_df is not None and dsir_keep:
+        ktext = base.join(kept.select(id_col), id_col)
+        w = dsir_weights(target_df, ktext, text_col, dsir_buckets, tokenizer)
+        sel = dsir_select(
+            ktext, w, dsir_keep, id_col, text_col, dsir_buckets, tokenizer
+        ).select(F.col(id_col), "score", "sel_rank")
+        kept = kept.join(sel, id_col)
+    if domain_col and domain_cap:
+        dq = domain_quota(
+            base.join(kept.select(id_col), id_col).select(id_col, domain_col),
+            id_col, domain_col, domain_cap,
+        ).select(F.col(id_col))
+        kept = kept.join(dq, id_col)
+
+    packed = pack_sequences(
+        base.join(kept.select(id_col), id_col),
+        id_col, text_col, seq_len=seq_len, streams=streams,
+        tokenizer=tokenizer,
+    )
+    return packed.join(kept, id_col)

@@ -1,0 +1,109 @@
+"""curate_training_set: the composition must equal its stages run
+sequentially, and each gate must drop documents for its own reason."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def relined(spark):
+    d = spark.read.parquet(DOCS)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+ \S+) ", "$1\n").alias("text"),
+    ).localCheckpoint()
+
+
+def test_composition_equals_sequential_stages(spark, relined):
+    from crawl_spark.operators.dedup import decontaminate
+    from crawl_spark.operators.pipeline import curate_training_set, scrub_text
+    from crawl_spark.operators.sampling import dsir_select, dsir_weights, pack_sequences
+    from crawl_spark.operators.textops import clean_corpus, gopher_repetition
+
+    target = relined.filter(F.col("doc_id") % 7 == 0)
+    got = curate_training_set(
+        relined,
+        min_tokens=30, min_quality=4.0, langs=("en",),
+        max_dup_line_frac=0.05, max_top2gram_frac=0.06,
+        target_df=target, dsir_keep=60, dsir_buckets=512,
+        seq_len=256, streams=8,
+    ).collect()
+
+    base = relined.select("doc_id", scrub_text(F.col("text")).alias("text"))
+    cc_ids = {r.doc_id for r in clean_corpus(base, min_tokens=30, min_quality=4.0).collect()}
+    gr_ids = {
+        r.doc_id
+        for r in gopher_repetition(
+            base, max_dup_line_frac=0.05, max_top2gram_frac=0.06
+        ).collect()
+        if r.keep
+    }
+    surv = cc_ids & gr_ids
+    ktext = base.filter(F.col("doc_id").isin(list(surv)))
+    w = dsir_weights(target, ktext, n_buckets=512)
+    sel = {
+        r.doc_id: (r.score, r.sel_rank)
+        for r in dsir_select(ktext, w, 60, n_buckets=512).collect()
+    }
+    packed = {
+        r.doc_id: (r.stream, r.n_tokens, r.start_offset, r.bin)
+        for r in pack_sequences(
+            base.filter(F.col("doc_id").isin(list(sel))),
+            seq_len=256, streams=8,
+        ).collect()
+    }
+    assert {r.doc_id for r in got} == set(sel)
+    for r in got:
+        assert (r.stream, r.n_tokens, r.start_offset, r.bin) == packed[r.doc_id]
+        assert (r.score, r.sel_rank) == sel[r.doc_id]
+        assert r.doc_id in surv
+
+
+def test_each_gate_drops_for_its_own_reason(spark):
+    from crawl_spark.operators.pipeline import curate_training_set
+
+    good = (
+        "the data value in a fast report is of and to the point for it . "
+    ) * 4  # ~68 en tokens, stopwordy, low punct, varied lines after relining
+    rows = [
+        (0, good + "alpha beta"),
+        (1, good + "gamma delta"),
+        (2, good + "alpha beta"),  # exact dup of 0 -> dedup drop
+        (3, "der und das nicht ist ein zu die " * 8),  # german -> lang drop
+        (4, "tiny doc"),  # min_tokens drop
+        (5, ("spam ham " * 40).strip()),  # one 2-gram dominates -> gopher drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+ \S+) ", "$1\n").alias("text"),
+    )
+    out = curate_training_set(
+        df,
+        min_tokens=30, min_quality=2.0, langs=("en",),
+        max_dup_line_frac=0.9, max_top2gram_frac=0.5,
+        seq_len=64, streams=4,
+    ).collect()
+    kept = {r.doc_id for r in out}
+    assert kept == {0, 1}, kept
+    by = {r.doc_id: r for r in out}
+    assert by[0].n_copies == 2 and by[1].n_copies == 1
+    assert all(r.lang_pred == "en" for r in out)
+    assert "score" not in out[0].asDict()  # dsir off -> no selection columns
+
+
+def test_scrub_changes_packing_input(spark):
+    """PII tags must be what the packer counts: a doc whose only long
+    run is an email-laden line keeps its row with the scrubbed token
+    count, not the raw one."""
+    from crawl_spark.operators.pipeline import scrub_text
+
+    df = spark.createDataFrame(
+        [(0, "contact a@b.com and c@d.org now")], "doc_id long, text string"
+    )
+    s = df.select(scrub_text(F.col("text")).alias("t")).collect()[0].t
+    assert s == "contact <EMAIL> and <EMAIL> now"
