@@ -176,3 +176,33 @@ def test_cdc_parameter_validation(spark):
         cdc_chunks(df, avg_size=300)
     with pytest.raises(ValueError):
         cdc_chunks(df, min_size=2048, avg_size=256)
+
+
+def test_property_vectorized_equals_twin_on_random_bytes():
+    """Hypothesis sweep: arbitrary byte strings (including runs and
+    boundary-adjacent lengths) — the numpy path must equal the byte-loop
+    twin exactly, and the cut invariants must hold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl_spark.operators.cdc import _cdc_cuts_np
+
+    @given(
+        st.binary(max_size=6000),
+        st.sampled_from([64, 128, 256]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(data, avg):
+        mx = avg * 4
+        cuts = cdc_cuts_py(data, 64, avg, mx)
+        assert _cdc_cuts_np(data, 64, avg, mx) == cuts
+        prev = 0
+        for c in cuts[:-1]:
+            assert 64 <= c - prev <= mx
+            prev = c
+        if cuts:
+            assert cuts[-1] == len(data) and cuts[-1] - prev <= mx
+        else:
+            assert data == b""
+
+    check()
