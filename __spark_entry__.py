@@ -1141,6 +1141,33 @@ n AS (SELECT vec_id, e,
       FROM v)
 """
 
+# Shared by the embed_neardup and semdedup oracles (one point of truth
+# for the IVF assignment tie-break and the pair cosine threshold — the
+# two programs MUST agree about the same pair graph).
+_NEARDUP_ASSIGN_CTES = """
+cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                 / (sqrt(v.nn) * sqrt(c.cnn)), 6) AS cos,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                                             / (sqrt(v.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
+    FROM n v, cents c
+  ) WHERE rn = 1
+)"""
+
+_NEARDUP_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
+             / (sqrt(x.nn) * sqrt(y.nn)), 6) AS cos
+FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+JOIN n x ON x.vec_id = a.vec_id
+JOIN n y ON y.vec_id = b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
+            / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.25"""
+
 _LANGS_SQL = {
     "de": "['der','die','das','und','nicht','ist','ein','zu']",
     "en": "['the','a','of','and','to','in','is','value','data','fast']",
@@ -2078,50 +2105,12 @@ SELECT doc_id AS media_id,
 FROM documents
 """,
         "embed_neardup": f"""
-WITH {_COSINE_CTES},
-cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT v.vec_id, c.centroid_id,
-           round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
-                 / (sqrt(v.nn) * sqrt(c.cnn)), 6) AS cos,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
-                                             / (sqrt(v.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
-    FROM n v, cents c
-  ) WHERE rn = 1
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
-             / (sqrt(x.nn) * sqrt(y.nn)), 6) AS cos
-FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-JOIN n x ON x.vec_id = a.vec_id
-JOIN n y ON y.vec_id = b.vec_id
-WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
-            / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.25
+WITH {_COSINE_CTES},{_NEARDUP_ASSIGN_CTES}
+{_NEARDUP_PAIRS_SQL}
 """,
         "semdedup": f"""
-WITH RECURSIVE {_COSINE_CTES},
-cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT v.vec_id, c.centroid_id,
-           round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
-                 / (sqrt(v.nn) * sqrt(c.cnn)), 6) AS cos,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
-                                             / (sqrt(v.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
-    FROM n v, cents c
-  ) WHERE rn = 1
-),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  JOIN n x ON x.vec_id = a.vec_id
-  JOIN n y ON y.vec_id = b.vec_id
-  WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i]))
-              / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.25
-),
+WITH RECURSIVE {_COSINE_CTES},{_NEARDUP_ASSIGN_CTES},
+pairs AS ({_NEARDUP_PAIRS_SQL}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL

@@ -40,21 +40,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import (
-    PII_EMAIL_RE,
-    PII_IPV4_RE,
-    PII_PHONE_RE,
-    clean_corpus,
-    gopher_repetition,
-)
+from .textops import clean_corpus, gopher_repetition, scrub_text
 
-
-def scrub_text(col) -> "F.Column":
-    """The pii_scrub replacement chain as a reusable text expression
-    (same order contract as textops.pii_scrub: emails → IPs → phones)."""
-    t1 = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
-    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
-    return F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+__all__ = ["curate_training_set", "scrub_text"]
 
 
 def curate_training_set(
@@ -129,6 +117,11 @@ def curate_training_set(
             .select(F.col(id_col))
         )
         kept = kept.join(dec, id_col)
+    # the stages below run MULTIPLE actions over `kept`'s lineage (the
+    # DSIR fit's driver reads, ranked_topk's eager checkpoint, the final
+    # pack + provenance joins) — without this the whole gate chain
+    # (dedup digest shuffle, gopher gram groupBy) re-executes per action
+    kept = kept.localCheckpoint(eager=False)
     if target_df is not None and dsir_keep:
         ktext = base.join(kept.select(id_col), id_col)
         w = dsir_weights(target_df, ktext, text_col, dsir_buckets, tokenizer)

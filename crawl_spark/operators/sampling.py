@@ -287,8 +287,8 @@ def dsir_weights(
     ``target`` is the (small) target-domain sample, ``raw`` the corpus
     being scored (or any representative sample of it — the paper fits
     the raw model on a sample). Both count jobs are single partial-agg
-    shuffles; the two totals are 2-scalar driver reads of the already-
-    aggregated ≤ n_buckets-row frames.
+    shuffles; the two totals come back in ONE 2-scalar driver read over
+    the already-aggregated ≤ n_buckets-row frames.
     """
     spark = raw.sparkSession
     B = int(n_buckets)
@@ -298,8 +298,14 @@ def dsir_weights(
     cr = _dsir_bucket_counts(raw, text_col, B, tokenizer).localCheckpoint(
         eager=False
     )
-    t_total = ct.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s")).collect()[0]["s"]
-    r_total = cr.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s")).collect()[0]["s"]
+    # ONE driver action for both totals (the two 1-row aggregates cross-
+    # join into a single job; the lazy checkpoints materialize inside it)
+    tot = (
+        ct.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("ts"))
+        .crossJoin(cr.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("rs")))
+        .collect()[0]
+    )
+    t_total, r_total = tot["ts"], tot["rs"]
     spine = spark.range(B).select(F.col("id").cast("int").alias("bucket"))
     ctt = ct.withColumnRenamed("c", "__ct")
     crr = cr.withColumnRenamed("c", "__cr")

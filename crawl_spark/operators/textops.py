@@ -416,6 +416,25 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d{7,15}"
 
 
+def _pii_chain(t0: Column) -> tuple[Column, Column, Column]:
+    """The single point of truth for the PII replacement chain and its
+    ORDER contract (emails → IPs → phones — emails first so digits
+    inside an address never double-count as IP/phone material). Both
+    :func:`pii_scrub` (counts + scrubbed-text md5) and
+    :func:`scrub_text` (the pipeline's scrubbed-text expression) build
+    from this; the `curate` oracle's SQL mirrors the same order."""
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return t1, t2, t3
+
+
+def scrub_text(col: Column) -> Column:
+    """Scrubbed-text expression (see :func:`_pii_chain` for the order
+    contract) — the reusable form consumed by the curation pipeline."""
+    return _pii_chain(col)[2]
+
+
 def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """PII redaction: emails → <EMAIL>, IPv4s → <IP>, +intl phone
     numbers → <PHONE>, applied IN THAT ORDER (emails are scrubbed before
@@ -429,12 +448,10 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     without shipping text to the driver).
     """
     t0 = F.col(text_col)
+    t1, t2, t3 = _pii_chain(t0)
     n_em = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
-    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
     n_ip = F.regexp_count(t1, F.lit(PII_IPV4_RE))
-    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
     n_ph = F.regexp_count(t2, F.lit(PII_PHONE_RE))
-    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col),
         n_em.cast("int").alias("n_emails"),
