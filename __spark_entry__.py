@@ -761,6 +761,18 @@ def q_cdc_dedup(spark, sf_dir):
     return cdc_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020's pipeline
+    role, hashed-ngram proxy model — sampling.lm_model/lm_score):
+    per-doc NLL under a reference model fitted on every 5th doc, 512
+    md5 buckets, decimal-exact sums, NULL nll for gram-less docs."""
+    from crawl_spark.operators.sampling import lm_model, lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    m = lm_model(d.filter(F.col("doc_id") % 5 == 0), n_buckets=512)
+    return lm_score(d, m, n_buckets=512)
+
+
 def q_curate(spark, sf_dir):
     """The COMPOSED curation pipeline end-to-end
     (operators/pipeline.curate_training_set): PII scrub → exact dedup +
@@ -1083,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_score": q_dsir_score,
         "cdc_dedup": q_cdc_dedup,  # rows-only: boundary walk pinned by the Python twin
         "curate": q_curate,
+        "lm_score": q_lm_score,
         "signbit_buckets": q_signbit_buckets,
         "signbit_neardup": q_signbit_neardup,
         "multimodal_meta": q_multimodal_meta,  # rows-only: binary plumbing
@@ -2130,6 +2143,34 @@ sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROU
 SELECT l.vec_id, l.cluster_id, s.cluster_size,
        l.vec_id = l.cluster_id AS is_canonical
 FROM lab l JOIN sz s USING (cluster_id)
+""",
+        "lm_score": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM tk
+  UNION ALL
+  SELECT tk.doc_id, t[u.i] || ' ' || t[u.i + 1] AS g
+  FROM tk, unnest(range(1, len(t))) AS u(i)
+),
+bk AS (SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS INT) AS b
+       FROM grams),
+cnt AS (SELECT b, count(*) AS c FROM bk WHERE doc_id % 5 = 0 GROUP BY b),
+tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS s FROM cnt),
+m AS (
+  SELECT CAST(sp.b AS INT) AS b,
+         round(ln((coalesce(cnt.c, 0) + 1) / (tot.s + 512)), 6) AS logp
+  FROM range(0, 512) sp(b)
+  CROSS JOIN tot
+  LEFT JOIN cnt ON cnt.b = sp.b
+)
+SELECT d.doc_id,
+       CAST(count(bk.b) AS BIGINT) AS n_grams,
+       round(-CAST(sum(CAST(m.logp AS DECIMAL(18,6))) AS DOUBLE) / count(bk.b), 6) AS nll
+FROM documents d
+LEFT JOIN bk ON bk.doc_id = d.doc_id
+LEFT JOIN m ON m.b = bk.b
+GROUP BY d.doc_id
 """,
         "curate": f"""
 WITH rel AS (SELECT doc_id, {_RELINED} AS text FROM documents),

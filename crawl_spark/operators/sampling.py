@@ -389,3 +389,76 @@ def dsir_select(
     return ranked_topk(ranked, ["__neg", id_col], k, pos_col="sel_rank").drop(
         "__neg"
     )
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    tokenizer=None,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 — public method): per-document negative
+    log-likelihood under a reference-corpus bag-of-ngrams model, the
+    "does this read like curated text" signal CCNet thresholds on
+    (there with a KenLM; here with the same hashed unigram+bigram
+    add-one-smoothed model DSIR uses — a documented proxy with the
+    identical pipeline role, not a KenLM reimplementation).
+
+    ``model`` is the (bucket, logp) table from :func:`lm_model`. Emits
+    (id, n_grams, nll) where nll = −mean log p(gram) over the doc's
+    hashed grams, 6dp — LOWER is more reference-like; docs with no
+    grams get NULL nll (nothing to measure; CCNet drops empties
+    upstream). Same plan shape as :func:`dsir_score`: one broadcast
+    join + one partial-agg groupBy(doc); the per-doc sum accumulates
+    6dp DECIMALs so the mean is order-independent and the DuckDB twin
+    bit-identical.
+    """
+    tdf = _dsir_tokened(df, [F.col(id_col)], text_col, tokenizer)
+    g = tdf.select(
+        F.col(id_col),
+        F.explode_outer(_dsir_grams(F.col("__t"))).alias("__g"),
+    ).select(
+        F.col(id_col), _dsir_bucket(F.col("__g"), n_buckets).alias("bucket")
+    )
+    return (
+        g.join(F.broadcast(model), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_grams"),
+            F.round(
+                -F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+                / F.count("bucket"),
+                6,
+            ).alias("nll"),
+        )
+    )
+
+
+def lm_model(
+    reference: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    tokenizer=None,
+) -> DataFrame:
+    """Fit the reference bag-of-ngrams model for :func:`lm_score`:
+    logp(b) = ln((count(b)+1) / (total+n_buckets)) per hashed bucket,
+    6dp. Full ``n_buckets``-row spine (unseen buckets carry the
+    smoothing floor), broadcastable by construction; one partial-agg
+    count shuffle + a 1-scalar driver read."""
+    spark = reference.sparkSession
+    B = int(n_buckets)
+    cnt = _dsir_bucket_counts(reference, text_col, B, tokenizer).localCheckpoint(
+        eager=False
+    )
+    total = cnt.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s")).collect()[0]["s"]
+    spine = spark.range(B).select(F.col("id").cast("int").alias("bucket"))
+    return spine.join(cnt, "bucket", "left").select(
+        "bucket",
+        F.round(
+            F.log((F.coalesce(F.col("c"), F.lit(0)) + 1) / F.lit(float(total + B))),
+            6,
+        ).alias("logp"),
+    )

@@ -269,3 +269,37 @@ def test_semdedup_accepts_trained_centroids(spark):
     assert len(got) == emb.count()
     for r in got:
         assert r.cluster_id == expect.get(r.vec_id, r.vec_id)
+
+
+def test_lm_score_matches_python_model(spark, corpus):
+    """CCNet-proxy NLL: nll = -mean 6dp logp over the doc's hashed
+    grams under the reference bag-of-ngrams model; empty docs NULL."""
+    from crawl_spark.operators.sampling import lm_model, lm_score
+
+    ref_ids = [i for i in range(0, 60) if i % 3 == 0]
+    m = lm_model(corpus.filter(F.col("doc_id").isin(ref_ids)), n_buckets=B)
+    mmap = {r["bucket"]: r["logp"] for r in m.collect()}
+    assert len(mmap) == B
+    got = {r["doc_id"]: r for r in lm_score(corpus, m, n_buckets=B).collect()}
+    pdf = corpus.toPandas().set_index("doc_id").text
+
+    cnt: dict[int, int] = {}
+    for i in ref_ids:
+        for g in py_grams(py_tokens(pdf[i])):
+            b = py_bucket(g)
+            cnt[b] = cnt.get(b, 0) + 1
+    T = sum(cnt.values())
+    exp_m = {b: round(math.log((cnt.get(b, 0) + 1) / (T + B)), 6) for b in range(B)}
+    for b in range(B):
+        assert abs(mmap[b] - exp_m[b]) < 1e-9, b
+    for i, text in pdf.items():
+        grams = py_grams(py_tokens(text))
+        if not grams:
+            assert got[i]["nll"] is None and got[i]["n_grams"] == 0
+            continue
+        exp = round(-round(sum(exp_m[py_bucket(g)] for g in grams), 6) / len(grams), 6)
+        assert abs(got[i]["nll"] - exp) < 1e-9, i
+    # the signal works: reference-like docs have LOWER nll than spam
+    sci = [got[i]["nll"] for i in range(0, 60) if i % 3 == 0]
+    spam = [got[i]["nll"] for i in range(0, 60) if i % 3 == 1]
+    assert max(sci) < min(spam)
