@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "semdedup",
     "dsir_score",
     "cdc_dedup",
+    "lm_score",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -107,3 +107,63 @@ def test_scrub_changes_packing_input(spark):
     )
     s = df.select(scrub_text(F.col("text")).alias("t")).collect()[0].t
     assert s == "contact <EMAIL> and <EMAIL> now"
+
+
+def test_crawl_output_feeds_curation(spark, tmp_path_factory):
+    """The full circle: crawl engine rounds produce the `extracted`
+    snapshot tables; curate_training_set turns them into packed
+    training sequences. Deterministic end-to-end — a re-run of the
+    same crawl + pipeline yields the identical packed assignment."""
+    import os
+
+    import pandas as pd
+
+    from crawl_spark.plans.engine import CrawlEngine, EngineConfig
+    from crawl_spark.plans.handlers import Handler, HandlerRegistry
+    from crawl_spark.operators.pipeline import curate_training_set
+    from crawl_spark.sources.fixtures import write_fixture
+
+    fx = write_fixture(str(tmp_path_factory.mktemp("fx_curate")), "tiny")
+    reg = HandlerRegistry()
+    reg.register("page", Handler(name="page"))
+
+    def crawl_then_curate(workdir):
+        eng = CrawlEngine(
+            spark,
+            spark.read.parquet(fx["pages"]),
+            reg,
+            robots_df=spark.read.parquet(fx["robots"]),
+            config=EngineConfig(batch_cap=25, max_rounds=3, workdir=workdir),
+        )
+        res = eng.run(pd.read_parquet(fx["seeds"]))
+        parts = [
+            os.path.join(workdir, "round_%05d" % r, "extracted")
+            for r in range(res.rounds)
+        ]
+        ext = None
+        for p in parts:
+            if os.path.exists(p):
+                d = spark.read.parquet(p)
+                ext = d if ext is None else ext.unionByName(d)
+        docs = ext.select(
+            F.xxhash64("url_canon").alias("doc_id"), F.col("text")
+        ).filter(F.length("text") > 0)
+        out = curate_training_set(
+            docs,
+            min_tokens=2,
+            min_quality=0.0,
+            langs=("en", "und"),
+            max_dup_line_frac=1.0,
+            max_top2gram_frac=1.0,
+            seq_len=64,
+            streams=4,
+        )
+        return sorted(
+            (r.doc_id, r.stream, r.n_tokens, r.start_offset, r.bin, r.n_copies)
+            for r in out.collect()
+        )
+
+    a = crawl_then_curate(str(tmp_path_factory.mktemp("w_a")))
+    b = crawl_then_curate(str(tmp_path_factory.mktemp("w_b")))
+    assert len(a) > 0
+    assert a == b  # crawl -> curate is deterministic end-to-end
