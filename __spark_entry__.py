@@ -435,6 +435,32 @@ def q_domain_quota(spark, sf_dir):
     return domain_quota(_t(spark, sf_dir, "documents"), quota=10)
 
 
+def q_domain_mix(spark, sf_dir):
+    """Temperature-mixed language resampling (mBERT/XLM-R-style
+    alpha=0.5 smoothing, budget=200): per-lang share ∝ sqrt(count), so
+    the en head is down-weighted and the fr/de tail lifted; the kept
+    set is the md5-bucket threshold replayed exactly by the DuckDB
+    twin (sampling.mix_domains — tiny-groupBy rates broadcast onto a
+    per-row filter, no corpus shuffle)."""
+    from crawl_spark.operators.sampling import mix_domains
+
+    return mix_domains(_t(spark, sf_dir, "documents"), budget=200)
+
+
+def q_contamination(spark, sf_dir):
+    """Per-benchmark contamination audit (the GPT-3 appendix-C report
+    shape, n=5 at contract scale): the "benchmarks" are every 37th doc
+    split into three eval sets b0/b1/b2 by doc_id % 3, so each bench
+    self-hits a disjoint corpus slice (dedup.contamination_report)."""
+    from crawl_spark.operators.dedup import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 37 == 0).withColumn(
+        "bench", F.concat(F.lit("b"), (F.col("doc_id") % 3).cast("string"))
+    )
+    return contamination_report(d, ev, n=5)
+
+
 def q_token_entropy(spark, sf_dir):
     from crawl_spark.operators.textops import token_entropy
 
@@ -1074,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
         "domain_quota": q_domain_quota,
+        "domain_mix": q_domain_mix,
+        "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "token_entropy": q_token_entropy,
         "pagerank": q_pagerank,
@@ -1797,6 +1825,52 @@ SELECT doc_id, source, pick_hash FROM (
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 10
+""",
+        "domain_mix": """
+WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+wt AS (SELECT lang, n_docs,
+        CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wv
+      FROM cnt),
+tot AS (SELECT sum(wv) AS wsum FROM wt),
+r AS (SELECT lang,
+        CAST(floor(65536.0 * least(
+          (200.0 * CAST(wv AS DOUBLE)) / CAST(wsum AS DOUBLE)
+            / CAST(n_docs AS DOUBLE),
+          1.0)) AS INT) AS thr
+      FROM wt, tot)
+SELECT d.doc_id, d.lang,
+       CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+         AS bucket,
+       r.thr
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+      < r.thr
+""",
+        "contamination": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+gr AS (SELECT doc_id,
+         CASE WHEN len(t) >= 5 THEN
+           list_transform(range(0, len(t)-4),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])
+         ELSE CAST([] AS VARCHAR[]) END AS g
+       FROM tk),
+ug AS (SELECT doc_id, md5(unnest(g)) AS gram_md5 FROM gr),
+ev AS (SELECT DISTINCT 'b' || CAST(doc_id % 3 AS VARCHAR) AS bench, gram_md5
+       FROM ug WHERE doc_id % 37 = 0),
+evs AS (SELECT bench, CAST(count(*) AS BIGINT) AS n_eval_grams
+        FROM ev GROUP BY bench),
+m AS (SELECT ev.bench,
+             count(DISTINCT ug.gram_md5) AS n_hit_grams,
+             count(DISTINCT ug.doc_id) AS n_hit_docs
+      FROM ug JOIN ev USING (gram_md5) GROUP BY ev.bench),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+SELECT evs.bench, evs.n_eval_grams,
+       CAST(coalesce(m.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+       CAST(coalesce(m.n_hit_docs, 0) AS BIGINT) AS n_hit_docs,
+       round(CAST(coalesce(m.n_hit_grams, 0) AS DOUBLE)
+             / CAST(evs.n_eval_grams AS DOUBLE), 6) AS gram_frac,
+       round(CAST(coalesce(m.n_hit_docs, 0) AS DOUBLE) / tot.nd, 6) AS doc_frac
+FROM evs LEFT JOIN m USING (bench) CROSS JOIN tot
 """,
         "token_entropy": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -633,3 +633,82 @@ def decontaminate(
             (F.coalesce("n_hit_grams", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_col: str = "bench",
+    n: int = 13,
+    tokenizer=None,
+) -> DataFrame:
+    """Per-benchmark contamination summary — the audit table published
+    alongside decontamination runs (GPT-3 appendix C reports exactly
+    this shape: per benchmark, how many eval n-grams leak into the
+    training corpus and how many training docs carry them).
+
+    ``eval_df`` carries one row per eval document with a ``bench_col``
+    naming its benchmark. Emits one row per benchmark:
+
+    - ``n_eval_grams`` — distinct word-``n``-gram digests in the bench;
+    - ``n_hit_grams`` — of those, how many occur anywhere in ``df``;
+    - ``n_hit_docs``  — distinct corpus docs sharing ≥1 gram;
+    - ``gram_frac`` / ``doc_frac`` — the two ratios, 6dp (doc_frac is
+      over the TOTAL corpus doc count, hit or not).
+
+    Plan shape at 100 TB: the eval side is MBs by definition — its
+    (bench, digest) set broadcasts; corpus grams explode map-side and
+    stream through the broadcast join, so only MATCHED pairs (bounded
+    by the contamination rate) ever shuffle, once, on the bench key.
+    The corpus doc total is a second partial-agg scalar crossed in.
+    Benchmarks with zero hits keep a row (left join from the eval
+    side). Grams travel as md5 digests, never strings.
+
+    SQL twin: the ``contamination`` oracle in __spark_entry__.
+    """
+    from .textops import resolve_tokens
+
+    gram = lambda c: F.explode(  # noqa: E731
+        shingles(resolve_tokens(c, tokenizer), n)
+    ).alias("g")
+    ev = (
+        eval_df.select(F.col(bench_col).alias("bench"), gram(F.col(text_col)))
+        .select("bench", F.md5("g").alias("gram_md5"))
+        .distinct()
+    )
+    ev_sizes = ev.groupBy("bench").agg(
+        F.count("*").alias("n_eval_grams")
+    )
+    matched = (
+        df.select(F.col(id_col), gram(F.col(text_col)))
+        .select(id_col, F.md5("g").alias("gram_md5"))
+        .join(F.broadcast(ev), "gram_md5")
+        .groupBy("bench")
+        .agg(
+            F.count_distinct("gram_md5").alias("n_hit_grams"),
+            F.count_distinct(id_col).alias("n_hit_docs"),
+        )
+    )
+    total = df.select(F.count("*").alias("__n_docs"))
+    return (
+        ev_sizes.join(matched, "bench", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bench",
+            F.col("n_eval_grams").cast("long").alias("n_eval_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.coalesce("n_hit_docs", F.lit(0)).cast("long").alias("n_hit_docs"),
+            F.round(
+                F.coalesce("n_hit_grams", F.lit(0)).cast("double")
+                / F.col("n_eval_grams").cast("double"),
+                6,
+            ).alias("gram_frac"),
+            F.round(
+                F.coalesce("n_hit_docs", F.lit(0)).cast("double")
+                / F.col("__n_docs").cast("double"),
+                6,
+            ).alias("doc_frac"),
+        )
+    )

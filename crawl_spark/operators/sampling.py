@@ -462,3 +462,116 @@ def lm_model(
             6,
         ).alias("logp"),
     )
+
+
+# -- Temperature mixing: per-stratum resampling at share ∝ count^alpha ------
+# The standard pretraining data-mix step (multilingual BERT / XLM-R
+# exponential-smoothing sampling, The Pile per-source weights — public
+# methods): strata (languages, sources) contribute to the training set
+# at a share proportional to count^alpha rather than raw count, lifting
+# the tail without letting the head (English, big SEO domains) dominate.
+# alpha=1 reproduces the corpus mix, alpha=0 a uniform per-stratum mix.
+#
+# Scale shape (100 TB corpus): the per-stratum counts are ONE partial-agg
+# groupBy whose result is O(|strata|) — a driver-tiny table; the rates
+# derived from it broadcast back onto the corpus, and selection is a pure
+# per-row md5-threshold filter (hash_sample's machinery) — the corpus
+# itself never shuffles.
+#
+# Cross-engine exactness: every arithmetic step is either exact integer /
+# DECIMAL math or an IEEE-correctly-rounded double primitive (sqrt, *, /;
+# never libm pow on the default path), the stratum weight sum accumulates
+# as DECIMAL (order-independent), and the final keep threshold scales by
+# 65536 — a power of two, exact in binary floating point — so Spark,
+# DuckDB and Python agree on every kept row bit-for-bit. alpha != 0.5
+# uses pow(), which is not correctly rounded by IEEE; the 6dp round
+# before the DECIMAL cast makes a cross-libm flip astronomically
+# unlikely, but only the sqrt default is *guaranteed* exact.
+
+
+def mix_rates(
+    df: DataFrame,
+    group_col: str = "lang",
+    budget: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-stratum temperature-mix acceptance thresholds.
+
+    Returns one row per stratum: (group, n_docs, thr) where ``thr`` in
+    [0, 65536] is the 16-bit md5-bucket cutoff under which a doc is
+    kept. Derivation: w_g = round(n_g^alpha, 6) as DECIMAL(18,6);
+    W = Σ w_g (DECIMAL, order-independent); keep rate
+    r_g = min(1, budget·w_g / W / n_g) — i.e. the stratum's share of
+    ``budget`` docs, capped at keeping everything (no up-sampling) —
+    and thr = floor(65536·r_g).
+
+    SQL twin: the same CTE chain over GROUP BY + a scalar total; see
+    the ``domain_mix`` oracle in __spark_entry__.
+    """
+    cnt = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    w_raw = (
+        F.sqrt(F.col("n_docs"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs"), F.lit(float(alpha)))
+    )
+    weighted = cnt.select(
+        group_col,
+        "n_docs",
+        F.round(w_raw, 6).cast("decimal(18,6)").alias("__w"),
+    )
+    # ONE bounded driver read (1 row, exact DECIMAL) for the weight
+    # total, the dsir_weights precedent — a crossJoin with an aggregate
+    # over the same lineage trips Spark 4's hidden-attribute resolution
+    # (AMBIGUOUS_REFERENCE on __w even when the agg branch re-aliases).
+    # float(Decimal) is correctly rounded, matching the SQL twin's
+    # CAST(sum(wv) AS DOUBLE).
+    weighted = weighted.localCheckpoint(eager=False)
+    w_total = weighted.agg(F.sum("__w").alias("__W")).collect()[0]["__W"]
+    if w_total is None:
+        # empty input: no strata exist — the (empty) frame types through
+        return weighted.select(
+            group_col, "n_docs", F.lit(0).cast("int").alias("thr")
+        )
+    rate = F.least(
+        (F.lit(float(budget)) * F.col("__w").cast("double"))
+        / F.lit(float(w_total))
+        / F.col("n_docs").cast("double"),
+        F.lit(1.0),
+    )
+    return weighted.select(
+        group_col,
+        "n_docs",
+        F.floor(F.lit(65536.0) * rate).cast("int").alias("thr"),
+    )
+
+
+def mix_domains(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    budget: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-mixed deterministic resampling: keep ~``budget`` docs
+    with per-stratum shares ∝ count^alpha (see :func:`mix_rates`).
+
+    Emits the kept rows' (id, group, bucket, thr) — ``bucket`` is the
+    16-bit md5(id) value, kept iff bucket < the stratum's thr, so the
+    selection replays identically on re-runs and in the DuckDB twin.
+    One tiny-groupBy + broadcast-join + per-row filter; no corpus
+    shuffle.
+    """
+    rates = mix_rates(df, group_col, budget, alpha)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col), bucket)
+        .join(F.broadcast(rates.select(group_col, "thr")), group_col)
+        .filter(F.col("bucket") < F.col("thr"))
+        .select(F.col(id_col), F.col(group_col), "bucket", "thr")
+    )

@@ -509,6 +509,86 @@ def test_domain_quota_caps_groups_deterministically(spark):
     assert by_src["big"] == expect_big
 
 
+def test_mix_domains_matches_python_rule(spark):
+    """Temperature mixing (share ∝ sqrt(count)) replayed in pure
+    Python: same kept set, buckets and thresholds. Python round() is
+    banker's (Spark/DuckDB are HALF_UP) — irrelevant here because
+    sqrt(int)·10^6 never lands on an exact .5 tie for non-perfect
+    squares."""
+    import math
+    from decimal import Decimal
+
+    from crawl_spark.operators.sampling import mix_domains
+
+    rows = [(i, "en" if i % 4 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r["doc_id"]: r for r in mix_domains(df, budget=300).collect()}
+
+    cnt: dict[str, int] = {}
+    for _, lang in rows:
+        cnt[lang] = cnt.get(lang, 0) + 1
+    w = {l: Decimal(str(round(math.sqrt(c), 6))) for l, c in cnt.items()}
+    W = float(sum(w.values()))
+    thr = {
+        l: math.floor(
+            65536.0 * min((300.0 * float(w[l])) / W / cnt[l], 1.0)
+        )
+        for l in cnt
+    }
+    kept = {}
+    for i, l in rows:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+        if b < thr[l]:
+            kept[i] = (l, b, thr[l])
+    assert set(out) == set(kept)
+    for i, (l, b, t) in kept.items():
+        assert (out[i]["lang"], out[i]["bucket"], out[i]["thr"]) == (l, b, t)
+    # alpha=0.5 lifts the tail: fr (500 docs) keeps a HIGHER fraction
+    # than en (1500 docs)
+    assert thr["fr"] > thr["en"]
+
+
+def test_mix_domains_alpha_extremes(spark):
+    """alpha=1 reproduces the corpus mix (equal keep-rate for every
+    stratum); budget >= corpus keeps everything (rate capped at 1)."""
+    from crawl_spark.operators.sampling import mix_domains, mix_rates
+
+    rows = [(i, "en" if i % 4 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    thr = {
+        r["lang"]: r["thr"]
+        for r in mix_rates(df, budget=400, alpha=1.0).collect()
+    }
+    # proportional weights → identical per-stratum keep rate (400/2000)
+    assert thr["en"] == thr["fr"] == int(65536 * 400 / 2000)
+    assert mix_domains(df, budget=5000).count() == 2000
+
+
+def test_contamination_report_counts(spark):
+    from crawl_spark.operators.dedup import contamination_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # shares 3 of b0's grams
+            (2, "x y z w q"),  # clean
+            (3, "c d e q r s"),  # shares 1
+            (4, "a b c"),  # shares 1
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "a b c d e", "b0"), (11, "m n o", "b1")],
+        "doc_id long, text string, bench string",
+    )
+    out = {r["bench"]: r for r in contamination_report(df, ev, n=3).collect()}
+    b0 = out["b0"]  # eval grams: 'a b c', 'b c d', 'c d e'
+    assert (b0["n_eval_grams"], b0["n_hit_grams"], b0["n_hit_docs"]) == (3, 3, 3)
+    assert b0["gram_frac"] == 1.0 and b0["doc_frac"] == 0.75
+    b1 = out["b1"]  # zero hits still keeps its row
+    assert (b1["n_eval_grams"], b1["n_hit_grams"], b1["n_hit_docs"]) == (1, 0, 0)
+    assert b1["gram_frac"] == 0.0 and b1["doc_frac"] == 0.0
+
+
 def test_connected_components_random_graphs_property(spark):
     """20 seeded random graphs (disjoint node ranges, one Spark job)
     must match union-find — exercises convergence across many shapes:
