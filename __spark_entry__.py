@@ -675,6 +675,26 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(d, d.filter(F.col("doc_id") % 37 == 0), n=5)
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Same decontamination contract as q_decontaminate, run through the
+    eval_side="bloom" scale path (bitmap pre-filter + exact md5 verify
+    join, no eval-digest broadcast) — the oracle proves the Bloom path
+    bit-identical to the published rule cross-engine. A deliberately
+    small bitmap keeps the FP rate non-trivial so the verify join is
+    actually exercised at contract scale."""
+    from crawl_spark.operators.bloom import BloomConfig
+    from crawl_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d,
+        d.filter(F.col("doc_id") % 37 == 0),
+        n=5,
+        eval_side="bloom",
+        bloom_cfg=BloomConfig(n_buckets=8, bits_per_bucket=1 << 14, n_hashes=4),
+    )
+
+
 def q_url_filter(spark, sf_dir):
     """UT1-style domain blocklist over synthetic urls: host{id%20}
     .example with a www. subdomain variant and an 11-deep subdomain
@@ -1113,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_capture": q_latest_capture,
         "metrics_rollup": q_metrics_rollup,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "url_filter": q_url_filter,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
@@ -1232,7 +1253,7 @@ def oracle_sql() -> dict[str, str]:
     # variant with the greatest() expression inlined (no `best` alias in scope)
     pred_cases_b = " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in sorted(_LANGS_SQL))
 
-    return {
+    sql = {
         "fifo_batch": """
 WITH batch AS (SELECT * FROM events ORDER BY ts, event_id LIMIT 500)
 SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS INT) AS batch_pos,
@@ -2499,3 +2520,8 @@ FROM f
 ORDER BY doc_id, frame_idx
 """,
     }
+    # decontaminate_bloom is exactness-preserving by construction (Bloom
+    # negatives are authoritative; positives verify on md5) — its oracle
+    # is the broadcast path's oracle verbatim.
+    sql["decontaminate_bloom"] = sql["decontaminate"]
+    return sql

@@ -583,12 +583,14 @@ def decontaminate(
     text_col: str = "text",
     n: int = 13,
     tokenizer=None,
+    eval_side: str = "broadcast",
+    bloom_cfg=None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs that share any word
     ``n``-gram with an evaluation/benchmark set (the GPT-3 appendix-C /
     Llama training-data rule; 13-grams are the published default).
 
-    Plan shape at 100 TB:
+    Plan shape at 100 TB (``eval_side="broadcast"``, the default):
     - the eval side is tiny versus the corpus (benchmarks are MBs, the
       corpus is TBs): its distinct gram digests broadcast;
     - the corpus side explodes to (doc_id, gram_md5) map-side and
@@ -599,6 +601,21 @@ def decontaminate(
       broadcast and the matched-pair shuffle stay narrow;
     - the final left join back to the corpus is a join on ``id_col``
       against a hit set bounded by the number of contaminated docs.
+
+    ``eval_side="bloom"`` is the scale path for eval sets whose digest
+    table exceeds the broadcast budget (e.g. decontaminating against a
+    10^9-gram *held-out corpus* rather than a benchmark): eval gram
+    keys are folded into a Bloom bitmap (``bloom.BloomConfig``; ~1 GB
+    broadcast at 10^9 grams/8 bits-per-key vs 16 GB of md5 digests),
+    corpus grams stream map-side through the vectorized bitmap probe,
+    and only bloom-POSITIVE grams (true hits + FP-rate noise) reach the
+    exact verify join against the eval digests. A Bloom negative is
+    authoritative, every positive is verified on the 16-byte md5 — the
+    result is bit-identical to the broadcast path at ANY false-positive
+    rate (property-tested); FP rate costs verify-join traffic only.
+    The corpus side still never shuffles un-filtered grams; the eval
+    side shuffles twice (bitmap build, verify join) instead of
+    broadcasting digests.
 
     Emits per-doc (n_hit_grams, keep) over ALL input docs — docs shorter
     than ``n`` tokens have no grams and always pass.
@@ -617,12 +634,35 @@ def decontaminate(
         .select(F.md5("g").alias("gram_md5"))
         .distinct()
     )
-    hits = (
-        df.select(F.col(id_col), gram(F.col(text_col)))
-        .select(id_col, F.md5("g").alias("gram_md5"))
-        .join(F.broadcast(ev), "gram_md5")
-        .groupBy(id_col)
-        .agg(F.count_distinct("gram_md5").alias("n_hit_grams"))
+    if eval_side == "broadcast":
+        corpus_grams = df.select(F.col(id_col), gram(F.col(text_col))).select(
+            id_col, F.md5("g").alias("gram_md5")
+        )
+        matched = corpus_grams.join(F.broadcast(ev), "gram_md5")
+    elif eval_side == "bloom":
+        from .bloom import BloomConfig, build_bitmaps, split_by_bloom
+
+        cfg = bloom_cfg or BloomConfig(n_buckets=16)
+        # bloom.py keys on (host_hash → bucket, url_hash → probes); any
+        # 64-bit key works — here both derive from xxhash64(gram).
+        ev_keys = (
+            eval_df.select(gram(F.col(text_col)))
+            .select(F.xxhash64("g").alias("url_hash"))
+            .withColumn("host_hash", F.col("url_hash"))
+        )
+        bitmaps = build_bitmaps(ev_keys, cfg)
+        corpus_grams = df.select(F.col(id_col), gram(F.col(text_col))).select(
+            id_col,
+            F.md5("g").alias("gram_md5"),
+            F.xxhash64("g").alias("url_hash"),
+        ).withColumn("host_hash", F.col("url_hash"))
+        tagged = split_by_bloom(corpus_grams, bitmaps, cfg, df.sparkSession)
+        survivors = tagged.filter(F.col("possibly_seen")).select(id_col, "gram_md5")
+        matched = survivors.join(ev, "gram_md5")  # exact verify, no broadcast
+    else:
+        raise ValueError(f"eval_side must be 'broadcast' or 'bloom', got {eval_side!r}")
+    hits = matched.groupBy(id_col).agg(
+        F.count_distinct("gram_md5").alias("n_hit_grams")
     )
     return (
         df.select(id_col)

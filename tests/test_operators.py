@@ -956,6 +956,46 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert all(r["keep"] for r in clean)
 
 
+def test_decontaminate_bloom_equals_broadcast(spark):
+    """eval_side="bloom" is exactness-preserving at ANY false-positive
+    rate: a Bloom negative is authoritative (no false negatives), every
+    positive is verified on the md5 digest — so even a deliberately
+    tiny, FP-heavy bitmap must reproduce the broadcast path bit-for-bit.
+    """
+    from crawl_spark.operators.bloom import BloomConfig
+    from crawl_spark.operators.dedup import decontaminate
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    corpus = [
+        (i, " ".join(words[(i + j) % len(words)] + str((i * 7 + j) % 11) for j in range(12)))
+        if i < 60
+        else (i, " ".join(f"only{i}w{j}" for j in range(12)))  # no shared grams
+        for i in range(120)
+    ]
+    # eval set = every 9th patterned doc's text (so some corpus docs
+    # self-hit and shifted near-copies hit too), plus one gram no corpus
+    # doc has; the only{i} docs can never hit
+    ev = [(1000 + i, t) for i, t in enumerate(t for d, t in corpus if d % 9 == 0 and d < 60)]
+    ev.append((2000, "nope0 nope1 nope2 nope3 nope4"))
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    edf = spark.createDataFrame(ev, "doc_id long, text string")
+
+    want = sorted(map(tuple, decontaminate(cdf, edf, n=5).collect()))
+    assert any(r[1] > 0 for r in want) and any(r[1] == 0 for r in want)
+    for cfg in (
+        None,  # defaults
+        BloomConfig(n_buckets=4, bits_per_bucket=1 << 6, n_hashes=2),  # FP-saturated
+    ):
+        got = sorted(map(tuple, decontaminate(
+            cdf, edf, n=5, eval_side="bloom", bloom_cfg=cfg
+        ).collect()))
+        assert got == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="eval_side"):
+        decontaminate(cdf, edf, n=5, eval_side="nonsense")
+
+
 def test_url_blocklist_filter_subdomains_and_boundaries(spark):
     from crawl_spark.operators.urlfilter import url_blocklist_filter
 
