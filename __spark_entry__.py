@@ -500,6 +500,53 @@ def q_pagerank(spark, sf_dir):
     return pagerank(e, iters=5)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities over the same synthetic-edge recipe as
+    q_pagerank (affine families + hub + sink edges): sink hosts 200..204
+    get authority but zero hub; the oracle is the identical L1-normalized
+    iteration unrolled as DuckDB CTEs."""
+    from crawl_spark.operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    e = (
+        d.select((i % 101).alias("src"), ((i * 31 + 7) % 101).alias("dst"))
+        .union(d.select((i % 101).alias("src"), ((i * 13 + 3) % 101).alias("dst")))
+        .union(
+            d.filter(i % 5 == 0).select(
+                (i % 101).alias("src"), F.lit(0).cast("long").alias("dst")
+            )
+        )
+        .union(
+            d.filter(i % 11 == 0).select(
+                (i % 101).alias("src"), (i % 5 + 200).alias("dst")
+            )
+        )
+    )
+    return hits(e, iters=4)
+
+
+def q_host_graph(spark, sf_dir):
+    """Collapse a synthetic page-level link graph (two affine dst
+    families per doc over 20 hosts; arithmetic self-loops exercise the
+    drop rule) to the weighted host graph — real host_expr URL parsing
+    on the Spark side, arithmetic host derivation in the oracle."""
+    from crawl_spark.operators.graph import host_graph
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = (i % 20).cast("string")
+    src_url = F.concat(F.lit("http://host"), s, F.lit(".example/p/"), i.cast("string"))
+    fam = lambda m, b: F.concat(  # noqa: E731
+        F.lit("http://host"), ((i * m + b) % 20).cast("string"),
+        F.lit(".example/q/"), (i % 13).cast("string"),
+    )
+    links = d.select(src_url.alias("src_url"), fam(7, 3).alias("dst_url")).union(
+        d.select(src_url.alias("src_url"), fam(3, 5).alias("dst_url"))
+    )
+    return host_graph(links)
+
+
 def q_connected_components(spark, sf_dir):
     """Transitive near-dup grouping over a deterministic pair graph:
     chains of 7 consecutive doc_ids plus bridge edges every 29th doc —
@@ -1125,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "token_entropy": q_token_entropy,
         "pagerank": q_pagerank,
+        "hits": q_hits,
+        "host_graph": q_host_graph,
         "connected_components": q_connected_components,
         "cc_star": q_cc_star,
         "sitemap": q_sitemap,
@@ -1242,6 +1291,7 @@ _LANGS_SQL = {
 def oracle_sql() -> dict[str, str]:
     from crawl_spark.operators.graph import (
         connected_components_oracle_sql,
+        hits_oracle_sql,
         pagerank_oracle_sql,
     )
 
@@ -1933,6 +1983,26 @@ UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
 UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0""",
             iters=5,
         ),
+        "hits": hits_oracle_sql(
+            """SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
+UNION ALL SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
+UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
+UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0""",
+            iters=4,
+        ),
+        "host_graph": """
+WITH e AS (
+  SELECT doc_id % 20 AS s, (doc_id * 7 + 3) % 20 AS t, doc_id AS p FROM documents
+  UNION ALL
+  SELECT doc_id % 20, (doc_id * 3 + 5) % 20, doc_id FROM documents
+)
+SELECT 'host' || CAST(s AS VARCHAR) || '.example' AS src_host,
+       'host' || CAST(t AS VARCHAR) || '.example' AS dst_host,
+       count(*) AS n_links,
+       count(DISTINCT p) AS n_src_pages
+FROM e WHERE s <> t
+GROUP BY 1, 2
+""",
         "connected_components": connected_components_oracle_sql(
             """SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 7 <> 6
 UNION ALL SELECT doc_id, doc_id + 13 FROM documents WHERE doc_id % 29 = 0"""

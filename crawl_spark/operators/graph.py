@@ -381,6 +381,211 @@ def anchor_text_topk(
     return grouped_topk(counts, ["dst"], ["__negn", "anchor"], k).drop("__negn")
 
 
+def host_graph(
+    links: DataFrame,
+    src_url: str = "src_url",
+    dst_url: str = "dst_url",
+    keep_self_loops: bool = False,
+) -> DataFrame:
+    """Collapse the page-level link graph to a weighted HOST graph —
+    the standard first reduction for web-graph analysis (host-level
+    PageRank/HITS, spam-farm detection, crawl-budget allocation):
+
+        (src_host, dst_host, n_links, n_src_pages)
+
+    where ``n_links`` counts page-level edges between the host pair and
+    ``n_src_pages`` counts distinct linking pages on the source host.
+
+    Plan shape at 100 TB: host extraction is one JVM regexp projection
+    (``urlfilter.host_expr``, no Python); the collapse is ONE
+    partial-aggregated groupBy on (src_host, dst_host) — map-side
+    combine crushes the edge count to O(host-pairs) before the shuffle,
+    and |host pairs| << |page edges| on real web graphs (hosts are
+    ~10^7 where pages are ~10^11). Intra-host links (the bulk of the
+    web) are dropped by default — ``keep_self_loops=True`` keeps them,
+    e.g. for site-internal connectivity stats. Rows whose URL has no
+    extractable host (host_expr yields '') are dropped as malformed.
+
+    The output feeds :func:`pagerank` / :func:`hits` directly
+    (src="src_host", dst="dst_host").
+    """
+    from .urlfilter import host_expr
+
+    e = links.select(
+        host_expr(F.col(src_url)).alias("src_host"),
+        host_expr(F.col(dst_url)).alias("dst_host"),
+        F.col(src_url).alias("__sp"),
+    ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if not keep_self_loops:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"),
+        F.count_distinct("__sp").alias("n_src_pages"),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    bucket_path: str | None = None,
+    n_buckets: int = 32,
+    bucket_table: str = "hits_edges",
+) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities) as an L1-normalized power
+    iteration over a (src, dst) edge table:
+
+        a_t(v) ∝ Σ_{u→v} h_{t-1}(u)      (then normalized so Σ a = 1)
+        h_t(u) ∝ Σ_{u→v} a_t(v)          (then normalized so Σ h = 1)
+
+    with uniform init h_0 = 1/N over N = |src ∪ dst| nodes. L1 (not L2)
+    normalization keeps every step a sum/divide — associative floats
+    that hash-match the DuckDB oracle at 6 dp, the same contract
+    :func:`pagerank` uses. Parallel edges are deduplicated (adjacency-
+    matrix formulation). Returns (node, hub, authority) rounded to 6 dp.
+
+    Plan shape at 100 TB: unlike PageRank, each HITS iteration joins the
+    O(E) edge table on BOTH endpoints — on ``src`` for the authority
+    step and on ``dst`` for the hub step. With ``bucket_path`` set, the
+    edges are laid out TWICE (bucketed+sorted by src, and by dst); each
+    step scans the layout co-located on its join key, so the edge side
+    never exchanges in the loop — the per-iteration shuffle is O(nodes)
+    (the score vectors), exactly like pagerank's. Without it, both
+    layouts fall back to one localCheckpointed copy (edge side shuffles
+    each iteration — fine at test scale, wrong at 10^11 edges).
+
+    Normalization totals ride a broadcast of a 1-row aggregate — no
+    driver collect in the loop.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    if bucket_path is not None:
+        spark = e.sparkSession
+        e_by = {}
+        for key in ("src", "dst"):
+            tbl = f"{bucket_table}_{key}"
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                e.write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", f"{bucket_path}_{key}")
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+            e_by[key] = spark.table(tbl)
+    else:
+        e = e.localCheckpoint(eager=True)
+        e_by = {"src": e, "dst": e}
+
+    nodes = (
+        e_by["src"].select(F.col("src").alias("node"))
+        .union(e_by["src"].select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+
+    def _normalize(raw: DataFrame, out: str) -> DataFrame:
+        """raw = (node, s) partial sums over a subset of nodes →
+        (node, out) over ALL nodes with Σ out = 1 (all-zero → zeros)."""
+        tot = raw.agg(F.sum("s").alias("__t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .join(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(
+                    F.col("__t") > 0, F.coalesce(F.col("s"), F.lit(0.0)) / F.col("__t")
+                ).otherwise(F.lit(0.0)).alias(out),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    h = nodes.select("node", F.lit(1.0 / n).alias("hub")).localCheckpoint(eager=True)
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e_by["src"].join(
+                h.select(F.col("node").alias("src"), F.col("hub")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        a = _normalize(a_raw, "authority")
+        h_raw = (
+            e_by["dst"].join(
+                a.select(F.col("node").alias("dst"), F.col("authority")), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("s"))
+        )
+        h = _normalize(h_raw, "hub")
+
+    return (
+        h.join(a, "node")
+        .select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+    )
+
+
+def hits_oracle_sql(edges_cte: str, iters: int = 5) -> str:
+    """DuckDB twin of :func:`hits`: the same L1-normalized alternating
+    iteration unrolled into CTE pairs. ``edges_cte`` must produce
+    columns (src, dst); parallel edges are deduplicated here to match
+    the Spark side.
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    alternating chain references each previous step several times
+    (join + the normalization total), so un-materialized unrolling
+    re-opens the base parquet O(refs^iters) times — 4 iterations blew
+    the process file-handle limit before anything computed."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_cte}))",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "h0 AS MATERIALIZED (SELECT node,"
+        " 1.0 / (SELECT count(*) FROM nodes) AS hub FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t}raw AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS s
+  FROM edges e JOIN h{t - 1} h ON h.node = e.src GROUP BY e.dst
+), a{t} AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN tot.t > 0 THEN coalesce(r.s, 0.0) / tot.t
+              ELSE 0.0 END AS authority
+  FROM nodes
+  CROSS JOIN (SELECT coalesce(sum(s), 0.0) AS t FROM a{t}raw) tot
+  LEFT JOIN a{t}raw r USING (node)
+), h{t}raw AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.authority) AS s
+  FROM edges e JOIN a{t} a ON a.node = e.dst GROUP BY e.src
+), h{t} AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN tot.t > 0 THEN coalesce(r.s, 0.0) / tot.t
+              ELSE 0.0 END AS hub
+  FROM nodes
+  CROSS JOIN (SELECT coalesce(sum(s), 0.0) AS t FROM h{t}raw) tot
+  LEFT JOIN h{t}raw r USING (node)
+)"""
+        )
+    parts_sql = ",\n".join(parts)
+    return f"""{parts_sql}
+SELECT h.node, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority
+FROM h{iters} h JOIN a{iters} a USING (node)
+"""
+
+
 def connected_components_oracle_sql(pairs_cte: str) -> str:
     """DuckDB twin of :func:`connected_components`: component(v) =
     min node reachable from v, via a recursive CTE over the

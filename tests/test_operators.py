@@ -808,6 +808,133 @@ def test_pagerank_bucketed_edges_never_shuffle(spark, tmp_path):
     assert max(abs(bucketed[n] - plain[n]) for n in plain) <= 1e-6
 
 
+def _hits_python(E, iters):
+    """Driver-side twin of graph.hits: L1-normalized alternating updates."""
+    ded = sorted(set(E))
+    nodes = sorted({u for e in ded for u in e})
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {v: 0.0 for v in nodes}
+        for u, v in ded:
+            a[v] += h[u]
+        t = sum(a.values())
+        a = {v: (x / t if t > 0 else 0.0) for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for u, v in ded:
+            h[u] += a[v]
+        t = sum(h.values())
+        h = {v: (x / t if t > 0 else 0.0) for v, x in h.items()}
+    return {v: (round(h[v], 6), round(a[v], 6)) for v in nodes}
+
+
+def test_hits_matches_python_iteration(spark):
+    from crawl_spark.operators.graph import hits
+
+    # 0 links to everything (pure hub), 3 is linked by many (authority),
+    # 5 is isolated-ish via a dangling edge, plus a duplicate edge
+    E = [(0, 1), (0, 2), (0, 3), (1, 3), (2, 3), (4, 3), (3, 5), (0, 1)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    out = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iters=5).collect()}
+    assert out == _hits_python(E, 5)
+    # structure: 0 is the best hub; 3 is the best authority
+    assert max(out, key=lambda v: out[v][0]) == 0
+    assert max(out, key=lambda v: out[v][1]) == 3
+    # L1 contract: both scores are distributions
+    assert abs(sum(v[0] for v in out.values()) - 1.0) < 1e-4
+    assert abs(sum(v[1] for v in out.values()) - 1.0) < 1e-4
+
+
+def test_hits_random_graph_property_and_empty(spark):
+    import random
+
+    from crawl_spark.operators.graph import hits
+
+    rng = random.Random(11)
+    E = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    out = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iters=4).collect()}
+    assert out == _hits_python(E, 4)
+    empty = hits(
+        spark.createDataFrame([], "src long, dst long"), iters=3
+    ).collect()
+    assert empty == []
+
+
+def test_hits_dual_bucketed_layouts(spark, tmp_path):
+    """With bucket_path, BOTH per-iteration joins read a layout
+    co-located on their key: the src-bucketed table for the authority
+    step and the dst-bucketed table for the hub step — no Exchange on
+    the edge side of either join."""
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.graph import hits
+
+    e = spark.range(1500).select(
+        (F.col("id") % 83).alias("src"), ((F.col("id") * 29 + 5) % 83).alias("dst")
+    )
+    plain = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, iters=3).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = hits(
+            e, iters=3, bucket_path=str(tmp_path / "edges"), n_buckets=8,
+            bucket_table="hits_edges_test",
+        )
+        bucketed = {r["node"]: (r["hub"], r["authority"]) for r in df.collect()}
+        scores = spark.range(83).select(F.col("id").alias("k"), F.lit(1.0).alias("w"))
+        for key, agg_key in (("src", "dst"), ("dst", "src")):
+            j = (
+                spark.table(f"hits_edges_test_{key}")
+                .join(scores.withColumnRenamed("k", key), key)
+                .groupBy(agg_key).agg(F.sum("w").alias("s"))
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan, key
+            after = plan.split("SortMergeJoin")[1].splitlines()[1:]
+            edge_side = [l for l in after if l.lstrip().startswith(":")]
+            assert edge_side and any("FileScan" in l for l in edge_side), key
+            assert not any("Exchange" in l for l in edge_side), key
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS hits_edges_test_src")
+        spark.sql("DROP TABLE IF EXISTS hits_edges_test_dst")
+    assert set(bucketed) == set(plain)
+    assert max(
+        abs(bucketed[n][i] - plain[n][i]) for n in plain for i in (0, 1)
+    ) <= 1e-6
+
+
+def test_host_graph_collapses_page_links(spark):
+    from crawl_spark.operators.graph import host_graph
+
+    links = [
+        ("http://a.example/1", "http://b.example/x"),
+        ("http://a.example/1", "http://b.example/y"),   # same pair, same page
+        ("http://a.example/2", "http://b.example/x"),   # same pair, new page
+        ("http://A.EXAMPLE./3", "http://c.example/z"),  # case + trailing dot
+        ("http://a.example/4", "http://a.example/5"),   # self-loop: dropped
+        ("not a url", "http://b.example/x"),            # malformed: dropped
+    ]
+    df = spark.createDataFrame(links, "src_url string, dst_url string")
+    out = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+        for r in host_graph(df).collect()
+    }
+    assert out == {
+        ("a.example", "b.example"): (3, 2),
+        ("a.example", "c.example"): (1, 1),
+    }
+    with_loops = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+        for r in host_graph(df, keep_self_loops=True).collect()
+    }
+    assert with_loops[("a.example", "a.example")] == (1, 1)
+    assert len(with_loops) == 3
+
+
 def test_connected_components_matches_union_find(spark):
     from crawl_spark.operators.graph import connected_components
 
