@@ -220,6 +220,52 @@ def test_snapshot_manifest_lineage_and_time_travel(crawl_pair, spark):
         assert seen_prev <= seen_now
 
 
+def test_diff_snapshots_changefeed(crawl_pair, spark):
+    """CDC export between two committed rounds: every diff table equals
+    the exact set difference of the materialized time-travel reads —
+    while the seen/host_state fast paths never read pre-`from` state
+    (append-only log arithmetic)."""
+    import os
+
+    _, result, engine = crawl_pair
+    last = result.rounds - 1
+    mid = last // 2
+    assert mid < last, "fixture must commit >= 2 rounds"
+    d = engine.diff_snapshots(mid, last)
+
+    s_mid = {r["url_hash"] for r in engine.read_table("seen", mid).collect()}
+    s_last = {r["url_hash"] for r in engine.read_table("seen", last).collect()}
+    assert {r["url_hash"] for r in d["seen_added"].collect()} == s_last - s_mid
+    assert s_last - s_mid, "fixture grows the seen set after mid"
+
+    f_mid = {r["url"] for r in engine.read_table("frontier", mid).collect()}
+    f_last = {r["url"] for r in engine.read_table("frontier", last).collect()}
+    assert {r["url"] for r in d["frontier_added"].collect()} == f_last - f_mid
+    assert {r["url"] for r in d["frontier_removed"].collect()} == f_mid - f_last
+    assert f_mid - f_last, "fixture crawls mid-frontier urls after mid"
+
+    h_mid = {r["host"]: r["next_time"] for r in engine.read_table("host_state", mid).collect()}
+    h_last = {r["host"]: r["next_time"] for r in engine.read_table("host_state", last).collect()}
+    got_h = {r["host"]: r["next_time"] for r in d["host_state_changed"].collect()}
+    assert got_h == {
+        h: t for h, t in h_last.items() if h not in h_mid or t > h_mid[h]
+    }
+
+    n_expected = 0
+    for r in range(mid + 1, last + 1):
+        p = os.path.join(result.workdir, "round_%05d" % r, "extracted")
+        if os.path.isdir(p):
+            n_expected += spark.read.parquet(p).count()
+    assert d["extracted_added"].count() == n_expected > 0
+
+    empty = engine.diff_snapshots(last, last)
+    assert all(v.count() == 0 for v in empty.values())
+    with pytest.raises(ValueError):
+        engine.diff_snapshots(last, mid)
+    with pytest.raises(FileNotFoundError):
+        engine.diff_snapshots(mid, last + 999)
+
+
 def test_seen_delta_log_append_only(crawl_pair, spark):
     """north_rule scale invariant: per-round seen writes are bounded by
     that round's NEW urls (append-only log), never the cumulative set;
