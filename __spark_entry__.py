@@ -742,6 +742,29 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_shard_stats(spark, sf_dir):
+    """Training-shard sink end-to-end: write documents as 16
+    deterministic parquet shards to a scratch dir, validate the files
+    against the manifest, and return the MANIFEST's per-shard
+    (n_rows, checksum) — the oracle recomputes both from the md5 rules
+    alone, so a hash match proves the physically-written artifact (not
+    just a plan) carries exactly the contracted rows."""
+    import os
+    import tempfile
+
+    from crawl_spark.sources.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = os.path.join(tempfile.gettempdir(), "crawl_spark_contract_shards")
+    m = write_training_shards(d, path, n_shards=16)
+    read_training_shards(spark, path)  # raises unless files match manifest
+    rows = [(int(k), v["n_rows"], v["checksum"]) for k, v in m["shards"].items()]
+    return spark.createDataFrame(rows, "shard int, n_rows long, checksum long")
+
+
 def q_url_filter(spark, sf_dir):
     """UT1-style domain blocklist over synthetic urls: host{id%20}
     .example with a www. subdomain variant and an 11-deep subdomain
@@ -1170,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
+        "shard_stats": q_shard_stats,
         "token_entropy": q_token_entropy,
         "pagerank": q_pagerank,
         "hits": q_hits,
@@ -1983,6 +2007,13 @@ UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
 UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0""",
             iters=5,
         ),
+        "shard_stats": """
+SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS INT) AS shard,
+       count(*) AS n_rows,
+       sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT)) AS checksum
+FROM documents
+GROUP BY 1
+""",
         "hits": hits_oracle_sql(
             """SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
 UNION ALL SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
