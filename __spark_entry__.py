@@ -742,6 +742,25 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_nb_classify(spark, sf_dir):
+    """Multinomial NB end-to-end: train on an 80% split with synthetic
+    3-way labels (doc_id mod 3), classify the WHOLE table — the oracle
+    refits the identical model (add-one smoothed hashed-gram
+    likelihoods at 512 buckets + log priors, all 6dp-rounded) and ranks
+    per-doc per-label decimal score sums in plain SQL."""
+    from crawl_spark.operators.classify import nb_score, nb_train
+
+    d = _t(spark, sf_dir, "documents")
+    lab = (
+        F.when(F.col("doc_id") % 3 == 0, "a")
+        .when(F.col("doc_id") % 3 == 1, "b")
+        .otherwise("c")
+    )
+    train = d.filter(F.col("doc_id") % 5 != 4).select(lab.alias("label"), "text")
+    model = nb_train(train, n_buckets=512)
+    return nb_score(d, model, n_buckets=512)
+
+
 def q_shard_stats(spark, sf_dir):
     """Training-shard sink end-to-end: write documents as 16
     deterministic parquet shards to a scratch dir, validate the files
@@ -1194,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "shard_stats": q_shard_stats,
+        "nb_classify": q_nb_classify,
         "token_entropy": q_token_entropy,
         "pagerank": q_pagerank,
         "hits": q_hits,
@@ -2007,6 +2027,53 @@ UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
 UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0""",
             iters=5,
         ),
+        "nb_classify": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS INT) AS b
+  FROM (
+    SELECT doc_id, unnest(t) AS g FROM tk
+    UNION ALL
+    SELECT tk.doc_id, t[u.i] || ' ' || t[u.i + 1] AS g
+    FROM tk, unnest(range(1, len(t))) AS u(i)
+  )
+),
+lab AS (SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                    ELSE 'c' END AS label
+        FROM documents),
+tr AS (SELECT l.label, g.b FROM grams g JOIN lab l USING (doc_id)
+       WHERE l.doc_id % 5 <> 4),
+cnt AS MATERIALIZED (SELECT label, b, count(*) AS c FROM tr GROUP BY 1, 2),
+tot AS (SELECT label, sum(c) AS total FROM cnt GROUP BY 1),
+docs AS (SELECT label, count(*) AS nd FROM lab WHERE doc_id % 5 <> 4 GROUP BY 1),
+pri AS MATERIALIZED (
+  SELECT label, round(ln(nd / (SELECT CAST(sum(nd) AS DOUBLE) FROM docs)), 6)
+         AS logprior
+  FROM docs),
+model AS MATERIALIZED (
+  SELECT s.label, s.b,
+         round(ln((coalesce(c.c, 0) + 1)
+                  / (coalesce(t.total, 0) + 512.0)), 6) AS logp
+  FROM (SELECT p.label, CAST(sp.b AS INT) AS b
+        FROM pri p CROSS JOIN range(0, 512) sp(b)) s
+  LEFT JOIN cnt c ON c.label = s.label AND c.b = s.b
+  LEFT JOIN tot t ON t.label = s.label),
+sc AS (SELECT g.doc_id, m.label, count(*) AS n_grams,
+              sum(CAST(m.logp AS DECIMAL(18,6))) AS s
+       FROM grams g JOIN model m ON m.b = g.b GROUP BY 1, 2),
+pairs AS (SELECT d.doc_id, p.label, p.logprior
+          FROM documents d CROSS JOIN pri p),
+fin AS (SELECT pr.doc_id, pr.label,
+                coalesce(sc.n_grams, 0) AS n_grams,
+                CAST(coalesce(sc.s, CAST(0 AS DECIMAL(28,6)))
+                     + CAST(pr.logprior AS DECIMAL(18,6)) AS DOUBLE) AS score
+         FROM pairs pr LEFT JOIN sc USING (doc_id, label))
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, label AS pred, score
+FROM fin
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) = 1
+""",
         "shard_stats": """
 SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS INT) AS shard,
        count(*) AS n_rows,

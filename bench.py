@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "dsir_score",
     "cdc_dedup",
     "lm_score",
+    "hits",
+    "host_graph",
+    "decontaminate_bloom",
+    "shard_stats",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages
