@@ -742,6 +742,26 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_nfc_dedup(spark, sf_dir):
+    """Unicode-composition dedup with injected deterministic variants:
+    docs with id%4==1 carry a DECOMPOSED spelling (e+U+0301, A+U+030A)
+    and id%4==2 the PRECOMPOSED twin keyed by id%10 — the oracle runs
+    DuckDB's nfc_normalize over the same injected text, so the pandas
+    UDF's unicodedata semantics are value-checked cross-engine."""
+    from crawl_spark.operators.dedup import nfc_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text = (
+        F.when(i % 4 == 1,
+               F.concat(F.lit("Café menu Å "), (i % 10).cast("string")))
+        .when(i % 4 == 2,
+              F.concat(F.lit("Café menu Å "), (i % 10).cast("string")))
+        .otherwise(F.concat(F.lit("plain "), i.cast("string"), F.lit(" text")))
+    )
+    return nfc_dedup(d.select("doc_id", text.alias("text")))
+
+
 def q_nb_classify(spark, sf_dir):
     """Multinomial NB end-to-end: train on an 80% split with synthetic
     3-way labels (doc_id mod 3), classify the WHOLE table — the oracle
@@ -1214,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "shard_stats": q_shard_stats,
         "nb_classify": q_nb_classify,
+        "nfc_dedup": q_nfc_dedup,
         "token_entropy": q_token_entropy,
         "pagerank": q_pagerank,
         "hits": q_hits,
@@ -2027,6 +2048,25 @@ UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
 UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0""",
             iters=5,
         ),
+        "nfc_dedup": r"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 1 THEN 'Cafe' || chr(769) || ' menu A' || chr(778) || ' ' || CAST(doc_id % 10 AS VARCHAR)
+         WHEN doc_id % 4 = 2 THEN 'Caf' || chr(233) || ' menu ' || chr(197) || ' ' || CAST(doc_id % 10 AS VARCHAR)
+         ELSE 'plain ' || CAST(doc_id AS VARCHAR) || ' text' END AS text
+  FROM documents),
+tk AS (SELECT doc_id,
+              md5(list_aggregate(list_filter(
+                string_split_regex(lower(nfc_normalize(text)), '\s+'),
+                x -> x <> ''), 'string_agg', ' ')) AS content_md5
+       FROM d)
+SELECT doc_id, content_md5, n_copies FROM (
+  SELECT doc_id, content_md5,
+         CAST(row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS INT) AS rn,
+         CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT) AS n_copies
+  FROM tk
+) WHERE rn = 1
+""",
         "nb_classify": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 grams AS MATERIALIZED (

@@ -52,6 +52,26 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def nfc_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup robust to Unicode composition differences: the
+    digest key is md5 over NFC-normalized, lowercased, ws-collapsed
+    text, so ``Café`` typed precomposed and as ``e``+combining-acute
+    land in one duplicate group (plain :func:`exact_dedup` treats them
+    as distinct byte strings).
+
+    Plan shape at 100 TB: one Arrow-batched pandas-UDF projection
+    (``textops.nfc_normalize`` — C-speed unicodedata, no JVM NFC
+    exists), then exactly :func:`exact_dedup`'s single shuffle on the
+    16-byte digest. NFC only — NFKC compatibility folds change content
+    and stay out of a dedup key.
+    """
+    from .textops import nfc_normalize
+
+    return exact_dedup(
+        df.withColumn(text_col, nfc_normalize(F.col(text_col))), id_col, text_col
+    )
+
+
 def latest_capture(
     pages: DataFrame,
     url_col: str = "url",

@@ -49,6 +49,40 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
 
 
+_nfc_udf = None  # created lazily: pandas_udf needs an active session
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC canonical composition of a string column — the
+    standard pre-dedup normalization for web text, where the same
+    visible string arrives both precomposed (``é`` U+00E9) and
+    decomposed (``e`` + U+0301) depending on the producing editor/OS.
+
+    Spark has no JVM NFC builtin, so this is the sanctioned Python
+    path: one Arrow-batched pandas UDF whose per-element work is
+    CPython's C-implemented ``unicodedata.normalize`` — no Python-level
+    parsing, no row-at-a-time Spark UDF. NFC only (canonical): ligature
+    / fullwidth / compatibility folds (NFKC) are deliberately NOT
+    applied — they change content, not representation.
+
+    SQL twin (DuckDB): ``nfc_normalize(text)`` (verified char-identical
+    to unicodedata across composed/decomposed/hangul/combining cases).
+    """
+    global _nfc_udf
+    if _nfc_udf is None:
+
+        @F.pandas_udf("string")
+        def _nfc(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(
+                lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+            )
+
+        _nfc_udf = _nfc
+    return _nfc_udf(text)
+
+
 def resolve_tokens(text: Column, tokenizer=None) -> Column:
     """The pluggable tokenizer hook shared by token-space operators
     (``token_count``, ``pack_sequences``, ``decontaminate``,

@@ -1083,6 +1083,28 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert all(r["keep"] for r in clean)
 
 
+def test_nfc_dedup_merges_composition_variants(spark):
+    """Precomposed and combining-mark spellings of the same visible
+    string dedup together; NFKC-only equivalences (ligatures,
+    fullwidth) deliberately do NOT."""
+    from crawl_spark.operators.dedup import exact_dedup, nfc_dedup
+
+    rows = [
+        (0, "Café menu Å one"),          # precomposed é, Å
+        (1, "Café menu Å one"),        # decomposed twins
+        (2, "café   MENU  Å one"),     # + case/ws noise
+        (3, "Café menu Å two"),          # different content
+        (4, "ﬁne print"),                     # ﬁ ligature (NFKC-only)
+        (5, "fine print"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_copies"] for r in nfc_dedup(df).collect()}
+    assert out == {0: 3, 3: 1, 4: 1, 5: 1}
+    # plain exact_dedup already folds case/ws (1 merges with 2) but
+    # NOT composition: the precomposed 0 stays a separate group
+    assert len(exact_dedup(df).collect()) == 5
+
+
 def test_decontaminate_bloom_equals_broadcast(spark):
     """eval_side="bloom" is exactness-preserving at ANY false-positive
     rate: a Bloom negative is authoritative (no false negatives), every
