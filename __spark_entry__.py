@@ -928,6 +928,18 @@ def q_lm_score(spark, sf_dir):
     return lm_score(d, m, n_buckets=512)
 
 
+def q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail terciles over q_lm_score's model: cutoffs
+    are the rank-based ceil(n/3)/ceil(2n/3)-th smallest nll (values
+    present in the data — engine-exact, unlike interpolated quantiles);
+    the oracle recomputes them with a window rank."""
+    from crawl_spark.operators.sampling import lm_buckets, lm_model
+
+    d = _t(spark, sf_dir, "documents")
+    m = lm_model(d.filter(F.col("doc_id") % 5 == 0), n_buckets=512)
+    return lm_buckets(d, m, n_buckets=512)
+
+
 def q_curate(spark, sf_dir):
     """The COMPOSED curation pipeline end-to-end
     (operators/pipeline.curate_training_set): PII scrub → exact dedup +
@@ -1235,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": q_shard_stats,
         "nb_classify": q_nb_classify,
         "nfc_dedup": q_nfc_dedup,
+        "lm_buckets": q_lm_buckets,
         "token_entropy": q_token_entropy,
         "pagerank": q_pagerank,
         "hits": q_hits,
@@ -2474,6 +2487,47 @@ FROM documents d
 LEFT JOIN bk ON bk.doc_id = d.doc_id
 LEFT JOIN m ON m.b = bk.b
 GROUP BY d.doc_id
+""",
+        "lm_buckets": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM tk
+  UNION ALL
+  SELECT tk.doc_id, t[u.i] || ' ' || t[u.i + 1] AS g
+  FROM tk, unnest(range(1, len(t))) AS u(i)
+),
+bk AS (SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS INT) AS b
+       FROM grams),
+cnt AS (SELECT b, count(*) AS c FROM bk WHERE doc_id % 5 = 0 GROUP BY b),
+tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS s FROM cnt),
+m AS (
+  SELECT CAST(sp.b AS INT) AS b,
+         round(ln((coalesce(cnt.c, 0) + 1) / (tot.s + 512)), 6) AS logp
+  FROM range(0, 512) sp(b)
+  CROSS JOIN tot
+  LEFT JOIN cnt ON cnt.b = sp.b
+),
+scored AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(count(bk.b) AS BIGINT) AS n_grams,
+         round(-CAST(sum(CAST(m.logp AS DECIMAL(18,6))) AS DOUBLE) / count(bk.b), 6) AS nll
+  FROM documents d
+  LEFT JOIN bk ON bk.doc_id = d.doc_id
+  LEFT JOIN m ON m.b = bk.b
+  GROUP BY d.doc_id
+),
+r AS (SELECT nll, row_number() OVER (ORDER BY nll) AS rn, count(*) OVER () AS n
+      FROM scored WHERE nll IS NOT NULL),
+cut AS (SELECT max(CASE WHEN rn <= ceil(n / 3.0) THEN nll END) AS c1,
+               max(CASE WHEN rn <= ceil(2 * n / 3.0) THEN nll END) AS c2
+        FROM r)
+SELECT doc_id, n_grams, nll,
+       CASE WHEN nll IS NULL THEN NULL
+            WHEN nll <= cut.c1 THEN 'head'
+            WHEN nll <= cut.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN cut
 """,
         "curate": f"""
 WITH rel AS (SELECT doc_id, {_RELINED} AS text FROM documents),

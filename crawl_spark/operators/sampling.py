@@ -464,6 +464,70 @@ def lm_model(
     )
 
 
+def lm_buckets(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    sample_frac: float = 1.0,
+    tokenizer=None,
+) -> DataFrame:
+    """CCNet's head/middle/tail partitioning (Wenzek et al. 2020): score
+    every doc with :func:`lm_score` and split the corpus into perplexity
+    terciles — "head" reads most like the reference corpus, "tail"
+    least; CCNet trains on head+middle and publishes all three.
+
+    Cutoffs are RANK-BASED, not interpolated: c1 = the ⌈n/3⌉-th smallest
+    nll in the cutoff sample, c2 the ⌈2n/3⌉-th — values PRESENT in the
+    data, so both cutoffs are engine-exact (interpolated quantiles
+    differ across engines in the last ulp and can flip boundary docs).
+    Assignment is nll ≤ c1 → head, ≤ c2 → middle, else tail; docs with
+    no grams keep a row with NULL nll and NULL bucket (CCNet drops
+    empties upstream).
+
+    Plan shape at 100 TB: scoring is lm_score's broadcast join + one
+    partial-agg groupBy; the cutoff sample is the deterministic
+    md5-threshold filter (``sample_frac``, hash_sample's rule — at a
+    10^10-doc corpus sample ~10^6 docs: tercile cutoff error is
+    O(1/√sample), far below any downstream threshold), the two ranks
+    come from ONE ``ranked_topk`` pass (local prune to ≤ P·k rows, one
+    bounded shuffle — never a global ORDER BY), and the cutoffs return
+    to the corpus as two literals. The scored frame is lazily
+    checkpointed: it feeds the cutoff job AND the final projection.
+    """
+    from .topk import ranked_topk
+
+    scored = lm_score(df, model, id_col, text_col, n_buckets, tokenizer)
+    scored = scored.localCheckpoint(eager=False)
+    sample = scored.filter(F.col("nll").isNotNull())
+    if sample_frac < 1.0:
+        sample = sample.filter(
+            _bucket_hex(F.col(id_col)) < F.lit(rate_threshold(sample_frac))
+        )
+    n = sample.count()
+    if n == 0:
+        return scored.select(
+            id_col, "n_grams", "nll", F.lit(None).cast("string").alias("bucket")
+        )
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    ranked = ranked_topk(sample.select("nll"), ["nll"], k2, pos_col="__r")
+    cuts = ranked.agg(
+        F.max(F.when(F.col("__r") <= k1, F.col("nll"))).alias("c1"),
+        F.max("nll").alias("c2"),
+    ).collect()[0]
+    return scored.select(
+        id_col,
+        "n_grams",
+        "nll",
+        F.when(F.col("nll").isNull(), F.lit(None).cast("string"))
+        .when(F.col("nll") <= cuts["c1"], F.lit("head"))
+        .when(F.col("nll") <= cuts["c2"], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 # -- Temperature mixing: per-stratum resampling at share ∝ count^alpha ------
 # The standard pretraining data-mix step (multilingual BERT / XLM-R
 # exponential-smoothing sampling, The Pile per-source weights — public

@@ -303,3 +303,66 @@ def test_lm_score_matches_python_model(spark, corpus):
     sci = [got[i]["nll"] for i in range(0, 60) if i % 3 == 0]
     spam = [got[i]["nll"] for i in range(0, 60) if i % 3 == 1]
     assert max(sci) < min(spam)
+
+
+def _py_terciles(nlls):
+    """Rank-based cutoffs: the ceil(n/3)-th and ceil(2n/3)-th smallest."""
+    s = sorted(nlls)
+    n = len(s)
+    return s[(n + 2) // 3 - 1], s[(2 * n + 2) // 3 - 1]
+
+
+def test_lm_buckets_matches_python_terciles(spark, corpus):
+    from crawl_spark.operators.sampling import lm_buckets, lm_model, lm_score
+
+    ref = corpus.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60))
+    m = lm_model(ref, n_buckets=B)
+    nll = {r["doc_id"]: r["nll"] for r in lm_score(corpus, m, n_buckets=B).collect()}
+    c1, c2 = _py_terciles([v for v in nll.values() if v is not None])
+
+    got = {r["doc_id"]: r["bucket"] for r in lm_buckets(corpus, m, n_buckets=B).collect()}
+    assert len(got) == 62
+    for i, v in nll.items():
+        want = (
+            None if v is None
+            else "head" if v <= c1
+            else "middle" if v <= c2
+            else "tail"
+        )
+        assert got[i] == want, (i, v, c1, c2)
+    # all three buckets are populated and reference-like docs lead the head
+    assert {"head", "middle", "tail"} <= set(got.values())
+    sci = [got[i] for i in range(0, 60, 3)]
+    assert set(sci) == {"head"} or sci.count("head") > len(sci) * 0.8
+
+
+def test_lm_buckets_sampled_cutoffs_are_deterministic(spark, corpus):
+    """sample_frac < 1: cutoffs come from the md5-threshold subset only —
+    recompute them in Python over the same subset and expect identical
+    assignment for every doc."""
+    import hashlib as _h
+
+    from crawl_spark.operators.sampling import lm_buckets, lm_model, lm_score
+
+    ref = corpus.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60))
+    m = lm_model(ref, n_buckets=B)
+    nll = {r["doc_id"]: r["nll"] for r in lm_score(corpus, m, n_buckets=B).collect()}
+    thr = "%04x" % int(0.5 * (1 << 16))
+    sampled = [
+        v for i, v in nll.items()
+        if v is not None and _h.md5(str(i).encode()).hexdigest()[:4] < thr
+    ]
+    assert 0 < len(sampled) < sum(v is not None for v in nll.values())
+    c1, c2 = _py_terciles(sampled)
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in lm_buckets(corpus, m, n_buckets=B, sample_frac=0.5).collect()
+    }
+    for i, v in nll.items():
+        want = (
+            None if v is None
+            else "head" if v <= c1
+            else "middle" if v <= c2
+            else "tail"
+        )
+        assert got[i] == want, (i, v, c1, c2)
