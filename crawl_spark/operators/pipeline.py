@@ -7,7 +7,8 @@ Gopher-family shape, all public methods):
 
     PII scrub → exact dedup + language gate + quality gate
     (clean_corpus) → repetition gate (gopher_repetition)
-    [→ benchmark decontamination] [→ DSIR importance selection]
+    [→ benchmark decontamination] [→ NB classifier gate]
+    [→ CCNet LM-bucket gate] [→ DSIR importance selection]
     [→ domain quota] → sequence packing
 
 Each stage is the already-oracle-checked operator; this module adds only
@@ -58,6 +59,12 @@ def curate_training_set(
     max_top2gram_frac: float = 0.20,
     eval_df: DataFrame | None = None,
     eval_ngram: int = 13,
+    classifier_df: DataFrame | None = None,
+    classifier_keep: tuple[str, ...] | None = None,
+    classifier_buckets: int = 4096,
+    reference_df: DataFrame | None = None,
+    lm_keep: tuple[str, ...] = ("head", "middle"),
+    lm_n_buckets: int = 4096,
     target_df: DataFrame | None = None,
     dsir_keep: int | None = None,
     dsir_buckets: int = 4096,
@@ -74,13 +81,20 @@ def curate_training_set(
     sel_rank when DSIR selection is on).
 
     Optional stages engage by argument: ``eval_df`` adds 13-gram
-    benchmark decontamination; ``target_df`` + ``dsir_keep`` adds DSIR
-    importance selection (weights fitted target-vs-SURVIVORS, top
-    ``dsir_keep`` kept); ``domain_col`` + ``domain_cap`` caps any one
-    domain's contribution (applied AFTER selection — the quota shapes
-    the final mixture). ``tokenizer`` switches decontamination, DSIR
-    and packing into the same tokenizer space (textops.resolve_tokens
-    hook); the gates' published rules stay whitespace-defined.
+    benchmark decontamination; ``classifier_df`` (labeled (label, text)
+    seed set) + ``classifier_keep`` adds the FineWeb-Edu-style NB
+    classifier gate (keep docs predicted into those labels; provenance
+    clf_pred/clf_score); ``reference_df`` adds the CCNet LM gate (fit
+    lm_model on the reference corpus, keep docs whose perplexity
+    tercile is in ``lm_keep`` — provenance nll/lm_bucket; cutoffs
+    computed over the surviving corpus); ``target_df`` + ``dsir_keep``
+    adds DSIR importance selection (weights fitted target-vs-SURVIVORS,
+    top ``dsir_keep`` kept); ``domain_col`` + ``domain_cap`` caps any
+    one domain's contribution (applied AFTER selection — the quota
+    shapes the final mixture). ``tokenizer`` switches decontamination,
+    the classifier/LM models, DSIR and packing into the same tokenizer
+    space (textops.resolve_tokens hook); the gates' published rules
+    stay whitespace-defined.
     """
     from .dedup import decontaminate
     from .sampling import domain_quota, dsir_select, dsir_weights, pack_sequences
@@ -122,6 +136,43 @@ def curate_training_set(
     # pack + provenance joins) — without this the whole gate chain
     # (dedup digest shuffle, gopher gram groupBy) re-executes per action
     kept = kept.localCheckpoint(eager=False)
+    if classifier_df is not None and classifier_keep:
+        from .classify import nb_score, nb_train
+
+        nbm = nb_train(
+            classifier_df, "label", text_col, classifier_buckets, tokenizer
+        )
+        clf = (
+            nb_score(
+                base.join(kept.select(id_col), id_col),
+                nbm, id_col, text_col, classifier_buckets, tokenizer,
+            )
+            .filter(F.col("pred").isin(*classifier_keep))
+            .select(
+                F.col(id_col),
+                F.col("pred").alias("clf_pred"),
+                F.col("score").alias("clf_score"),
+            )
+        )
+        kept = kept.join(clf, id_col)
+    if reference_df is not None:
+        from .sampling import lm_buckets as _lm_buckets
+        from .sampling import lm_model
+
+        lmm = lm_model(reference_df, text_col, lm_n_buckets, tokenizer)
+        lb = (
+            _lm_buckets(
+                base.join(kept.select(id_col), id_col),
+                lmm, id_col, text_col, lm_n_buckets, tokenizer=tokenizer,
+            )
+            .filter(F.col("bucket").isin(*lm_keep))
+            .select(F.col(id_col), "nll", F.col("bucket").alias("lm_bucket"))
+        )
+        kept = kept.join(lb, id_col)
+    if (classifier_df is not None and classifier_keep) or reference_df is not None:
+        # the new gates' broadcast joins + aggregates would otherwise
+        # re-execute under every downstream action (DSIR fit, packing)
+        kept = kept.localCheckpoint(eager=False)
     if target_df is not None and dsir_keep:
         ktext = base.join(kept.select(id_col), id_col)
         w = dsir_weights(target_df, ktext, text_col, dsir_buckets, tokenizer)

@@ -96,6 +96,71 @@ def test_each_gate_drops_for_its_own_reason(spark):
     assert "score" not in out[0].asDict()  # dsir off -> no selection columns
 
 
+def test_classifier_and_lm_gates_compose(spark, relined):
+    """The optional NB-classifier and CCNet-LM gates must equal the
+    standalone operators run over the surviving corpus — including the
+    LM tercile cutoffs, which by contract are computed over the
+    SURVIVORS, not the raw crawl."""
+    from crawl_spark.operators.classify import nb_score, nb_train
+    from crawl_spark.operators.pipeline import curate_training_set, scrub_text
+    from crawl_spark.operators.sampling import lm_buckets, lm_model
+    from crawl_spark.operators.textops import clean_corpus, gopher_repetition
+
+    # labeled seed set: "good" = corpus-like text, "bad" = synthetic spam
+    good = relined.filter(F.col("doc_id") % 11 == 0).select(
+        F.lit("good").alias("label"), "text"
+    )
+    bad = spark.createDataFrame(
+        [("bad", "buy cheap deal sale discount offer now %d" % i) for i in range(20)],
+        "label string, text string",
+    )
+    clf_df = good.union(bad)
+    ref = relined.filter(F.col("doc_id") % 13 == 0)
+
+    got = {
+        r.doc_id: r
+        for r in curate_training_set(
+            relined,
+            min_tokens=30, min_quality=4.0, langs=("en",),
+            max_dup_line_frac=0.05, max_top2gram_frac=0.06,
+            classifier_df=clf_df, classifier_keep=("good",),
+            classifier_buckets=512,
+            reference_df=ref, lm_keep=("head", "middle"), lm_n_buckets=512,
+            seq_len=256, streams=8,
+        ).collect()
+    }
+
+    base = relined.select("doc_id", scrub_text(F.col("text")).alias("text"))
+    cc = {r.doc_id for r in clean_corpus(base, min_tokens=30, min_quality=4.0).collect()}
+    gr = {
+        r.doc_id
+        for r in gopher_repetition(
+            base, max_dup_line_frac=0.05, max_top2gram_frac=0.06
+        ).collect()
+        if r.keep
+    }
+    surv = base.filter(F.col("doc_id").isin(list(cc & gr)))
+    nbm = nb_train(clf_df, n_buckets=512)
+    clf = {
+        r.doc_id: (r.pred, r.score)
+        for r in nb_score(surv, nbm, n_buckets=512).collect()
+        if r.pred == "good"
+    }
+    surv2 = surv.filter(F.col("doc_id").isin(list(clf)))
+    lmm = lm_model(ref, n_buckets=512)
+    lb = {
+        r.doc_id: (r.nll, r.bucket)
+        for r in lm_buckets(surv2, lmm, n_buckets=512).collect()
+        if r.bucket in ("head", "middle")
+    }
+    assert set(got) == set(lb) and len(got) > 0
+    for i, r in got.items():
+        assert (r.clf_pred, r.clf_score) == clf[i]
+        assert (r.nll, r.lm_bucket) == lb[i]
+    # the gates actually dropped something
+    assert len(clf) < len(cc & gr) or len(lb) < len(clf)
+
+
 def test_scrub_changes_packing_input(spark):
     """PII tags must be what the packer counts: a doc whose only long
     run is an email-laden line keeps its row with the scrubbed token
