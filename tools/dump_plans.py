@@ -406,6 +406,101 @@ def main() -> None:
         semdedup(emb, threshold=0.25),
     )
 
+    # 20. HITS: dual bucketed edge layouts — neither per-iteration join
+    # exchanges the O(E) side
+    from crawl_spark.operators.graph import hits
+
+    edges = docs.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 101).alias("dst"),
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # run once with bucket_path to lay out + register both tables
+        hits(
+            edges, iters=1,
+            bucket_path=os.path.join(ensure_pages_fixture(20000) + "_hits", "e"),
+            n_buckets=8, bucket_table="plans_hits_edges",
+        ).collect()
+        scores = spark.range(101).select(
+            F.col("id").alias("node"), F.lit(1.0).alias("s")
+        )
+        auth_step = (
+            spark.table("plans_hits_edges_src")
+            .join(scores.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("a"))
+        )
+        hub_step = (
+            spark.table("plans_hits_edges_dst")
+            .join(scores.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("h"))
+        )
+        note = (
+            "Round-5 operator. HITS joins the edge table on BOTH "
+            "endpoints (src for the authority step, dst for the hub "
+            "step), so hits() lays the edges out twice — bucketed+"
+            "sorted by src AND by dst — and each step's SortMergeJoin "
+            "scans its co-located layout (`Bucketed: true`) with NO "
+            "Exchange on the edge side: only the O(nodes) score vector "
+            "shuffles per iteration, pagerank's contract. (Captured "
+            "here as the two standalone step joins over the registered "
+            "bucketed tables — inside hits() the steps sit behind the "
+            "per-iteration normalization checkpoints, which hide the "
+            "scans from the final plan.)"
+        )
+        cap("HITS authority step (src-bucketed edges, no edge Exchange)",
+            note, auth_step)
+        cap("HITS hub step (dst-bucketed edges, no edge Exchange)",
+            "Same contract, opposite endpoint — see the previous "
+            "section's note.", hub_step)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS plans_hits_edges_src")
+        spark.sql("DROP TABLE IF EXISTS plans_hits_edges_dst")
+
+    # 21. NB classification: broadcast model, argmax with no window
+    from crawl_spark.operators.classify import nb_score, nb_train
+
+    lab = F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    nbm = nb_train(docs.select(lab.alias("label"), "text"), n_buckets=512)
+    cap(
+        "Naive Bayes scoring (broadcast K×B model, min-struct argmax)",
+        "Round-5 operator. The K·n_buckets model rides a "
+        "BroadcastExchange into the gram join (fan-out ×K, K = class "
+        "count); per-(doc, label) sums are ONE partial-aggregated "
+        "HashAggregate pair on DECIMAL(18,6); the per-doc argmax is "
+        "min(struct(-score, label)) — a second partial-aggregated "
+        "groupBy(doc), NEVER a Window over the scored rows. Priors fold "
+        "in as a broadcast K-row join.",
+        nb_score(docs, nbm, n_buckets=512),
+    )
+
+    # 22. Bloom-path decontamination: map-side bitmap probe, verify join
+    from crawl_spark.operators.bloom import BloomConfig
+    from crawl_spark.operators.dedup import decontaminate
+
+    cap(
+        "Decontamination, eval_side=bloom (bitmap probe + exact verify)",
+        "Round-5 scale path for eval sets too big to broadcast as "
+        "digests. Corpus grams must flow map-side through the "
+        "MapInPandas bitmap probe (ArrowEvalPython/MapInPandas node "
+        "directly over the gram projection — no shuffle before the "
+        "probe); only bloom-POSITIVE survivors reach the exact "
+        "SortMergeJoin with the eval digest table (both sides exchange "
+        "on the 16-byte md5 — the eval side's one unavoidable shuffle), "
+        "and the per-doc hit count is a partial-aggregated groupBy. "
+        "The broadcast the old path needed for eval digests is gone; "
+        "the bitmap rides a SparkContext broadcast sized bits/8 bytes.",
+        decontaminate(
+            docs, docs.filter(F.col("doc_id") % 37 == 0), n=5,
+            eval_side="bloom",
+            bloom_cfg=BloomConfig(n_buckets=8, bits_per_bucket=1 << 14),
+        ),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
