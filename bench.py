@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "host_graph",
     "decontaminate_bloom",
     "shard_stats",
+    "nb_classify",
+    "nfc_dedup",
+    "lm_buckets",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages
