@@ -1204,6 +1204,76 @@ def q_video_demux(spark, sf_dir):
     ).orderBy("doc_id", "frame_idx")
 
 
+def _docs_c4(spark, sf_dir):
+    """documents rebuilt as C4-shaped pages (the sf texts have no
+    newlines/punctuation): 2..5 good sentences per page plus one line
+    per C4 line rule, and doc_id-keyed page-gate injections (lorem
+    ipsum / curly bracket / blocklist word) — every rule fires on a
+    deterministic doc subset so the verdict is MIXED at sf0.01."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    good = "the data rows join cleanly and fast."
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.array_join(
+                F.array_repeat(F.lit(good), (F.lit(2) + i % 4).cast("int")), "\n"
+            ),
+            F.lit("\nno terminal punctuation boilerplate menu line"),
+            F.lit("\ntiny one."),
+            F.when(
+                i % 3 == 0,
+                F.lit("\nplease enable javascript to continue now."),
+            ).otherwise(F.lit("\nanother clean sentence ends properly here.")),
+            F.when(
+                i % 7 == 0, F.lit("\nlorem ipsum dolor sit amet today.")
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 11 == 0, F.lit("\ncode block { starts here today.")
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 13 == 0, F.lit("\nthis page contains badword1 sadly today.")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    from crawl_spark.operators.textops import c4_clean
+
+    return c4_clean(_docs_c4(spark, sf_dir))
+
+
+def q_fix_encoding(spark, sf_dir):
+    """Mojibake repair (rows-only: DuckDB is UTF-8-only, no Latin-1
+    codec exists for an oracle; the repair rule is pinned by pytest
+    against its driver twin + a hypothesis round-trip property)."""
+    from crawl_spark.operators.textops import fix_encoding
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    moji = "café résumé".encode("utf-8").decode("latin-1")  # "cafÃ© rÃ©sumÃ©"
+    raw = F.concat(
+        F.when(i % 3 == 0, F.lit(moji))
+        .when(i % 3 == 1, F.lit("café résumé"))
+        .otherwise(F.lit("plain ascii")),
+        F.lit(" doc "),
+        i.cast("string"),
+    )
+    base = d.select(
+        "doc_id",
+        raw.alias("raw"),
+        fix_encoding(raw).alias("__fixed"),
+    ).localCheckpoint(eager=False)  # UDF output materialized once (CLAUDE.md)
+    return base.select(
+        "doc_id",
+        F.length("raw").cast("int").alias("raw_len"),
+        F.length("__fixed").cast("int").alias("fixed_len"),
+        F.md5("__fixed").alias("fixed_md5"),
+        (F.col("__fixed") != F.col("raw")).alias("changed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1238,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
         "gopher_repetition": q_gopher_repetition,
+        "c4_clean": q_c4_clean,
+        "fix_encoding": q_fix_encoding,  # rows-only: no Latin-1 codec in DuckDB
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
         "domain_quota": q_domain_quota,
@@ -1939,6 +2011,43 @@ SELECT base.doc_id, n_lines, dup_line_frac,
        (dup_line_frac <= 0.05
         AND round(coalesce(CAST(tp AS DOUBLE) / tot, 0.0), 6) <= 0.06) AS keep
 FROM base LEFT JOIN top USING (doc_id)
+""",
+        # braces live in SQL as chr(123): this dict mixes f-strings, and the
+        # synthesized page injects a literal '{' for the C4 curly-bracket gate
+        "c4_clean": r"""
+WITH d AS (SELECT doc_id,
+  repeat('the data rows join cleanly and fast.' || chr(10), CAST(2 + doc_id % 4 AS INT))
+  || 'no terminal punctuation boilerplate menu line'
+  || chr(10) || 'tiny one.'
+  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'please enable javascript to continue now.'
+          ELSE chr(10) || 'another clean sentence ends properly here.' END
+  || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet today.' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code block ' || chr(123) || ' starts here today.' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'this page contains badword1 sadly today.' ELSE '' END
+  AS text FROM documents),
+k AS (SELECT doc_id, text,
+        string_split(text, chr(10)) AS lines,
+        list_filter(string_split(text, chr(10)), l ->
+          regexp_matches(rtrim(l), '[.!?"]$')
+          AND len(list_filter(string_split_regex(lower(l), '\s+'), x -> x <> '')) >= 3
+          AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM d),
+c AS (SELECT doc_id, text,
+        CAST(len(lines) AS INT) AS n_lines,
+        CAST(len(kept) AS INT) AS n_kept,
+        array_to_string(kept, chr(10)) AS clean
+      FROM k)
+SELECT doc_id, n_lines, n_kept,
+  CAST(len(regexp_extract_all(clean, '[.!?]')) AS INT) AS n_sentences,
+  (len(regexp_extract_all(clean, '[.!?]')) >= 5
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, chr(123))
+   AND len(list_intersect(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+           ['badword1', 'badword2', 'badword3'])) = 0
+  ) AS keep,
+  md5(clean) AS clean_md5,
+  CAST(length(clean) AS INT) AS clean_len
+FROM c
 """,
         "line_dedup": f"""
 WITH d AS (SELECT doc_id, {_RELINED} AS text FROM documents),

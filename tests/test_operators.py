@@ -1657,3 +1657,118 @@ def test_decontaminate_in_tokenizer_space(spark):
     # default whitespace space: no 4-gram overlap → both pass
     base = {r.doc_id: r for r in decontaminate(train, ev, n=4).collect()}
     assert base[1].keep and base[2].keep
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """Every C4 rule exercised by hand-built docs; the cleaned-text md5
+    is checked byte-level against hand-assembled survivors."""
+    from crawl_spark.operators.textops import c4_clean
+
+    good = "the data rows join cleanly and fast."
+    five_good = "\n".join([good] * 5)
+    rows = [
+        # 1: five good lines -> keep
+        (1, five_good),
+        # 2: line rules — no terminal punct / <3 words / javascript line
+        #    each dropped; five good lines survive -> keep
+        (2, five_good + "\nno terminal punct here\ntiny one.\n"
+            + "please enable JavaScript to continue now."),
+        # 3: page gate — lorem ipsum (case-insensitive) -> drop
+        (3, five_good + "\nLorem Ipsum dolor sit amet today."),
+        # 4: page gate — curly bracket anywhere -> drop
+        (4, five_good + "\ncode { block starts here."),
+        # 5: page gate — blocklist word as whole token -> drop
+        (5, five_good + "\nthis page contains badword1 sadly."),
+        # 6: blocklist word only as a SUBSTRING -> not a token hit -> keep
+        (6, five_good + "\nthis page contains badword1x safely today."),
+        # 7: only 4 sentences survive -> drop (min_sentences=5)
+        (7, "\n".join([good] * 4)),
+        # 8: multi-sentence line counts each [.!?]; end-quote keeps the line
+        (8, 'good start. really good. yes!\nhe said "stop right there."\n'
+            + "trailing spaces still end well.   "),
+        # 9: empty text
+        (9, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in c4_clean(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["n_kept"] == 5 and out[1]["n_sentences"] == 5
+    assert out[1]["clean_md5"] == hashlib.md5(five_good.encode()).hexdigest()
+    assert out[2]["n_lines"] == 8 and out[2]["n_kept"] == 5
+    assert out[2]["keep"] is True
+    assert out[2]["clean_md5"] == hashlib.md5(five_good.encode()).hexdigest()
+    for bad in (3, 4, 5):
+        assert out[bad]["keep"] is False, bad
+        assert out[bad]["n_kept"] == 6  # the gate is page-level, lines survive
+    assert out[6]["keep"] is True and out[6]["n_kept"] == 6
+    assert out[7]["keep"] is False and out[7]["n_sentences"] == 4
+    # doc 8: line1 has 3 sentences, line2 ends in end-quote (kept, +1),
+    # line3 rtrims to terminal '.' (kept, +1) -> 5 sentences, keep
+    assert out[8]["n_kept"] == 3 and out[8]["n_sentences"] == 5
+    assert out[8]["keep"] is True
+    expected8 = ('good start. really good. yes!\nhe said "stop right there."\n'
+                 + "trailing spaces still end well.   ")
+    assert out[8]["clean_md5"] == hashlib.md5(expected8.encode()).hexdigest()
+    assert out[8]["clean_len"] == len(expected8)
+    assert out[9]["n_lines"] == 1 and out[9]["n_kept"] == 0
+    assert out[9]["keep"] is False
+    assert out[9]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_fix_encoding_repairs_mojibake(spark):
+    """Hand-built mojibake pairs + the no-corruption guarantees, checked
+    through BOTH the Spark UDF and its driver twin (must agree)."""
+    import pandas as pd
+
+    from crawl_spark.operators.textops import fix_encoding, fix_encoding_str
+
+    cafe = "café déjà vu"
+    mojibake = cafe.encode("utf-8").decode("latin-1")  # "cafÃ© dÃ©jÃ  vu"
+    double = mojibake.encode("utf-8").decode("latin-1")  # double-encoded
+    cases = {
+        1: (mojibake, cafe),
+        2: (double, cafe),  # two passes unwind double mojibake
+        3: ("plain ascii stays put", "plain ascii stays put"),
+        4: ("漢字 outside latin-1", "漢字 outside latin-1"),
+        5: ("café", "café"),  # real accents: latin-1 bytes not valid utf-8
+        6: ("", ""),
+        7: (None, None),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(cases), "text": [v[0] for v in cases.values()]}
+        ).astype({"doc_id": "int64"})
+    )
+    got = {
+        r["doc_id"]: r["fixed"]
+        for r in df.select("doc_id", fix_encoding(F.col("text")).alias("fixed")).collect()
+    }
+    for k, (raw, want) in cases.items():
+        assert got[k] == want, (k, got[k], want)
+        assert fix_encoding_str(raw) == want, k  # driver twin agrees
+
+
+def test_fix_encoding_roundtrip_property():
+    """Property: for any fixed-point string with non-ASCII content,
+    repairing its mojibake form recovers it exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl_spark.operators.textops import fix_encoding_str
+
+    safe = st.text(
+        alphabet="abc éàüñßøç日", min_size=1, max_size=40
+    ).filter(
+        lambda s: any(ord(c) > 127 for c in s) and fix_encoding_str(s) == s
+    )
+
+    @given(safe)
+    @settings(max_examples=200, deadline=None)
+    def _prop(s):
+        m = s.encode("utf-8").decode("latin-1")
+        assert fix_encoding_str(m) == s
+
+    _prop()
