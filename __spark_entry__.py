@@ -1244,6 +1244,32 @@ def q_c4_clean(spark, sf_dir):
     return c4_clean(_docs_c4(spark, sf_dir))
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4 duplicated-3-sentence-span removal over synthesized pages:
+    every doc_id % 4 == 0 page embeds the same 3-sentence block, all
+    other sentences are doc-unique — so exactly one global owner keeps
+    the block and 124 losers at sf0.01 are edited (MIXED verdict)."""
+    from crawl_spark.operators.dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    u = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("intro sentence "), u, F.lit(" opens. second unique "), u,
+        F.lit(" line. "),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("shared span alpha. shared span beta. shared span gamma. "),
+        ).otherwise(
+            F.concat(
+                F.lit("solo "), u, F.lit(" alpha. solo "), u,
+                F.lit(" beta. solo "), u, F.lit(" gamma. "),
+            )
+        ),
+        F.lit("closing sentence "), u, F.lit(" ends."),
+    )
+    return span_dedup(d.select("doc_id", text.alias("text")))
+
+
 def q_fix_encoding(spark, sf_dir):
     """Mojibake repair (rows-only: DuckDB is UTF-8-only, no Latin-1
     codec exists for an oracle; the repair rule is pinned by pytest
@@ -1309,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "gopher_repetition": q_gopher_repetition,
         "c4_clean": q_c4_clean,
+        "span_dedup": q_span_dedup,
         "fix_encoding": q_fix_encoding,  # rows-only: no Latin-1 codec in DuckDB
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
@@ -2048,6 +2075,43 @@ SELECT doc_id, n_lines, n_kept,
   md5(clean) AS clean_md5,
   CAST(length(clean) AS INT) AS clean_len
 FROM c
+""",
+        # the oracle may use windows (row_number ownership); the Spark side
+        # stays window-free via min(struct) — only ITS plan must scale
+        "span_dedup": """
+WITH d AS (SELECT doc_id,
+  'intro sentence ' || CAST(doc_id AS VARCHAR) || ' opens. second unique '
+  || CAST(doc_id AS VARCHAR) || ' line. '
+  || CASE WHEN doc_id % 4 = 0
+     THEN 'shared span alpha. shared span beta. shared span gamma. '
+     ELSE 'solo ' || CAST(doc_id AS VARCHAR) || ' alpha. solo '
+          || CAST(doc_id AS VARCHAR) || ' beta. solo '
+          || CAST(doc_id AS VARCHAR) || ' gamma. ' END
+  || 'closing sentence ' || CAST(doc_id AS VARCHAR) || ' ends.' AS text
+  FROM documents),
+s AS (SELECT doc_id, string_split(text, '. ') AS ss FROM d),
+sp AS (SELECT doc_id, CAST(u.p AS INT) AS p,
+         md5(array_to_string(ss[CAST(u.p AS INT)+1 : CAST(u.p AS INT)+3], '. ')) AS h
+       FROM s, unnest(range(0, greatest(len(ss)-2, 0))) AS u(p)),
+rk AS (SELECT doc_id, p,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+       FROM sp),
+dups AS (SELECT doc_id, p FROM rk WHERE c >= 2 AND rn > 1),
+marked AS (SELECT DISTINCT doc_id, sidx
+           FROM (SELECT doc_id, unnest([p, p+1, p+2]) AS sidx FROM dups)),
+ex AS (SELECT doc_id, unnest(ss) AS sent, unnest(range(0, len(ss))) AS sidx FROM s),
+kept AS (SELECT ex.* FROM ex ANTI JOIN marked USING (doc_id, sidx)),
+reasm AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                 string_agg(sent, '. ' ORDER BY sidx) AS clean
+          FROM kept GROUP BY doc_id),
+nd AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans FROM dups GROUP BY doc_id)
+SELECT s.doc_id, CAST(len(ss) AS INT) AS n_sentences,
+       coalesce(n_kept, 0) AS n_kept,
+       coalesce(n_dup_spans, 0) AS n_dup_spans,
+       md5(coalesce(clean, '')) AS clean_md5,
+       CAST(length(coalesce(clean, '')) AS INT) AS clean_len
+FROM s LEFT JOIN reasm USING (doc_id) LEFT JOIN nd USING (doc_id)
 """,
         "line_dedup": f"""
 WITH d AS (SELECT doc_id, {_RELINED} AS text FROM documents),

@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "nb_classify",
     "nfc_dedup",
     "lm_buckets",
+    # round-5 continuation: C4 stage family + mojibake repair
+    "c4_clean",
+    "span_dedup",
+    "fix_encoding",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -772,3 +772,118 @@ def contamination_report(
             ).alias("doc_frac"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    sep: str = ". ",
+) -> DataFrame:
+    """C4's corpus-level duplicated-span removal (Raffel et al. 2020
+    §2.2: "we removed any duplicated three-sentence spans"): split each
+    document into sentences on the literal ``sep`` boundary, hash every
+    ``n``-sentence sliding span, and wherever a span occurs ≥ 2 times
+    corpus-wide, REMOVE its sentences from every occurrence except the
+    globally-first one (ownership = min (doc_id, position) — a total
+    order, so re-runs and engines agree), then re-assemble each doc
+    from its surviving sentences (joined with ``sep``; reassembly is
+    byte-identical to the input whenever nothing was removed, because
+    the literal split is lossless under the same join).
+
+    Complements the family: :func:`line_dedup` drops corpus-hot LINES,
+    :func:`repeated_spans` SCORES token-level repetition, ``span_dedup``
+    EDITS at sentence granularity — the missing C4 stage.
+
+    Emits (doc_id, n_sentences, n_kept, n_dup_spans, clean_md5,
+    clean_len).
+
+    Plan shape at 100 TB (window-free — ownership via min(struct), not
+    rank):
+      1. span digests build map-side (zip_with chain over shifted
+         sentence slices; the sentence array is checkpointed once —
+         the chain references it n+1 times and Catalyst does not CSE
+         nested HOFs);
+      2. ONE corpus-wide partial-agg groupBy on the 16-byte digest
+         computes (owner, count) — the only O(corpus) shuffle, and it
+         carries digests, never text;
+      3. losers re-join starts on the digest (co-partitioned with the
+         groupBy — Catalyst reuses the exchange) and mark their n
+         sentence indices;
+      4. survivors re-assemble with a per-doc partial-agg groupBy
+         (collect_list bounded by doc length — same bound every
+         reassembling operator here carries).
+    """
+    import re as _re
+
+    sdf = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), _re.escape(sep)).alias("__s"),
+    ).localCheckpoint(eager=False)
+    sents = F.col("__s")
+    m = F.greatest(F.size(sents) - n + 1, F.lit(0))
+    sp = F.slice(sents, 1, m)
+    for j in range(1, n):
+        sp = F.zip_with(
+            sp, F.slice(sents, 1 + j, m), lambda a, b: F.concat(a, F.lit(sep), b)
+        )
+    grams = F.transform(
+        F.when(F.size(sents) >= n, sp).otherwise(F.array().cast("array<string>")),
+        lambda s: F.md5(s),
+    )
+    # (doc, p, digest) feeds two consumers with different exchanges
+    # (corpus count vs loser join) — checkpoint so the span build runs
+    # once (the same two-consumer trap repeated_spans documents).
+    starts = sdf.select(
+        F.col(id_col), F.posexplode(grams).alias("p", "h")
+    ).localCheckpoint(eager=False)
+    own = (
+        starts.groupBy("h")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("p"))).alias("__first"),
+            F.count("*").alias("__c"),
+        )
+        .filter(F.col("__c") >= 2)
+        .select("h", "__first")
+    )
+    dups = (
+        starts.join(own, "h")
+        .filter(F.struct(F.col(id_col), F.col("p")) != F.col("__first"))
+        .select(id_col, "p")
+    )
+    marked = dups.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("sidx"),
+    ).distinct()
+    ex = sdf.select(F.col(id_col), F.posexplode("__s").alias("sidx", "sent"))
+    reasm = (
+        ex.join(marked, [id_col, "sidx"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sidx", "sent"))),
+                    lambda x: x.getField("sent"),
+                ),
+                sep,
+            ).alias("__clean"),
+        )
+    )
+    nd = dups.groupBy(id_col).agg(F.count("*").cast("int").alias("n_dup_spans"))
+    base = sdf.select(F.col(id_col), F.size("__s").cast("int").alias("n_sentences"))
+    return (
+        base.join(reasm, id_col, "left")
+        .join(nd, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_sentences",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
+            F.length(F.coalesce(F.col("__clean"), F.lit("")))
+            .cast("int")
+            .alias("clean_len"),
+        )
+    )

@@ -1772,3 +1772,69 @@ def test_fix_encoding_roundtrip_property():
         assert fix_encoding_str(m) == s
 
     _prop()
+
+
+def py_span_dedup(docs, n=3, sep=". "):
+    """From-first-principles model of the C4 duplicated-span rule."""
+    from collections import defaultdict
+
+    sents = {i: s.split(sep) for i, s in docs.items()}
+    spans = []
+    for i in sorted(sents):
+        ss = sents[i]
+        for p in range(max(len(ss) - n + 1, 0)):
+            spans.append((i, p, sep.join(ss[p : p + n])))
+    first, count = {}, defaultdict(int)
+    for i, p, k in sorted(spans):
+        count[k] += 1
+        if k not in first:
+            first[k] = (i, p)
+    marked = defaultdict(set)
+    ndup = defaultdict(int)
+    for i, p, k in spans:
+        if count[k] >= 2 and first[k] != (i, p):
+            marked[i].update(range(p, p + n))
+            ndup[i] += 1
+    out = {}
+    for i, ss in sents.items():
+        kept = [s for j, s in enumerate(ss) if j not in marked[i]]
+        out[i] = (len(ss), len(kept), ndup[i], sep.join(kept))
+    return out
+
+
+def test_span_dedup_matches_python_model(spark):
+    """C4 duplicated-3-sentence-span removal: global first occurrence
+    keeps, every other occurrence loses its sentences; reassembly is
+    byte-exact (md5-pinned), and untouched docs round-trip."""
+    from crawl_spark.operators.dedup import span_dedup
+
+    docs = {
+        1: "a1 one. b1 two. X spanline. Y spanline. Z spanline. c1 tail.",
+        2: "a2 one. X spanline. Y spanline. Z spanline. c2 tail.",
+        3: "X spanline. Y spanline. Z spanline. tail3 here.",
+        4: "R rep. S rep. T rep. R rep. S rep. T rep. end4 done.",
+        5: "only two. here",
+    }
+    want = py_span_dedup(docs)
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(
+            spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == set(docs)
+    for i in docs:
+        ns, nk, nd, clean = want[i]
+        assert out[i]["n_sentences"] == ns, i
+        assert out[i]["n_kept"] == nk, i
+        assert out[i]["n_dup_spans"] == nd, i
+        assert out[i]["clean_md5"] == hashlib.md5(clean.encode()).hexdigest(), i
+        assert out[i]["clean_len"] == len(clean), i
+    # ownership: doc 1 holds the global first (doc, pos) of the shared
+    # span -> keeps everything; docs 2 and 3 lose exactly 3 sentences
+    assert out[1]["n_kept"] == 6 and out[1]["n_dup_spans"] == 0
+    assert out[2]["n_kept"] == 2 and out[3]["n_kept"] == 1
+    # doc 4: internal repetition — second (R,S,T) occurrence removed
+    assert out[4]["n_kept"] == 4 and out[4]["n_dup_spans"] == 1
+    # doc 5: < n sentences -> untouched, byte-identical round-trip
+    assert out[5]["clean_md5"] == hashlib.md5(docs[5].encode()).hexdigest()
