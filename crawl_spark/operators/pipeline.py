@@ -5,11 +5,11 @@ training sequences out.
 the standard web-corpus preparation recipe (the FineWeb / Dolma /
 Gopher-family shape, all public methods):
 
-    PII scrub → exact dedup + language gate + quality gate
-    (clean_corpus) → repetition gate (gopher_repetition)
-    [→ benchmark decontamination] [→ NB classifier gate]
-    [→ CCNet LM-bucket gate] [→ DSIR importance selection]
-    [→ domain quota] → sequence packing
+    [C4 line-level edit + page gates] → PII scrub → exact dedup +
+    language gate + quality gate (clean_corpus) → repetition gate
+    (gopher_repetition) [→ benchmark decontamination]
+    [→ NB classifier gate] [→ CCNet LM-bucket gate]
+    [→ DSIR importance selection] [→ domain quota] → sequence packing
 
 Each stage is the already-oracle-checked operator; this module adds only
 composition, so the pipeline's correctness decomposes into the stages'
@@ -51,6 +51,8 @@ def curate_training_set(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
+    c4_rules: bool = False,
+    c4_min_sentences: int = 5,
     scrub_pii: bool = True,
     min_tokens: int = 30,
     min_quality: float = 4.0,
@@ -80,7 +82,10 @@ def curate_training_set(
     lang_pred, quality, dup_line_frac, top2gram_frac, and score/
     sel_rank when DSIR selection is on).
 
-    Optional stages engage by argument: ``eval_df`` adds 13-gram
+    Optional stages engage by argument: ``c4_rules`` prepends the C4
+    line-level EDIT (textops.c4_kept_lines re-assembly on raw text,
+    pre-scrub, plus the lorem-ipsum/curly/blocklist/min-sentences page
+    gates — docs are rewritten, not just filtered); ``eval_df`` adds 13-gram
     benchmark decontamination; ``classifier_df`` (labeled (label, text)
     seed set) + ``classifier_keep`` adds the FineWeb-Edu-style NB
     classifier gate (keep docs predicted into those labels; provenance
@@ -103,6 +108,24 @@ def curate_training_set(
     if domain_col:
         keep_cols.append(F.col(domain_col))
     base = df.select(*keep_cols)
+    if c4_rules:
+        # C4 line-level EDIT first (raw web text, before any scrubbing,
+        # per the paper's ordering): keep-lines array + original-text
+        # page gates materialize once (no-CSE rule), then the doc is
+        # re-assembled and pages failing the gates are dropped.
+        from .textops import c4_kept_lines, c4_page_ok
+
+        pre = [F.col(id_col)] + ([F.col(domain_col)] if domain_col else [])
+        base = base.select(
+            *pre,
+            c4_kept_lines(F.col(text_col)).alias("__c4l"),
+            c4_page_ok(F.col(text_col)).alias("__c4ok"),
+        ).localCheckpoint(eager=False)
+        clean = F.array_join(F.col("__c4l"), "\n")
+        base = base.filter(
+            F.col("__c4ok")
+            & (F.regexp_count(clean, F.lit(r"[.!?]")) >= F.lit(c4_min_sentences))
+        ).select(*pre, clean.alias(text_col))
     if scrub_pii:
         base = base.withColumn(text_col, scrub_text(F.col(text_col)))
     # five stages scan this; without materialization each re-runs the

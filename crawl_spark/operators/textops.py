@@ -614,6 +614,45 @@ C4_BADWORDS = ["badword1", "badword2", "badword3"]
 C4_TERMINAL_RE = r'[.!?"]$'
 
 
+def c4_kept_lines(text: Column, min_words_per_line: int = 3) -> Column:
+    """The C4 LINE rules as a reusable expression: the array of lines
+    that survive rules 1-3 (terminal punctuation on the rtrimmed line,
+    ≥ ``min_words_per_line`` whitespace words, no "javascript") — the
+    single point of truth shared by :func:`c4_clean` (scoring) and the
+    curation pipeline's editing gate. Callers that reference the array
+    more than once must materialize it (no-CSE rule)."""
+
+    def _line_ok(line: Column) -> Column:
+        words = F.filter(F.split(F.lower(line), r"\s+"), lambda x: x != F.lit(""))
+        return (
+            F.rtrim(line).rlike(C4_TERMINAL_RE)
+            & (F.size(words) >= min_words_per_line)
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    return F.filter(F.split(text, "\n"), _line_ok)
+
+
+def c4_page_ok(
+    text: Column, badwords: tuple[str, ...] = tuple(C4_BADWORDS)
+) -> Column:
+    """The C4 PAGE gates that read the ORIGINAL text (lorem ipsum /
+    curly bracket / blocklist whole-token) — rule 4 (min sentences) is
+    computed by callers on the CLEANED text, so it lives with them."""
+    return (
+        ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+        & ~F.contains(text, F.lit("{"))
+        & (
+            F.size(
+                F.array_intersect(
+                    tokens(text), F.array(*[F.lit(w) for w in badwords])
+                )
+            )
+            == 0
+        )
+    )
+
+
 def c4_clean(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -650,33 +689,11 @@ def c4_clean(
     re-assembled string join itself is then linear per reference.
     """
     t = F.col(text_col)
-    lines = F.split(t, "\n")
-
-    def _line_ok(line: Column) -> Column:
-        words = F.filter(F.split(F.lower(line), r"\s+"), lambda x: x != F.lit(""))
-        return (
-            F.rtrim(line).rlike(C4_TERMINAL_RE)
-            & (F.size(words) >= min_words_per_line)
-            & ~F.contains(F.lower(line), F.lit("javascript"))
-        )
-
-    page_ok = (
-        ~F.contains(F.lower(t), F.lit("lorem ipsum"))
-        & ~F.contains(t, F.lit("{"))
-        & (
-            F.size(
-                F.array_intersect(
-                    tokens(t), F.array(*[F.lit(w) for w in badwords])
-                )
-            )
-            == 0
-        )
-    )
     base = df.select(
         F.col(id_col),
-        F.size(lines).cast("int").alias("n_lines"),
-        F.filter(lines, _line_ok).alias("__kept"),
-        page_ok.alias("__page_ok"),
+        F.size(F.split(t, "\n")).cast("int").alias("n_lines"),
+        c4_kept_lines(t, min_words_per_line).alias("__kept"),
+        c4_page_ok(t, badwords).alias("__page_ok"),
     ).localCheckpoint(eager=False)
     clean = F.array_join(F.col("__kept"), "\n")
     n_sent = F.regexp_count(clean, F.lit(r"[.!?]")).cast("int")

@@ -232,3 +232,75 @@ def test_crawl_output_feeds_curation(spark, tmp_path_factory):
     b = crawl_then_curate(str(tmp_path_factory.mktemp("w_b")))
     assert len(a) > 0
     assert a == b  # crawl -> curate is deterministic end-to-end
+
+
+def test_c4_gate_composes(spark):
+    """curate_training_set(c4_rules=True) must equal hand-applying the
+    C4 edit (python twin of the line/page rules) and then running the
+    pipeline without the gate — the stage rewrites text, so the packed
+    offsets/token counts must match on the EDITED documents."""
+    import re
+
+    from crawl_spark.operators.pipeline import curate_training_set
+
+    def py_c4(text, min_words=3, min_sent=5):
+        kept = [
+            l
+            for l in text.split("\n")
+            if re.search(r'[.!?"]$', l.rstrip(" "))
+            and len([w for w in l.lower().split() if w]) >= min_words
+            and "javascript" not in l.lower()
+        ]
+        clean = "\n".join(kept)
+        ok = (
+            "lorem ipsum" not in text.lower()
+            and "{" not in text
+            and not {"badword1", "badword2", "badword3"} & set(text.lower().split())
+            and len(re.findall(r"[.!?]", clean)) >= min_sent
+        )
+        return ok, clean
+
+    def good(i):
+        return "\n".join(
+            f"the data value in a fast report is of and to the point for it number{i}{j}."
+            for j in range(6)
+        )
+
+    rows = [
+        (0, good(0)),  # clean page, survives untouched
+        (1, good(1) + "\nno punct menu junk line\nplease enable javascript now."),
+        (2, good(2) + "\nlorem ipsum dolor sit amet today."),  # page drop
+        (3, "\n".join(good(3).split("\n")[:3])),  # < 5 sentences -> drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in curate_training_set(
+            df, c4_rules=True, min_tokens=30, min_quality=4.0,
+            langs=("en",), seq_len=256, streams=8,
+        ).collect()
+    }
+
+    pre = []
+    for i, t in rows:
+        ok, clean = py_c4(t)
+        if ok:
+            pre.append((i, clean))
+    assert [i for i, _ in pre] == [0, 1]  # the twin agrees on who survives
+    want = {
+        r.doc_id: r
+        for r in curate_training_set(
+            spark.createDataFrame(pre, "doc_id long, text string"),
+            c4_rules=False, min_tokens=30, min_quality=4.0,
+            langs=("en",), seq_len=256, streams=8,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        g, w = got[i], want[i]
+        assert (g.stream, g.n_tokens, g.start_offset, g.bin) == (
+            w.stream, w.n_tokens, w.start_offset, w.bin
+        ), i
+        assert (g.lang_pred, g.quality, g.dup_line_frac, g.top2gram_frac) == (
+            w.lang_pred, w.quality, w.dup_line_frac, w.top2gram_frac
+        ), i
