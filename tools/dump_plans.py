@@ -501,6 +501,36 @@ def main() -> None:
         ),
     )
 
+    # 23. C4 line-level cleaning: map-only, zero exchanges
+    from crawl_spark.operators.textops import c4_clean
+
+    cap(
+        "C4 line-level cleaning (map-only projection)",
+        "Round-5 continuation operator. The entire operator is TWO "
+        "projections around the kept-lines materialization (Scan "
+        "ExistingRDD = the lazy localCheckpoint that stops Catalyst "
+        "re-evaluating the nested line-filter HOF per output column) — "
+        "NO Exchange anywhere: at 100 TB this fuses with the "
+        "neighboring scan and costs one map pass.",
+        c4_clean(docs),
+    )
+
+    # 24. C4 duplicated-span removal: one digest shuffle, window-free
+    from crawl_spark.operators.dedup import span_dedup
+
+    cap(
+        "C4 duplicated-span removal (min-struct ownership, window-free)",
+        "Round-5 continuation operator. What the plan must show: the "
+        "O(corpus) work is ONE partial-aggregated HashAggregate pair on "
+        "the 16-byte span digest (min(struct(doc,pos)) ownership — no "
+        "Window/row_number over the span stream anywhere in the plan); "
+        "the loser join re-uses the digest hash partitioning; sentence "
+        "marking and reassembly are per-doc partial-agg groupBys "
+        "bounded by doc length. The SQL oracle uses row_number "
+        "ownership — only THIS side's plan must scale.",
+        span_dedup(docs),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
