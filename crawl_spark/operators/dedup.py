@@ -780,6 +780,7 @@ def span_dedup(
     text_col: str = "text",
     n: int = 3,
     sep: str = ". ",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """C4's corpus-level duplicated-span removal (Raffel et al. 2020
     §2.2: "we removed any duplicated three-sentence spans"): split each
@@ -811,9 +812,11 @@ def span_dedup(
       3. losers re-join starts on the digest (co-partitioned with the
          groupBy — Catalyst reuses the exchange) and mark their n
          sentence indices;
-      4. survivors re-assemble with a per-doc partial-agg groupBy
-         (collect_list bounded by doc length — same bound every
-         reassembling operator here carries).
+      4. deletion sets aggregate the LOSERS frame only (small), and the
+         edit applies as a positional array filter after one left join
+         onto the sentence arrays — corpus text never explodes and
+         never rides a shuffle; when few docs were edited AQE broadcasts
+         the deletion side and text does not move at all.
     """
     import re as _re
 
@@ -852,38 +855,53 @@ def span_dedup(
         .filter(F.struct(F.col(id_col), F.col("p")) != F.col("__first"))
         .select(id_col, "p")
     )
-    marked = dups.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("sidx"),
-    ).distinct()
-    ex = sdf.select(F.col(id_col), F.posexplode("__s").alias("sidx", "sent"))
-    reasm = (
-        ex.join(marked, [id_col, "sidx"], "left_anti")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("int").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sidx", "sent"))),
-                    lambda x: x.getField("sent"),
-                ),
-                sep,
-            ).alias("__clean"),
+    # Per-doc deletion sets aggregate the SMALL losers frame — sentence
+    # TEXT never explodes and never rides a shuffle keyed by anything:
+    # the one text movement left is the edited-docs join below, and AQE
+    # turns even that into a broadcast when few docs were edited (the
+    # common case). (The first cut exploded every sentence through an
+    # anti-join + collect_list reassembly — TWO corpus-text exchanges;
+    # removing them measured 69→54 s at 4 cores / 35→28 s at 16 on the
+    # 200k-doc token-level workload, BENCH §a0-ops — the remaining cost
+    # is the span-digest build+shuffle the operator exists to pay.)
+    ed = dups.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("__nd"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("p"), F.col("p") + (n - 1)))
+                )
+            )
+        ).alias("__del"),
+    )
+    # positional filter: __del is a materialized row value here (join
+    # output attribute), so the lambda's outer reference is a cheap
+    # per-row read, not a re-evaluated expression pipeline (the HOF
+    # outer-ref hazard applies to expressions, not attributes).
+    kept_arr = F.when(
+        F.col("__del").isNull(), F.col("__s")
+    ).otherwise(
+        F.filter(
+            F.col("__s"),
+            lambda x, i: ~F.array_contains(F.col("__del"), i),
         )
     )
-    nd = dups.groupBy(id_col).agg(F.count("*").cast("int").alias("n_dup_spans"))
-    base = sdf.select(F.col(id_col), F.size("__s").cast("int").alias("n_sentences"))
-    return (
-        base.join(reasm, id_col, "left")
-        .join(nd, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_sentences",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
-            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
-            F.length(F.coalesce(F.col("__clean"), F.lit("")))
-            .cast("int")
-            .alias("clean_len"),
-        )
+    jd = sdf.join(ed, id_col, "left").select(
+        F.col(id_col),
+        F.size("__s").cast("int").alias("n_sentences"),
+        F.coalesce(F.col("__nd"), F.lit(0)).alias("n_dup_spans"),
+        kept_arr.alias("__k"),
+    )
+    if checkpoint:
+        # __k feeds 3 outputs (no-CSE rule); checkpoint=False exists for
+        # plan capture — the lazy checkpoint truncates visible lineage
+        jd = jd.localCheckpoint(eager=False)
+    clean = F.array_join(F.col("__k"), sep)
+    return jd.select(
+        F.col(id_col),
+        "n_sentences",
+        F.size("__k").cast("int").alias("n_kept"),
+        "n_dup_spans",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("int").alias("clean_len"),
     )

@@ -99,7 +99,7 @@ def _noop(df) -> None:
 def one_run(cpus: int, master: str | None = None) -> None:
     from pyspark.sql import functions as F
 
-    from crawl_spark.operators.dedup import repeated_spans
+    from crawl_spark.operators.dedup import repeated_spans, span_dedup
     from crawl_spark.operators.sampling import dsir_score, dsir_weights
     from crawl_spark.operators.textops import fingerprint
     from crawl_spark.session import make_session
@@ -126,10 +126,17 @@ def one_run(cpus: int, master: str | None = None) -> None:
         w = dsir_weights(d.filter(F.col("doc_id") % 7 == 0), d, n_buckets=4096)
         return dsir_score(d, w, n_buckets=4096)
 
+    def q_span_dedup(d):
+        # token-level edit (sep=" ", n=15): the Lee-et-al removal shape —
+        # digest shuffle + loser join + per-doc reassembly groupBy; the
+        # fixture's shared template spans give real corpus-wide losers
+        return span_dedup(d, n=15, sep=" ")
+
     queries = [
         ("fingerprint", q_fingerprint),
         ("repeated_spans", q_repeated_spans),
         ("dsir_score", q_dsir_score),
+        ("span_dedup", q_span_dedup),
     ]
     warm = docs.limit(2000).localCheckpoint()  # JIT/codegen warm-up slice
     timings = {}

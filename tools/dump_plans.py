@@ -524,11 +524,17 @@ def main() -> None:
         "O(corpus) work is ONE partial-aggregated HashAggregate pair on "
         "the 16-byte span digest (min(struct(doc,pos)) ownership — no "
         "Window/row_number over the span stream anywhere in the plan); "
-        "the loser join re-uses the digest hash partitioning; sentence "
-        "marking and reassembly are per-doc partial-agg groupBys "
-        "bounded by doc length. The SQL oracle uses row_number "
-        "ownership — only THIS side's plan must scale.",
-        span_dedup(docs),
+        "the loser join re-uses the digest hash partitioning; deletion "
+        "sets aggregate the small LOSERS frame only, and the edit is a "
+        "positional array filter after one left join onto the sentence "
+        "arrays — sentence text never explodes and never rides a "
+        "groupBy (BENCH §a0-ops: removing the first cut's two exploded-"
+        "text exchanges cut 20% wall). The SQL oracle uses row_number "
+        "ownership — only THIS side's plan must scale. (checkpoint=False "
+        "so the lazy materialization does not truncate the visible "
+        "lineage; the gram-build checkpoints upstream still appear as "
+        "Scan ExistingRDD leaves.)",
+        span_dedup(docs, checkpoint=False),
     )
 
     out = ["# PLANS — physical-plan evidence", ""]
