@@ -1270,6 +1270,26 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(d.select("doc_id", text.alias("text")))
 
 
+def q_url_strip(spark, sf_dir):
+    """Tracking-param stripping over synthesized URLs: id%4 selects no
+    query / tracking-only (uppercase key variant) / mixed with a
+    trailing empty pair / clean query — all four rule paths MIXED."""
+    from crawl_spark.operators.urlfilter import strip_tracking_params
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(
+        F.lit("https://host"), (i % 20).cast("string"),
+        F.lit(".example/p/"), s,
+        F.when(i % 4 == 1, F.lit("?UTM_Source=news&utm_medium=email"))
+        .when(i % 4 == 2, F.concat(F.lit("?q="), s, F.lit("&fbclid=abc&")))
+        .when(i % 4 == 3, F.concat(F.lit("?a=1&b="), (i % 7).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return strip_tracking_params(d.select("doc_id", url.alias("url")))
+
+
 def q_fix_encoding(spark, sf_dir):
     """Mojibake repair (rows-only: DuckDB is UTF-8-only, no Latin-1
     codec exists for an oracle; the repair rule is pinned by pytest
@@ -1336,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "c4_clean": q_c4_clean,
         "span_dedup": q_span_dedup,
+        "url_strip": q_url_strip,
         "fix_encoding": q_fix_encoding,  # rows-only: no Latin-1 codec in DuckDB
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
@@ -2075,6 +2096,36 @@ SELECT doc_id, n_lines, n_kept,
   md5(clean) AS clean_md5,
   CAST(length(clean) AS INT) AS clean_len
 FROM c
+""",
+        "url_strip": """
+WITH d AS (SELECT doc_id,
+  'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)
+  || CASE WHEN doc_id % 4 = 1 THEN '?UTM_Source=news&utm_medium=email'
+          WHEN doc_id % 4 = 2 THEN '?q=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc&'
+          WHEN doc_id % 4 = 3 THEN '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+          ELSE '' END AS url
+  FROM documents),
+p AS (SELECT doc_id, url,
+        position('?' in url) AS qpos,
+        split_part(url, '?', 1) AS base,
+        CASE WHEN position('?' in url) > 0
+             THEN substr(url, position('?' in url) + 1) ELSE '' END AS q
+      FROM d),
+f AS (SELECT doc_id, url, qpos, base,
+        list_filter(string_split(q, '&'), x -> x <> '') AS nonempty
+      FROM p),
+k AS (SELECT doc_id, url, qpos, base, nonempty,
+        list_filter(nonempty, x -> NOT list_contains(
+          ['utm_source','utm_medium','utm_campaign','utm_term','utm_content',
+           'gclid','fbclid','msclkid','mc_eid','igshid','yclid'],
+          lower(split_part(x, '=', 1)))) AS kept
+      FROM f)
+SELECT doc_id, url,
+  CASE WHEN qpos = 0 THEN url
+       WHEN len(kept) > 0 THEN base || '?' || array_to_string(kept, '&')
+       ELSE base END AS url_stripped,
+  CAST(len(nonempty) - len(kept) AS INT) AS n_stripped
+FROM k
 """,
         # the oracle may use windows (row_number ownership); the Spark side
         # stays window-free via min(struct) — only ITS plan must scale

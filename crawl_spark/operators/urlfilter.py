@@ -118,3 +118,67 @@ def url_blocklist_filter(
         .distinct()
     )
     return with_host.join(F.broadcast(matched), id_col, "left_anti")
+
+
+# --- tracking-parameter stripping (crawl-frontier URL normalization) --------
+
+# The standard public click/campaign identifiers (Google Analytics utm_*,
+# Google/Facebook/Microsoft click ids, Mailchimp/Instagram/Yandex): the
+# operator contract is the mechanism (key-boundary, case-insensitive,
+# order-preserving removal), not this list — extend per deployment.
+TRACKING_PARAMS = [
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "yclid",
+]
+
+
+def strip_tracking_params(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    params: tuple[str, ...] = tuple(TRACKING_PARAMS),
+) -> DataFrame:
+    """Remove tracking query parameters from URLs — the frontier-dedup
+    normalization every crawl pipeline runs (the same page arrives as
+    ``/p?utm_source=feed`` and ``/p``; Heritrix/Common-Crawl-style URL
+    canonicalization strips campaign ids so the seen-set sees one URL).
+
+    Deliberately a SEPARATE opt-in operator: ``functions.urlnorm.
+    canonicalize`` preserves the query byte-for-byte (the reference
+    parity contract, request.go:40-125) — this is the extra,
+    dedup-only normalization layered on top.
+
+    Rules (cross-engine exact): split at the FIRST ``?``; a ``&``-pair
+    is dropped when its key (text before the first ``=``, lowercased)
+    is in ``params``; empty pairs (``a=1&&b=2``) drop; survivor order
+    is preserved; a query left empty drops its ``?``. Tracking names
+    as VALUES (``q=utm_source``) are untouched — the match is on the
+    key only. Canonicalized URLs carry no fragment, so ``#`` needs no
+    handling here.
+
+    Map-only projection (no shuffle, no join); the pair arrays are
+    per-URL tiny, so the ≤2 extra HOF references cost bytes, not the
+    no-CSE pipelines the perf rules target.
+    """
+    u = F.col(url_col)
+    qpos = F.instr(u, "?")
+    base = F.substring_index(u, "?", 1)
+    query = F.when(qpos > 0, F.substring(u, qpos + 1, F.length(u))).otherwise(
+        F.lit("")
+    )
+    nonempty = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    kept = F.filter(
+        nonempty,
+        lambda p: ~F.lower(F.substring_index(p, "=", 1)).isin(*params),
+    )
+    stripped = F.when(qpos == 0, u).otherwise(
+        F.when(
+            F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(base)
+    )
+    return df.select(
+        F.col(id_col),
+        u.alias(url_col),
+        stripped.alias("url_stripped"),
+        (F.size(nonempty) - F.size(kept)).cast("int").alias("n_stripped"),
+    )

@@ -1838,3 +1838,41 @@ def test_span_dedup_matches_python_model(spark):
     assert out[4]["n_kept"] == 4 and out[4]["n_dup_spans"] == 1
     # doc 5: < n sentences -> untouched, byte-identical round-trip
     assert out[5]["clean_md5"] == hashlib.md5(docs[5].encode()).hexdigest()
+
+
+def test_strip_tracking_params_rules(spark):
+    """Key-boundary, case-insensitive, order-preserving removal; values
+    never matched; empty pairs drop; bare '?' drops when emptied."""
+    from crawl_spark.operators.urlfilter import strip_tracking_params
+
+    rows = [
+        (1, "https://a.example/p"),                                # no query
+        (2, "https://a.example/p?utm_source=x&utm_medium=y"),      # all stripped
+        (3, "https://a.example/p?q=1&fbclid=abc"),                 # mixed
+        (4, "https://a.example/p?a=1&b=2"),                        # untouched
+        (5, "https://a.example/p?UTM_Source=x&q=2"),               # case-insensitive key
+        (6, "https://a.example/p?q=utm_source"),                   # value, not key
+        (7, "https://a.example/p?a=1&&gclid=z"),                   # empty pair drops
+        (8, "https://a.example/p?gclid"),                          # key-only pair
+        (9, "https://a.example/p?q=a?b&msclkid=m"),                # '?' in a value
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in strip_tracking_params(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    want = {
+        1: ("https://a.example/p", 0),
+        2: ("https://a.example/p", 2),
+        3: ("https://a.example/p?q=1", 1),
+        4: ("https://a.example/p?a=1&b=2", 0),
+        5: ("https://a.example/p?q=2", 1),
+        6: ("https://a.example/p?q=utm_source", 0),
+        7: ("https://a.example/p?a=1", 1),
+        8: ("https://a.example/p", 1),
+        9: ("https://a.example/p?q=a?b", 1),
+    }
+    for k, (w_url, w_n) in want.items():
+        assert out[k]["url_stripped"] == w_url, (k, out[k]["url_stripped"])
+        assert out[k]["n_stripped"] == w_n, k
