@@ -1876,3 +1876,35 @@ def test_strip_tracking_params_rules(spark):
     for k, (w_url, w_n) in want.items():
         assert out[k]["url_stripped"] == w_url, (k, out[k]["url_stripped"])
         assert out[k]["n_stripped"] == w_n, k
+
+
+def test_span_dedup_random_corpus_matches_model(spark):
+    """Seeded random corpus built from a SMALL sentence pool (forcing
+    heavy cross-doc and within-doc span collisions, overlapping dup
+    spans, and <n docs) — every output field must match the
+    from-first-principles model."""
+    import random
+
+    from crawl_spark.operators.dedup import span_dedup
+
+    rng = random.Random(42)
+    pool = [f"s{k} word{k}" for k in range(7)]  # 7 sentences -> collisions
+    docs = {
+        i: ". ".join(rng.choice(pool) for _ in range(rng.randint(1, 12)))
+        for i in range(200)
+    }
+    want = py_span_dedup(docs)
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(
+            spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == set(docs)
+    for i in docs:
+        ns, nk, nd, clean = want[i]
+        got = out[i]
+        assert (
+            got["n_sentences"], got["n_kept"], got["n_dup_spans"],
+            got["clean_md5"], got["clean_len"],
+        ) == (ns, nk, nd, hashlib.md5(clean.encode()).hexdigest(), len(clean)), i
