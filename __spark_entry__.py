@@ -1290,6 +1290,38 @@ def q_url_strip(spark, sf_dir):
     return strip_tracking_params(d.select("doc_id", url.alias("url")))
 
 
+_MAIN_CONTENT_TPL = """<html><head><style>p { color: red }</style></head><body>
+<nav><ul><li><a href=/a>Home</a></li><li><a href=/b>About page link</a></li></ul></nav>
+<div class=content>
+  <h1>The quick brown fox story headline number {i}</h1>
+  <p>The quick brown fox jumps over the lazy dog near river bank {i}.</p>
+  <p>It then <b>cont</b>inues along the path to the old mill {i}.</p>
+  <p>Read <a href=/more>more</a> about the fox in our wildlife archive {i}.</p>
+  <p>short.</p>
+  <p><a href=/x>link</a> <a href=/y>soup</a> <a href=/z>menu of links only</a></p>
+</div>
+<footer><p>Copyright 2026 Example Corp all rights reserved forever</p></footer>
+</body></html>"""
+
+
+def q_main_content(spark, sf_dir):
+    """Boilerplate removal over synthesized pages (rows-only: HTML
+    parsing is not ANSI-SQL; the contract is pinned by the driver twin
+    ``main_content_str`` in test_operators). Every page exercises the
+    prune set, min-words and link-density rules with doc-unique text."""
+    from crawl_spark.operators.boilerplate import extract_main_content
+
+    d = _t(spark, sf_dir, "documents")
+    s = F.col("doc_id").cast("string")
+    parts = _MAIN_CONTENT_TPL.split("{i}")
+    cols = []
+    for j, p in enumerate(parts):
+        cols.append(F.lit(p))
+        if j < len(parts) - 1:
+            cols.append(s)
+    return extract_main_content(d.select("doc_id", F.concat(*cols).alias("html")))
+
+
 def q_fix_encoding(spark, sf_dir):
     """Mojibake repair (rows-only: DuckDB is UTF-8-only, no Latin-1
     codec exists for an oracle; the repair rule is pinned by pytest
@@ -1357,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "span_dedup": q_span_dedup,
         "url_strip": q_url_strip,
+        "main_content": q_main_content,  # rows-only: HTML parsing not ANSI-SQL
         "fix_encoding": q_fix_encoding,  # rows-only: no Latin-1 codec in DuckDB
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,

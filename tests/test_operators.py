@@ -1908,3 +1908,69 @@ def test_span_dedup_random_corpus_matches_model(spark):
             got["n_sentences"], got["n_kept"], got["n_dup_spans"],
             got["clean_md5"], got["clean_len"],
         ) == (ns, nk, nd, hashlib.md5(clean.encode()).hexdigest(), len(clean)), i
+
+
+_BOILER_HTML = """
+<html><head><title>t</title><style>p .x {{ color: red }}</style></head><body>
+<nav><ul><li><a href=/a>Home</a></li><li><a href=/b>About page link</a></li></ul></nav>
+<div class=content>
+  <h1>The quick brown fox story headline number {i}</h1>
+  <p>The quick brown fox jumps over the lazy dog near river bank {i}.</p>
+  <p>It then <b>cont</b>inues along the path to the old mill {i}.</p>
+  <p>Read <a href=/more>more</a> about the fox in our wildlife archive {i}.</p>
+  <p>short.</p>
+  <p><a href=/x>link</a> <a href=/y>soup</a> <a href=/z>menu of links only</a></p>
+</div>
+<footer><p>Copyright 2026 Example Corp all rights reserved forever</p></footer>
+<script>var x = 1;</script>
+</body></html>"""
+
+
+def test_main_content_rules():
+    """Driver twin: prune set, leaf blocks, min-words, link density,
+    inline tags not splitting words — all on one crafted page."""
+    from crawl_spark.operators.boilerplate import main_content_str
+
+    text, n_blocks, n_kept = main_content_str(_BOILER_HTML.format(i=7))
+    assert (n_blocks, n_kept) == (6, 4)
+    assert "continues along" in text          # <b> does not split the word
+    assert "Home" not in text                 # nav pruned
+    assert "Copyright" not in text            # footer pruned
+    assert "var x" not in text                # script pruned
+    assert "color: red" not in text           # style pruned
+    assert "short." not in text               # min_words
+    assert "menu of links only" not in text   # link density
+    assert text.startswith("The quick brown fox story headline number 7\n")
+    # degenerate inputs
+    assert main_content_str(None) == ("", 0, 0)
+    assert main_content_str("") == ("", 0, 0)
+    assert main_content_str("plain text, no tags at all") == ("", 0, 0)
+
+
+def test_extract_main_content_spark_matches_twin(spark):
+    """The mapInPandas operator must agree with the driver twin on
+    every page, md5 and counts both."""
+    import pandas as pd
+
+    from crawl_spark.operators.boilerplate import (
+        extract_main_content,
+        main_content_str,
+    )
+
+    pages = {i: _BOILER_HTML.format(i=i) for i in range(20)}
+    pages[20] = ""                       # degenerate rows ride along
+    pages[21] = "<p>tiny.</p>"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(pages), "html": list(pages.values())})
+        .astype({"doc_id": "int64"})
+    )
+    out = {r["doc_id"]: r for r in extract_main_content(df).collect()}
+    assert set(out) == set(pages)
+    for i, h in pages.items():
+        text, nb, nk = main_content_str(h)
+        assert out[i]["n_blocks"] == nb, i
+        assert out[i]["n_kept"] == nk, i
+        assert out[i]["main_len"] == len(text), i
+        assert out[i]["main_md5"] == hashlib.md5(text.encode()).hexdigest(), i
+    assert out[0]["boilerplate_ratio"] > 0.0
+    assert out[21]["n_blocks"] == 1 and out[21]["n_kept"] == 0
