@@ -415,6 +415,33 @@ def q_gopher_repetition(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher A1.1 quality rules over relined docs with doc_id-keyed
+    violations injected (bullet line / ellipsis line / ## symbols);
+    thresholds tightened so each rule fires on its subset at sf0.01
+    (the paper's bounds would pass every synthetic doc — an all-keep
+    oracle catches nothing, same tuning note as q_gopher_repetition)."""
+    from crawl_spark.operators.textops import gopher_quality
+
+    d = _docs_relined(spark, sf_dir)
+    i = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit("\n• bullet point line")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("\nto be continued...")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" ## ##")).otherwise(F.lit("")),
+    )
+    return gopher_quality(
+        d.select("doc_id", text.alias("text")),
+        min_words=20,
+        max_symbol_ratio=0.02,
+        max_bullet_frac=0.03,
+        max_ellipsis_frac=0.03,
+        min_alpha_frac=0.95,
+        min_stopword_hits=1,
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     from crawl_spark.operators.dedup import line_dedup
 
@@ -1386,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
         "gopher_repetition": q_gopher_repetition,
+        "gopher_quality": q_gopher_quality,
         "c4_clean": q_c4_clean,
         "span_dedup": q_span_dedup,
         "url_strip": q_url_strip,
@@ -2092,6 +2120,46 @@ SELECT base.doc_id, n_lines, dup_line_frac,
        (dup_line_frac <= 0.05
         AND round(coalesce(CAST(tp AS DOUBLE) / tot, 0.0), 6) <= 0.06) AS keep
 FROM base LEFT JOIN top USING (doc_id)
+""",
+        "gopher_quality": f"""
+WITH d0 AS (SELECT doc_id, {_RELINED} AS text FROM documents),
+d AS (SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '• bullet point line' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' ## ##' ELSE '' END AS text
+      FROM d0),
+b AS (SELECT doc_id, text, {_TOKS} AS w,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS l
+      FROM d),
+m AS (SELECT doc_id,
+        CAST(len(w) AS INT) AS n_words,
+        round(CASE WHEN len(w) > 0
+              THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w)
+              ELSE 0.0 END, 6) AS mean_word_len,
+        round(CASE WHEN len(w) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE) / len(w)
+              ELSE 0.0 END, 6) AS symbol_ratio,
+        round(CASE WHEN len(l) > 0
+              THEN CAST(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[•\\-*]'))) AS DOUBLE) / len(l)
+              ELSE 0.0 END, 6) AS bullet_frac,
+        round(CASE WHEN len(l) > 0
+              THEN CAST(len(list_filter(l, x -> regexp_matches(rtrim(x), '(…|\\.\\.\\.)$'))) AS DOUBLE) / len(l)
+              ELSE 0.0 END, 6) AS ellipsis_frac,
+        round(CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)
+              ELSE 0.0 END, 6) AS alpha_frac,
+        CAST(len(list_intersect(list_distinct(w),
+             ['the','be','to','of','and','that','have','with'])) AS INT) AS stopword_hits
+      FROM b)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stopword_hits,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.02 AND bullet_frac <= 0.03
+        AND ellipsis_frac <= 0.03 AND alpha_frac >= 0.95
+        AND stopword_hits >= 1) AS keep
+FROM m
 """,
         # braces live in SQL as chr(123): this dict mixes f-strings, and the
         # synthesized page injects a literal '{' for the C4 curly-bracket gate

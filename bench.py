@@ -81,10 +81,11 @@ BENCH_QUERIES = [
     "nb_classify",
     "nfc_dedup",
     "lm_buckets",
-    # round-5 continuation: C4 stage family + mojibake repair
+    # round-5 continuation: C4 stage family + mojibake repair + Gopher quality
     "c4_clean",
     "span_dedup",
     "fix_encoding",
+    "gopher_quality",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -773,3 +773,126 @@ def fix_encoding(text: Column, max_passes: int = 2) -> Column:
 
         return _fix_n(text)
     return _fix_encoding_udf(text)
+
+
+# --- Gopher quality rules (Rae et al. 2021, Appendix A1.1) -------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.10,
+    max_bullet_frac: float = 0.90,
+    max_ellipsis_frac: float = 0.30,
+    min_alpha_frac: float = 0.80,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher QUALITY rule family (Rae et al. 2021 §A1.1; defaults
+    are the paper's published bounds) — the sibling of
+    :func:`gopher_repetition`, which covers the REPETITION rules:
+
+      1. ``min_words ≤ |words| ≤ max_words``;
+      2. mean word length in ``[min_mean_word_len, max_mean_word_len]``;
+      3. symbol-to-word ratio (``#`` and ``…`` occurrences / words)
+         ≤ ``max_symbol_ratio``;
+      4. fraction of non-blank lines starting with a bullet
+         (``• - *``) ≤ ``max_bullet_frac``;
+      5. fraction of non-blank lines ending with an ellipsis
+         (``…`` or ``...``) ≤ ``max_ellipsis_frac``;
+      6. fraction of words containing ≥ 1 ``[a-z]`` character
+         ≥ ``min_alpha_frac`` (words are lowercased by the module's
+         token contract);
+      7. at least ``min_stopword_hits`` DISTINCT words from the
+         paper's 8-word stop list present.
+
+    Emits the per-doc metrics (6dp-rounded fractions — the
+    cross-engine float contract) and the keep verdict. Pure array
+    expressions over one projection — no shuffle; the token and line
+    arrays are materialized once (lazy checkpoint) because seven rules
+    read them and Catalyst does not CSE nested HOFs (the lang_id
+    pattern). Empty docs (0 words) fail rule 1 and emit 0-valued
+    metrics rather than NULLs.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        tokens(t).alias("__w"),
+        F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit("")).alias("__l"),
+        (
+            F.length(t) - F.length(F.regexp_replace(t, r"[#…]", ""))
+        ).alias("__sym"),
+    ).localCheckpoint(eager=False)
+    w, lines = F.col("__w"), F.col("__l")
+    n_words = F.size(w)
+    n_lines = F.size(lines)
+    mean_len = F.round(
+        F.when(
+            n_words > 0,
+            F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / n_words,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    sym_ratio = F.round(
+        F.when(n_words > 0, F.col("__sym") / n_words).otherwise(F.lit(0.0)), 6
+    )
+    bullet_frac = F.round(
+        F.when(
+            n_lines > 0,
+            F.size(
+                F.filter(lines, lambda x: F.ltrim(x).rlike(r"^[•\-*]"))
+            )
+            / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.when(
+            n_lines > 0,
+            F.size(
+                F.filter(lines, lambda x: F.rtrim(x).rlike(r"(…|\.\.\.)$"))
+            )
+            / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    alpha_frac = F.round(
+        F.when(
+            n_words > 0,
+            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n_words,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        (
+            (n_words >= F.lit(min_words))
+            & (n_words <= F.lit(max_words))
+            & (mean_len >= F.lit(min_mean_word_len))
+            & (mean_len <= F.lit(max_mean_word_len))
+            & (sym_ratio <= F.lit(max_symbol_ratio))
+            & (bullet_frac <= F.lit(max_bullet_frac))
+            & (ellipsis_frac <= F.lit(max_ellipsis_frac))
+            & (alpha_frac >= F.lit(min_alpha_frac))
+            & (stop_hits >= F.lit(min_stopword_hits))
+        ).alias("keep"),
+    )

@@ -1974,3 +1974,61 @@ def test_extract_main_content_spark_matches_twin(spark):
         assert out[i]["main_md5"] == hashlib.md5(text.encode()).hexdigest(), i
     assert out[0]["boilerplate_ratio"] > 0.0
     assert out[21]["n_blocks"] == 1 and out[21]["n_kept"] == 0
+
+
+def test_gopher_quality_matches_python_model(spark):
+    """Every Gopher A1.1 quality rule fires on its own crafted doc and
+    every metric matches a from-first-principles model."""
+    import re
+
+    from crawl_spark.operators.textops import gopher_quality
+
+    good = ("the data value of a fast report and that we have with it "
+            "to be or not " * 5).strip()                       # 70 stopwordy words
+    docs = {
+        1: good,                                               # keep
+        2: "short doc only five words here",                   # n_words drop
+        3: " ".join(["supercalifragilistic"] * 60),            # mean len drop
+        4: good + " " + "# " * 20,                             # symbol drop
+        5: good + "\n" + "\n".join(["• item"] * 60),           # bullet drop
+        6: good + "\n" + "\n".join(["and so on..."] * 40),     # ellipsis drop
+        7: good + " " + " ".join(["12345"] * 60),              # alpha drop
+        8: " ".join(["zork"] * 60),                            # stopword drop
+        9: "",                                                 # empty
+    }
+
+    def model(text):
+        w = [x for x in text.lower().split() if x]
+        lines = [l for l in text.split("\n") if l.strip() != ""]
+        n, nl = len(w), len(lines)
+        mean = round(sum(len(x) for x in w) / n, 6) if n else 0.0
+        sym = round(sum(text.count(c) for c in "#…") / n, 6) if n else 0.0
+        bullet = round(
+            sum(1 for l in lines if re.match(r"^[•\-*]", l.lstrip(" "))) / nl, 6
+        ) if nl else 0.0
+        ell = round(
+            sum(1 for l in lines if re.search(r"(…|\.\.\.)$", l.rstrip(" "))) / nl, 6
+        ) if nl else 0.0
+        alpha = round(sum(1 for x in w if re.search("[a-z]", x)) / n, 6) if n else 0.0
+        stops = len(set(w) & {"the", "be", "to", "of", "and", "that", "have", "with"})
+        keep = (50 <= n <= 100_000 and 3.0 <= mean <= 10.0 and sym <= 0.10
+                and bullet <= 0.90 and ell <= 0.30 and alpha >= 0.80 and stops >= 2)
+        return n, mean, sym, bullet, ell, alpha, stops, keep
+
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        ).collect()
+    }
+    for i, text in docs.items():
+        n, mean, sym, bullet, ell, alpha, stops, keep = model(text)
+        got = out[i]
+        assert (
+            got["n_words"], got["mean_word_len"], got["symbol_ratio"],
+            got["bullet_frac"], got["ellipsis_frac"], got["alpha_frac"],
+            got["stopword_hits"], got["keep"],
+        ) == (n, mean, sym, bullet, ell, alpha, stops, keep), (i, dict(got.asDict()))
+    assert out[1]["keep"] is True
+    for bad in (2, 3, 4, 5, 6, 7, 8, 9):
+        assert out[bad]["keep"] is False, bad
