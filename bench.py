@@ -81,11 +81,14 @@ BENCH_QUERIES = [
     "nb_classify",
     "nfc_dedup",
     "lm_buckets",
-    # round-5 continuation: C4 stage family + mojibake repair + Gopher quality
+    # round-5 continuation: C4 stage family + mojibake repair + Gopher
+    # quality + boilerplate removal + URL normalization
     "c4_clean",
     "span_dedup",
     "fix_encoding",
     "gopher_quality",
+    "main_content",
+    "url_strip",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages
