@@ -2032,3 +2032,73 @@ def test_gopher_quality_matches_python_model(spark):
     assert out[1]["keep"] is True
     for bad in (2, 3, 4, 5, 6, 7, 8, 9):
         assert out[bad]["keep"] is False, bad
+
+
+def test_c4_clean_random_corpus_matches_twin(spark):
+    """Seeded random pages assembled from a line pool that exercises
+    every C4 line/page rule boundary (trailing spaces, end-quotes,
+    exactly-3-word lines, javascript casing, badword-as-substring) —
+    all output fields must match a from-first-principles twin."""
+    import random
+    import re
+
+    def py_c4(text):
+        kept = [
+            l
+            for l in text.split("\n")
+            if re.search(r'[.!?"]$', l.rstrip(" "))
+            and len([w for w in l.lower().split() if w]) >= 3
+            and "javascript" not in l.lower()
+        ]
+        clean = "\n".join(kept)
+        n_sent = len(re.findall(r"[.!?]", clean))
+        keep = (
+            "lorem ipsum" not in text.lower()
+            and "{" not in text
+            and not {"badword1", "badword2", "badword3"} & set(text.lower().split())
+            and n_sent >= 5
+        )
+        return len(text.split("\n")), len(kept), n_sent, keep, clean
+
+    from crawl_spark.operators.textops import c4_clean
+
+    pool = [
+        "the quick brown fox runs far today.",
+        "a tidy sentence ends here!",
+        'he said "stop right there."',
+        "ends with spaces still counts.   ",
+        "three word line.",          # exactly 3 words
+        "two words.",                # below the floor
+        "no terminal punctuation on this line",
+        "please enable JavaScript to continue now.",
+        "jAvAsCrIpT mixed case mention here.",
+        "lorem ipsum dolor sit amet today.",
+        "a curly { bracket appears here.",
+        "contains badword1 as a token sadly.",
+        "contains badword1x only as substring safely.",
+        "multi. sentence! line? packed full.",
+        "",                          # blank line
+    ]
+    rng = random.Random(7)
+    docs = {
+        i: "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 10)))
+        for i in range(150)
+    }
+    out = {
+        r["doc_id"]: r
+        for r in c4_clean(
+            spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == set(docs)
+    kept_any = drop_any = False
+    for i, text in docs.items():
+        nl, nk, ns, keep, clean = py_c4(text)
+        got = out[i]
+        assert (
+            got["n_lines"], got["n_kept"], got["n_sentences"], got["keep"],
+            got["clean_md5"], got["clean_len"],
+        ) == (nl, nk, ns, keep, hashlib.md5(clean.encode()).hexdigest(), len(clean)), i
+        kept_any |= keep
+        drop_any |= not keep
+    assert kept_any and drop_any  # the corpus exercised both verdicts
