@@ -2141,10 +2141,10 @@ m AS (SELECT doc_id,
               THEN CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE) / len(w)
               ELSE 0.0 END, 6) AS symbol_ratio,
         round(CASE WHEN len(l) > 0
-              THEN CAST(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[•\\-*]'))) AS DOUBLE) / len(l)
+              THEN CAST(len(list_filter(l, x -> regexp_matches(regexp_replace(x, '^\\s+', ''), '^[•\\-*]'))) AS DOUBLE) / len(l)
               ELSE 0.0 END, 6) AS bullet_frac,
         round(CASE WHEN len(l) > 0
-              THEN CAST(len(list_filter(l, x -> regexp_matches(rtrim(x), '(…|\\.\\.\\.)$'))) AS DOUBLE) / len(l)
+              THEN CAST(len(list_filter(l, x -> regexp_matches(regexp_replace(x, '\\s+$', ''), '(…|\\.\\.\\.)$'))) AS DOUBLE) / len(l)
               ELSE 0.0 END, 6) AS ellipsis_frac,
         round(CASE WHEN len(w) > 0
               THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)
@@ -2177,7 +2177,7 @@ WITH d AS (SELECT doc_id,
 k AS (SELECT doc_id, text,
         string_split(text, chr(10)) AS lines,
         list_filter(string_split(text, chr(10)), l ->
-          regexp_matches(rtrim(l), '[.!?"]$')
+          regexp_matches(regexp_replace(l, '\s+$', ''), '[.!?"]$')
           AND len(list_filter(string_split_regex(lower(l), '\s+'), x -> x <> '')) >= 3
           AND NOT contains(lower(l), 'javascript')) AS kept
       FROM d),
@@ -2191,6 +2191,7 @@ SELECT doc_id, n_lines, n_kept,
   (len(regexp_extract_all(clean, '[.!?]')) >= 5
    AND NOT contains(lower(text), 'lorem ipsum')
    AND NOT contains(text, chr(123))
+   AND NOT contains(text, chr(125))
    AND len(list_intersect(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
            ['badword1', 'badword2', 'badword3'])) = 0
   ) AS keep,

@@ -53,57 +53,46 @@ BLOCK_TAGS = frozenset(
 )
 
 
-def _collapsed_text(node: Node, link_only: bool = False) -> str:
-    """Fields-collapsed text under node, document order, PRUNE_TAGS
-    subtrees excluded; with ``link_only`` only text inside ``<a>``
-    descendants counts. Concatenation (no injected separators) then
-    collapse — the same contract as the extraction path's
-    ``Node.text()`` + Fields-collapse, so inline tags never split
-    words."""
-    out: list[str] = []
-    stack: list[tuple[Node | str, bool]] = [(node, node.tag == "a")]
-    while stack:
-        x, in_link = stack.pop()
-        if isinstance(x, str):
-            if not link_only or in_link:
-                out.append(x)
-            continue
-        if x is not node and x.tag in PRUNE_TAGS:
-            continue
-        for c in reversed(x.children):
-            stack.append((c, in_link or (isinstance(c, Node) and c.tag == "a")))
-    return normalize_ws("".join(out))
+def _page_blocks(root: Node) -> list[tuple[str, int]]:
+    """(collapsed_text, collapsed_link_chars) of every leaf block —
+    block-level elements with no block-level descendant, PRUNE_TAGS
+    subtrees never entered — in document order, from ONE post-order
+    walk. (The first cut asked has-block-descendant per level and then
+    re-walked each kept block twice for text and link text, which
+    rescans a depth-d subtree O(d) times on real div-soup pages; this
+    pass computes all three together.)
 
+    Text is concatenated (no injected separators) then Fields-collapsed
+    — the same contract as the extraction path's ``Node.text()`` +
+    collapse, so inline tags never split words."""
+    blocks: list[tuple[str, int]] = []
 
-def _leaf_blocks(root: Node) -> list[Node]:
-    """Block-level elements with no block-level descendant, document
-    order, with PRUNE_TAGS subtrees never entered."""
-    out: list[Node] = []
-
-    def has_block_child(n: Node) -> bool:
-        return any(
-            isinstance(c, Node)
-            and c.tag not in PRUNE_TAGS
-            and (c.tag in BLOCK_TAGS or has_block_child(c))
-            for c in n.children
-        )
-
-    def walk(n: Node) -> None:
+    def visit(n: Node, in_link: bool) -> tuple[bool, list[str], list[str]]:
+        # (has_block_descendant, text segments, link-text segments) for
+        # n's subtree, pruned subtrees excluded
+        has_block = False
+        segs: list[str] = []
+        lsegs: list[str] = []
         for c in n.children:
-            if not isinstance(c, Node) or c.tag in PRUNE_TAGS:
+            if isinstance(c, str):
+                segs.append(c)
+                if in_link:
+                    lsegs.append(c)
                 continue
-            if c.tag in BLOCK_TAGS and not has_block_child(c):
-                out.append(c)
-            else:
-                walk(c)
+            if c.tag in PRUNE_TAGS:
+                continue
+            hb, s, ls = visit(c, in_link or c.tag == "a")
+            if c.tag in BLOCK_TAGS and not hb:
+                blocks.append(
+                    (normalize_ws("".join(s)), len(normalize_ws("".join(ls))))
+                )
+            has_block = has_block or c.tag in BLOCK_TAGS or hb
+            segs.extend(s)
+            lsegs.extend(ls)
+        return has_block, segs, lsegs
 
-    walk(root)
-    return out
-
-
-def _block_text(n: Node) -> str:
-    """Fields-collapsed text of a block, pruned subtrees excluded."""
-    return _collapsed_text(n, link_only=False)
+    visit(root, False)
+    return blocks
 
 
 def main_content_str(
@@ -114,19 +103,13 @@ def main_content_str(
     """Driver-side twin: (main_text, n_blocks, n_kept) for one page."""
     if html is None:
         return "", 0, 0
-    root = parse_html(html)
-    blocks = _leaf_blocks(root)
-    kept: list[str] = []
-    for b in blocks:
-        t = _block_text(b)
-        words = len(fields(t))
-        if words < min_words:
-            continue
-        chars = len(t)
-        link_chars = len(_collapsed_text(b, link_only=True))
-        if chars > 0 and link_chars / chars > max_link_density:
-            continue
-        kept.append(t)
+    blocks = _page_blocks(parse_html(html))
+    kept = [
+        t
+        for t, link_chars in blocks
+        if len(fields(t)) >= min_words
+        and not (len(t) > 0 and link_chars / len(t) > max_link_density)
+    ]
     return "\n".join(kept), len(blocks), len(kept)
 
 
@@ -144,6 +127,10 @@ def extract_main_content(
     import pandas as pd  # noqa: F401
 
     src = df.select(id_col, html_col)
+    # the id column passes through untouched — mirror its real type in
+    # the declared schema (a hardcoded `long` crashes Arrow for string
+    # or int keys)
+    id_type = dict(src.dtypes)[id_col]
 
     def run(batches):
         import pandas as pd
@@ -151,20 +138,14 @@ def extract_main_content(
         for pdf in batches:
             rows = []
             for i, h in zip(pdf[id_col], pdf[html_col]):
-                root = parse_html(h if h is not None else "")
-                blocks = _leaf_blocks(root)
+                blocks = _page_blocks(parse_html(h if h is not None else ""))
                 kept_texts = []
                 total_chars = 0
-                for b in blocks:
-                    t = _block_text(b)
+                for t, link_chars in blocks:
                     total_chars += len(t)
                     if len(fields(t)) < min_words:
                         continue
-                    if (
-                        len(t) > 0
-                        and len(_collapsed_text(b, link_only=True)) / len(t)
-                        > max_link_density
-                    ):
+                    if len(t) > 0 and link_chars / len(t) > max_link_density:
                         continue
                     kept_texts.append(t)
                 main = "\n".join(kept_texts)
@@ -193,6 +174,6 @@ def extract_main_content(
 
     return src.mapInPandas(
         run,
-        f"{id_col} long, n_blocks int, n_kept int, main_len int, "
+        f"{id_col} {id_type}, n_blocks int, n_kept int, main_len int, "
         "main_md5 string, boilerplate_ratio double",
     )

@@ -116,16 +116,23 @@ def curate_training_set(
         from .textops import c4_kept_lines, c4_page_ok
 
         pre = [F.col(id_col)] + ([F.col(domain_col)] if domain_col else [])
+        # the CLEAN STRING (not the kept-lines array) is what gets
+        # materialized: the filter's regexp_count and the projection
+        # then both read the checkpointed column, so the O(doc) join of
+        # kept lines runs exactly once (Filter and Project are separate
+        # operators — subexpression elimination does not span them)
         base = base.select(
             *pre,
-            c4_kept_lines(F.col(text_col)).alias("__c4l"),
+            F.array_join(c4_kept_lines(F.col(text_col)), "\n").alias("__clean"),
             c4_page_ok(F.col(text_col)).alias("__c4ok"),
         ).localCheckpoint(eager=False)
-        clean = F.array_join(F.col("__c4l"), "\n")
         base = base.filter(
             F.col("__c4ok")
-            & (F.regexp_count(clean, F.lit(r"[.!?]")) >= F.lit(c4_min_sentences))
-        ).select(*pre, clean.alias(text_col))
+            & (
+                F.regexp_count(F.col("__clean"), F.lit(r"[.!?]"))
+                >= F.lit(c4_min_sentences)
+            )
+        ).select(*pre, F.col("__clean").alias(text_col))
     if scrub_pii:
         base = base.withColumn(text_col, scrub_text(F.col(text_col)))
     # five stages scan this; without materialization each re-runs the

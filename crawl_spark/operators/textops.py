@@ -609,8 +609,11 @@ def fingerprint(
 C4_BADWORDS = ["badword1", "badword2", "badword3"]
 
 # C4 keeps lines "ending in a terminal punctuation mark (i.e. a period,
-# exclamation mark, question mark, or end quotation mark)".  Java regex and
-# RE2 agree on this class + anchor (no lookaround, no multiline).
+# exclamation mark, question mark, or end quotation mark)".  The match runs
+# on the line with ALL trailing whitespace regex-stripped first — Java '$'
+# matches before a final \r (CRLF residue after the \n split) while RE2/
+# Python do not, so a bare rtrim+'$' silently diverges across engines on
+# CRLF text; stripping \s+$ first makes every engine see the same tail.
 C4_TERMINAL_RE = r'[.!?"]$'
 
 
@@ -625,7 +628,7 @@ def c4_kept_lines(text: Column, min_words_per_line: int = 3) -> Column:
     def _line_ok(line: Column) -> Column:
         words = F.filter(F.split(F.lower(line), r"\s+"), lambda x: x != F.lit(""))
         return (
-            F.rtrim(line).rlike(C4_TERMINAL_RE)
+            F.regexp_replace(line, r"\s+$", "").rlike(C4_TERMINAL_RE)
             & (F.size(words) >= min_words_per_line)
             & ~F.contains(F.lower(line), F.lit("javascript"))
         )
@@ -642,6 +645,7 @@ def c4_page_ok(
     return (
         ~F.contains(F.lower(text), F.lit("lorem ipsum"))
         & ~F.contains(text, F.lit("{"))
+        & ~F.contains(text, F.lit("}"))
         & (
             F.size(
                 F.array_intersect(
@@ -674,7 +678,9 @@ def c4_clean(
     page drop rules (on the ORIGINAL text, per the paper):
       4. fewer than ``min_sentences`` sentences survive (sentence :=
          a ``[.!?]`` occurrence in the cleaned text);
-      5. contains "lorem ipsum" (case-insensitive) or a curly bracket;
+      5. contains "lorem ipsum" (case-insensitive) or a curly bracket
+         (either ``{`` or ``}`` — a truncated code page may carry only
+         the closing one);
       6. contains any blocklist word as a whole (whitespace) token.
 
     Emits per-doc line/sentence counts, the keep verdict, and
@@ -724,11 +730,14 @@ def fix_encoding_str(s: str | None, max_passes: int = 2) -> str | None:
     one char — a no-op round-trip can never shrink pure Latin-1), it
     was double-encoded; repeat up to ``max_passes`` times for
     double-mojibake.  Anything that fails either codec is returned
-    unchanged — the rule never corrupts clean text, because text that
-    is NOT mojibake either contains chars outside Latin-1 (encode
-    fails) or is not valid UTF-8 bytes (decode fails) or decodes to
-    itself (ASCII, same length — rejected by the strictly-shorter
-    test).
+    unchanged, so ASCII, non-Latin-1 text (CJK etc.) and ordinary
+    accented Latin-1 text (whose byte image is invalid UTF-8) are
+    never touched.  The rule's ONE false-positive class — shared with
+    every mojibake fixer, ftfy included — is genuine text whose
+    Latin-1 bytes happen to form valid multi-byte UTF-8: e.g. a
+    literal "Â" immediately followed by a continuation-range char
+    (a doc ABOUT mojibake quoting "Â¡") is indistinguishable from
+    true mojibake by construction and gets rewritten.
     """
     if s is None:
         return None
@@ -760,19 +769,16 @@ def fix_encoding(text: Column, max_passes: int = 2) -> Column:
     """
     global _fix_encoding_udf
     if _fix_encoding_udf is None:
+        _fix_encoding_udf = {}
+    if max_passes not in _fix_encoding_udf:  # one cached UDF per depth
+        n = max_passes
 
         @F.pandas_udf("string")
         def _fix(s: pd.Series) -> pd.Series:
-            return s.map(lambda x: fix_encoding_str(x, max_passes=2))
+            return s.map(lambda x: fix_encoding_str(x, max_passes=n))
 
-        _fix_encoding_udf = _fix
-    if max_passes != 2:  # non-default depth: build a one-off UDF
-        @F.pandas_udf("string")
-        def _fix_n(s: pd.Series) -> pd.Series:
-            return s.map(lambda x: fix_encoding_str(x, max_passes=max_passes))
-
-        return _fix_n(text)
-    return _fix_encoding_udf(text)
+        _fix_encoding_udf[max_passes] = _fix
+    return _fix_encoding_udf[max_passes](text)
 
 
 # --- Gopher quality rules (Rae et al. 2021, Appendix A1.1) -------------------
@@ -843,11 +849,17 @@ def gopher_quality(
     sym_ratio = F.round(
         F.when(n_words > 0, F.col("__sym") / n_words).otherwise(F.lit(0.0)), 6
     )
+    # edge whitespace is regex-stripped before the anchored matches: Java
+    # '$' matches before a trailing \r where RE2/Python do not (the same
+    # CRLF divergence c4_kept_lines guards against)
     bullet_frac = F.round(
         F.when(
             n_lines > 0,
             F.size(
-                F.filter(lines, lambda x: F.ltrim(x).rlike(r"^[•\-*]"))
+                F.filter(
+                    lines,
+                    lambda x: F.regexp_replace(x, r"^\s+", "").rlike(r"^[•\-*]"),
+                )
             )
             / n_lines,
         ).otherwise(F.lit(0.0)),
@@ -857,7 +869,12 @@ def gopher_quality(
         F.when(
             n_lines > 0,
             F.size(
-                F.filter(lines, lambda x: F.rtrim(x).rlike(r"(…|\.\.\.)$"))
+                F.filter(
+                    lines,
+                    lambda x: F.regexp_replace(x, r"\s+$", "").rlike(
+                        r"(…|\.\.\.)$"
+                    ),
+                )
             )
             / n_lines,
         ).otherwise(F.lit(0.0)),

@@ -2004,10 +2004,12 @@ def test_gopher_quality_matches_python_model(spark):
         mean = round(sum(len(x) for x in w) / n, 6) if n else 0.0
         sym = round(sum(text.count(c) for c in "#…") / n, 6) if n else 0.0
         bullet = round(
-            sum(1 for l in lines if re.match(r"^[•\-*]", l.lstrip(" "))) / nl, 6
+            sum(1 for l in lines if re.match(r"^[•\-*]", re.sub(r"^\s+", "", l)))
+            / nl, 6,
         ) if nl else 0.0
         ell = round(
-            sum(1 for l in lines if re.search(r"(…|\.\.\.)$", l.rstrip(" "))) / nl, 6
+            sum(1 for l in lines
+                if re.search(r"(…|\.\.\.)$", re.sub(r"\s+$", "", l))) / nl, 6,
         ) if nl else 0.0
         alpha = round(sum(1 for x in w if re.search("[a-z]", x)) / n, 6) if n else 0.0
         stops = len(set(w) & {"the", "be", "to", "of", "and", "that", "have", "with"})
@@ -2040,27 +2042,10 @@ def test_c4_clean_random_corpus_matches_twin(spark):
     exactly-3-word lines, javascript casing, badword-as-substring) —
     all output fields must match a from-first-principles twin."""
     import random
-    import re
-
-    def py_c4(text):
-        kept = [
-            l
-            for l in text.split("\n")
-            if re.search(r'[.!?"]$', l.rstrip(" "))
-            and len([w for w in l.lower().split() if w]) >= 3
-            and "javascript" not in l.lower()
-        ]
-        clean = "\n".join(kept)
-        n_sent = len(re.findall(r"[.!?]", clean))
-        keep = (
-            "lorem ipsum" not in text.lower()
-            and "{" not in text
-            and not {"badword1", "badword2", "badword3"} & set(text.lower().split())
-            and n_sent >= 5
-        )
-        return len(text.split("\n")), len(kept), n_sent, keep, clean
 
     from crawl_spark.operators.textops import c4_clean
+
+    from .twins import py_c4
 
     pool = [
         "the quick brown fox runs far today.",
@@ -2074,6 +2059,8 @@ def test_c4_clean_random_corpus_matches_twin(spark):
         "jAvAsCrIpT mixed case mention here.",
         "lorem ipsum dolor sit amet today.",
         "a curly { bracket appears here.",
+        "a closing } brace appears here.",
+        "\tcarriage return residue line.\r",
         "contains badword1 as a token sadly.",
         "contains badword1x only as substring safely.",
         "multi. sentence! line? packed full.",

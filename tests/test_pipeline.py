@@ -239,26 +239,9 @@ def test_c4_gate_composes(spark):
     C4 edit (python twin of the line/page rules) and then running the
     pipeline without the gate — the stage rewrites text, so the packed
     offsets/token counts must match on the EDITED documents."""
-    import re
-
     from crawl_spark.operators.pipeline import curate_training_set
 
-    def py_c4(text, min_words=3, min_sent=5):
-        kept = [
-            l
-            for l in text.split("\n")
-            if re.search(r'[.!?"]$', l.rstrip(" "))
-            and len([w for w in l.lower().split() if w]) >= min_words
-            and "javascript" not in l.lower()
-        ]
-        clean = "\n".join(kept)
-        ok = (
-            "lorem ipsum" not in text.lower()
-            and "{" not in text
-            and not {"badword1", "badword2", "badword3"} & set(text.lower().split())
-            and len(re.findall(r"[.!?]", clean)) >= min_sent
-        )
-        return ok, clean
+    from .twins import py_c4
 
     def good(i):
         return "\n".join(
@@ -283,7 +266,7 @@ def test_c4_gate_composes(spark):
 
     pre = []
     for i, t in rows:
-        ok, clean = py_c4(t)
+        _, _, _, ok, clean = py_c4(t)
         if ok:
             pre.append((i, clean))
     assert [i for i, _ in pre] == [0, 1]  # the twin agrees on who survives
