@@ -13,14 +13,52 @@ before any ordering).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _bytes_of(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 62  # non-local path (s3://…): assume production-sized
+
+
+def _max_split_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    m = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = raw.strip().lower()
+    for suf, mult in m.items():
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(s)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a driver table. Fixture-scale parallelism shim: an input
+    smaller than ONE scan split (single tiny row group) arrives as one
+    partition, which serializes the whole scan-side expression pipeline
+    — gram explodes, hash chains, pandas-UDF probes — on one core of
+    local[32]. Fan such inputs out to the session's parallelism with a
+    round-robin exchange (a few-MB shuffle at fixture scale; Catalyst
+    still pushes projections and filters below the exchange, so scan
+    pruning is unchanged). At production scale the corpus spans many
+    files/row groups, the size guard never fires, and the scan's own
+    splits provide the parallelism — the branch is a no-op there."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if _bytes_of(path) <= _max_split_bytes(spark):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------
