@@ -1417,6 +1417,146 @@ def q_fix_encoding(spark, sf_dir):
     )
 
 
+def q_trap_detect(spark, sf_dir):
+    """Crawl-trap detection over synthesized URLs: doc_id%8 picks the
+    host, whose pattern (host index %4) is one of — 0: calendar trap
+    (one path, per-id query), 1: healthy distinct shallow paths,
+    2: depth-10 distinct paths, 3: mixed 5-path query pages. Hosts
+    h0/h4 trap on path concentration, h2/h6 on depth, h1/h5/h3/h7
+    pass — every rule branch exercised with both verdicts."""
+    from crawl_spark.operators.urlfilter import trap_detect
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    m = (i % 8) % 4
+    url = F.concat(
+        F.lit("https://h"), (i % 8).cast("string"), F.lit(".example"),
+        F.when(m == 0, F.concat(F.lit("/cal?day="), s))
+        .when(m == 1, F.concat(F.lit("/p"), s))
+        .when(m == 2, F.concat(F.lit("/a/b/c/d/e/f/g/h/i/x"), s))
+        .otherwise(
+            F.concat(F.lit("/q/"), (i % 5).cast("string"), F.lit("?s="), s)
+        ),
+    )
+    return trap_detect(
+        d.select(url.alias("url")),
+        min_urls=30, path_dup_frac=0.5, mean_depth_max=8.0,
+    )
+
+
+def q_domain_reputation(spark, sf_dir):
+    """Domain reputation gate over synthesized domains (doc_id%12):
+    dom0/dom1 = dup farms (identical 12-token promo page), dom2/dom3 =
+    stub farms (2-token docs), dom4 = borderline mixed (half dup →
+    dup_ratio just under the 0.5 bar), dom5-11 = healthy unique
+    11-token articles. Digits in unique text are translated to letters
+    so ids never fold."""
+    from crawl_spark.operators.sampling import domain_reputation
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    g = i % 12
+    lid = F.translate(i.cast("string"), "0123456789", "abcdefghij")
+    text = (
+        F.when(
+            g < 2,
+            F.concat(
+                F.lit("promo page for domain "), g.cast("string"),
+                F.lit(" buy cheap widgets now fast free deal today"),
+            ),
+        )
+        .when(g < 4, F.concat(F.lit("stub "), lid))
+        .when(
+            g == 4,
+            F.when(
+                i % 24 == 4, F.lit("same mixed page alpha beta gamma delta epsilon zeta eta")
+            ).otherwise(
+                F.concat(
+                    F.lit("varied mixed page "), lid,
+                    F.lit(" alpha beta gamma delta epsilon zeta"),
+                )
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("article "), lid,
+                F.lit(" alpha beta gamma delta epsilon zeta eta theta iota"),
+            )
+        )
+    )
+    src = F.concat(F.lit("dom"), g.cast("string"))
+    return domain_reputation(
+        d.select("doc_id", src.alias("source"), text.alias("text")),
+        min_docs=5, dup_ratio_max=0.5, short_frac_max=0.5, short_tokens=10,
+    )
+
+
+def q_ccnet_dedup(spark, sf_dir):
+    """CCNet hash-normalization dedup over injected variants (doc_id%5):
+    m=1/m=2 are the same news item differing only in date digits, case
+    and punctuation (collapse keyed by a letter from doc_id%10);
+    m=3/m=4 the same offer with different prices/punct (letter from
+    doc_id%7); m=0 unique docs with ids translated to letters (digits
+    would fold to 0 and collide by length). ASCII-only text so the
+    Java and RE2 \\p tables cannot disagree."""
+    from crawl_spark.operators.dedup import ccnet_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    m = i % 5
+    lid = F.translate(i.cast("string"), "0123456789", "abcdefghij")
+    l10 = F.element_at(
+        F.array(*[F.lit(x) for x in "abcdefghij"]), (i % 10 + 1).cast("int")
+    )
+    l7 = F.element_at(
+        F.array(*[F.lit(x) for x in "pqrstuv"]), (i % 7 + 1).cast("int")
+    )
+    text = (
+        F.when(m == 1, F.concat(F.lit("Posted on 2024-01-02: breaking news item "), l10))
+        .when(m == 2, F.concat(F.lit("posted on 2025-11-30 breaking news item "), l10))
+        .when(m == 3, F.concat(F.lit("Offer "), l7, F.lit(" price 1,234.99 today!!!")))
+        .when(m == 4, F.concat(F.lit("offer "), l7, F.lit(" price 9.876,54 today")))
+        .otherwise(F.concat(F.lit("plain document "), lid))
+    )
+    return ccnet_dedup(d.select("doc_id", text.alias("text")))
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup: the corpus digest table is
+    exact_dedup over the real documents; the batch re-ids docs to
+    doc_id+1000000 with text by doc_id%4 — 0: verbatim corpus text
+    (corpus_dup), 1: one of five shared fresh pages (batch_dup after
+    the first), else unique fresh text (keep)."""
+    from crawl_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    lid = F.translate(i.cast("string"), "0123456789", "abcdefghij")
+    batch = d.select(
+        (i + 1000000).alias("doc_id"),
+        F.when(i % 4 == 0, F.col("text"))
+        .when(i % 4 == 1, F.concat(F.lit("fresh shared page "), (i % 5).cast("string")))
+        .otherwise(F.concat(F.lit("brand new page "), lid))
+        .alias("text"),
+    )
+    return incremental_dedup(batch, exact_dedup(d).select("content_md5"))
+
+
+def q_leak_split(spark, sf_dir):
+    """Leakage-safe train/valid split: near-dup clusters from the SAME
+    minhash→LSH→verify→CC pipeline as `neardup_clusters`, then the
+    deterministic md5-bucket rule applied to the CLUSTER id (rate
+    0.25) — near-dup pairs can never straddle the split."""
+    from crawl_spark.operators.dedup import neardup_clusters
+    from crawl_spark.operators.sampling import leak_safe_split
+
+    clusters = neardup_clusters(_t(spark, sf_dir, "documents"), threshold=0.1)
+    return leak_safe_split(
+        clusters.select("doc_id", "cluster_id"), valid_rate=0.25
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1498,6 +1638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,  # rows-only: Python WAV decode
         "image_neardup": q_image_neardup,
         "video_demux": q_video_demux,
+        "trap_detect": q_trap_detect,
+        "domain_reputation": q_domain_reputation,
+        "ccnet_dedup": q_ccnet_dedup,
+        "incremental_dedup": q_incremental_dedup,
+        "leak_split": q_leak_split,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3144,6 +3289,162 @@ SELECT doc_id,
        CAST(ns AS BIGINT) AS n_samples
 FROM f
 ORDER BY doc_id, frame_idx
+""",
+        "trap_detect": r"""
+WITH d AS (SELECT
+  'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example' ||
+  CASE WHEN (doc_id % 8) % 4 = 0 THEN '/cal?day=' || CAST(doc_id AS VARCHAR)
+       WHEN (doc_id % 8) % 4 = 1 THEN '/p' || CAST(doc_id AS VARCHAR)
+       WHEN (doc_id % 8) % 4 = 2 THEN '/a/b/c/d/e/f/g/h/i/x' || CAST(doc_id AS VARCHAR)
+       ELSE '/q/' || CAST(doc_id % 5 AS VARCHAR) || '?s=' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents),
+u AS (SELECT
+  regexp_replace(regexp_extract(lower(url),
+    '^[a-z][a-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '\.$', '') AS host,
+  regexp_replace(lower(url), '^[a-z][a-z0-9+.\-]*://[^/]*', '') AS path_q
+  FROM d),
+v AS (SELECT host,
+  split_part(path_q, '?', 1) AS path,
+  CASE WHEN position('?' in path_q) > 0 THEN 1 ELSE 0 END AS has_q
+  FROM u),
+w AS (SELECT host, md5(path) AS pm, has_q,
+  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT) AS depth
+  FROM v),
+g1 AS (SELECT host, pm, count(*) AS cnt, sum(has_q) AS nq, sum(depth) AS sd
+       FROM w GROUP BY 1, 2),
+g2 AS (SELECT host, CAST(sum(cnt) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(max(cnt) AS BIGINT) AS max_per_path,
+       sum(nq) AS snq, sum(sd) AS ssd
+       FROM g1 GROUP BY 1)
+SELECT host, n_urls, n_paths, max_per_path,
+  round(snq / n_urls, 6) AS query_frac,
+  round(ssd / n_urls, 6) AS mean_depth,
+  (n_urls >= 30 AND (max_per_path / n_urls >= 0.5 OR ssd / n_urls >= 8.0)) AS is_trap
+FROM g2
+""",
+        "domain_reputation": rf"""
+WITH d AS (SELECT
+  'dom' || CAST(doc_id % 12 AS VARCHAR) AS source,
+  CASE WHEN doc_id % 12 < 2 THEN 'promo page for domain ' || CAST(doc_id % 12 AS VARCHAR)
+         || ' buy cheap widgets now fast free deal today'
+       WHEN doc_id % 12 < 4 THEN 'stub '
+         || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')
+       WHEN doc_id % 12 = 4 THEN
+         CASE WHEN doc_id % 24 = 4
+              THEN 'same mixed page alpha beta gamma delta epsilon zeta eta'
+              ELSE 'varied mixed page '
+                || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')
+                || ' alpha beta gamma delta epsilon zeta' END
+       ELSE 'article ' || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')
+         || ' alpha beta gamma delta epsilon zeta eta theta iota' END AS text
+  FROM documents),
+t AS (SELECT source, {_TOKS} AS tok FROM d),
+p AS (SELECT source, md5(list_aggregate(tok, 'string_agg', ' ')) AS cm,
+        CAST(len(tok) AS BIGINT) AS n_tok FROM t),
+q AS (SELECT source, cm, n_tok,
+        CASE WHEN n_tok < 10 THEN 1 ELSE 0 END AS is_short FROM p),
+g1 AS (SELECT source, cm, count(*) AS cnt, sum(is_short) AS ns, sum(n_tok) AS st
+       FROM q GROUP BY 1, 2),
+g2 AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(cnt) AS BIGINT) AS max_copies,
+       sum(ns) AS n_short, sum(st) AS sum_tok
+       FROM g1 GROUP BY 1)
+SELECT source, n_docs,
+  round(1 - n_distinct / n_docs, 6) AS dup_ratio,
+  max_copies,
+  round(n_short / n_docs, 6) AS short_frac,
+  round(sum_tok / n_docs, 6) AS mean_tokens,
+  NOT (n_docs >= 5 AND ((1 - n_distinct / n_docs) >= 0.5
+                        OR (n_short / n_docs) >= 0.5)) AS keep
+FROM g2
+""",
+        "ccnet_dedup": r"""
+WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 1 THEN 'Posted on 2024-01-02: breaking news item '
+         || substr('abcdefghij', CAST(doc_id % 10 AS INT) + 1, 1)
+       WHEN doc_id % 5 = 2 THEN 'posted on 2025-11-30 breaking news item '
+         || substr('abcdefghij', CAST(doc_id % 10 AS INT) + 1, 1)
+       WHEN doc_id % 5 = 3 THEN 'Offer ' || substr('pqrstuv', CAST(doc_id % 7 AS INT) + 1, 1)
+         || ' price 1,234.99 today!!!'
+       WHEN doc_id % 5 = 4 THEN 'offer ' || substr('pqrstuv', CAST(doc_id % 7 AS INT) + 1, 1)
+         || ' price 9.876,54 today'
+       ELSE 'plain document '
+         || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') END AS text
+  FROM documents),
+n AS (SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(regexp_replace(
+    lower(text), '\p{Nd}', '0', 'g'), '\p{P}', '', 'g'), '\s+', ' ', 'g'))) AS content_md5
+  FROM d),
+r AS (SELECT doc_id, content_md5,
+        row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn,
+        CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT) AS n_copies
+      FROM n)
+SELECT doc_id, content_md5, n_copies FROM r WHERE rn = 1
+""",
+        "incremental_dedup": rf"""
+WITH corpus AS (SELECT DISTINCT md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS content_md5
+                FROM documents),
+b AS (SELECT doc_id + 1000000 AS doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN text
+       WHEN doc_id % 4 = 1 THEN 'fresh shared page ' || CAST(doc_id % 5 AS VARCHAR)
+       ELSE 'brand new page '
+         || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') END AS text
+  FROM documents),
+d AS (SELECT doc_id, md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS content_md5 FROM b),
+firsts AS (SELECT content_md5, min(doc_id) AS first_id FROM d GROUP BY 1),
+hits AS (SELECT DISTINCT f.content_md5 FROM firsts f JOIN corpus c USING (content_md5))
+SELECT d.doc_id, d.content_md5,
+  (h.content_md5 IS NULL AND d.doc_id = f.first_id) AS keep,
+  CASE WHEN h.content_md5 IS NOT NULL THEN 'corpus_dup'
+       WHEN d.doc_id <> f.first_id THEN 'batch_dup' END AS reason
+FROM d JOIN firsts f USING (content_md5) LEFT JOIN hits h USING (content_md5)
+""",
+        # same pair graph + transitive closure as neardup_clusters (one
+        # point of truth), then the md5-bucket split on the CLUSTER id
+        "leak_split": f"""
+WITH RECURSIVE {_MINHASH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN shx x ON x.doc_id = c.id_a
+  JOIN shx y ON y.doc_id = c.id_b AND y.g = x.g
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+),
+comp AS (SELECT node, least(node, min(lbl)) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '4000'
+       THEN 'valid' ELSE 'train' END AS split
+FROM lab
 """,
     }
     # decontaminate_bloom is exactness-preserving by construction (Bloom

@@ -905,3 +905,115 @@ def span_dedup(
         F.md5(clean).alias("clean_md5"),
         F.length(clean).cast("int").alias("clean_len"),
     )
+
+
+def ccnet_normalize(c: F.Column) -> F.Column:
+    """CCNet's dedup-hash text normalization (Wenzek et al. 2020, §3.1
+    — public method): lowercase, every unicode digit folded to ``0``,
+    unicode punctuation removed, whitespace collapsed. The POINT is
+    that near-identical boilerplate pages differing only in dates,
+    counters or punctuation hash to ONE key, so paragraph/document
+    dedup catches them; the normalized form is only ever hashed — the
+    kept text is untouched.
+
+    Pure JVM regexp chain (whole-stage codegen, no Python): the
+    character classes used (``\\p{Nd}``, ``\\p{P}``, ASCII ``\\s``) are
+    in the Java∩RE2 regex subset the module's PII scrubber already
+    relies on, so the DuckDB oracle runs the same program.
+    """
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(c), r"\p{Nd}", "0"),
+                r"\p{P}",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def ccnet_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup keyed on :func:`ccnet_normalize` of the text — the
+    CCNet hash-normalization dedup step. Same single-shuffle shape and
+    output contract as :func:`exact_dedup` (survivor = min id per
+    digest, duplicate count carried), but ``Posted on 2024-01-02!`` and
+    ``posted on 2025-11-30`` now collapse to one group.
+    """
+    d = df.withColumn("content_md5", F.md5(ccnet_normalize(F.col(text_col))))
+    w = Window.partitionBy("content_md5").orderBy(F.col(id_col))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count("*").over(Window.partitionBy("content_md5"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            "content_md5",
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "content_md5",
+) -> DataFrame:
+    """Deduplicate an INCOMING BATCH against an existing corpus — the
+    production ingestion shape (a new crawl round / dump lands against
+    petabytes already curated; re-running corpus-wide dedup per arrival
+    is not an option). ``corpus_digests`` is the prior snapshot's
+    digest table (e.g. accumulated :func:`exact_dedup` output).
+
+    Plan shape is EXACTLY the engine's seen-set probe
+    (engine.py `_links_minus_seen`), re-expressed at the curation
+    layer — the asymmetric anti-join done right:
+
+    - the batch's distinct digests (bounded by |batch|) BROADCAST into
+      a left-semi join against the corpus digest scan — the corpus is
+      only scanned, never shuffled, and with a digest-bucketed layout
+      the scan prunes to the touched buckets;
+    - the surviving hit set (≤ |batch digests|) broadcasts BACK onto
+      the batch rows;
+    - batch-internal dups resolve via one bounded groupBy(digest) on
+      the batch itself (first occurrence = min id).
+
+    Emits one row per batch doc: (id, digest, keep, reason) with
+    ``reason`` ∈ {'corpus_dup', 'batch_dup', NULL}; ``keep`` marks the
+    batch's first occurrence of a digest the corpus has never seen.
+    """
+    from .textops import tokens
+
+    d = batch.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", tokens(F.col(text_col)))).alias(digest_col),
+    )
+    firsts = d.groupBy(digest_col).agg(F.min(id_col).alias("first_id"))
+    hits = (
+        corpus_digests.select(F.col(digest_col))
+        .join(F.broadcast(firsts.select(digest_col)), digest_col, "leftsemi")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    joined = (
+        d.join(F.broadcast(firsts), digest_col)
+        .join(F.broadcast(hits), digest_col, "left")
+        .withColumn("in_corpus", F.coalesce("in_corpus", F.lit(False)))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(digest_col),
+        (~F.col("in_corpus") & (F.col(id_col) == F.col("first_id"))).alias(
+            "keep"
+        ),
+        F.when(F.col("in_corpus"), F.lit("corpus_dup"))
+        .when(F.col(id_col) != F.col("first_id"), F.lit("batch_dup"))
+        .alias("reason"),
+    )

@@ -639,3 +639,118 @@ def mix_domains(
         .filter(F.col("bucket") < F.col("thr"))
         .select(F.col(id_col), F.col(group_col), "bucket", "thr")
     )
+
+
+def domain_reputation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 5,
+    dup_ratio_max: float = 0.5,
+    short_frac_max: float = 0.5,
+    short_tokens: int = 10,
+) -> DataFrame:
+    """Per-domain reputation scoring — the host-level curation gate
+    RefinedWeb/DCLM-style pipelines run BEFORE per-document filtering:
+    a domain whose pages are mostly copies of each other (SEO farms,
+    mirror hosts) or mostly near-empty stubs is dropped wholesale,
+    which is both cheaper and higher-precision than judging its pages
+    one by one.
+
+    Signals per domain, from TWO partial-aggregated groupBys (text
+    never shuffles — level 1 groups on (domain, 16-byte content
+    digest) carrying only counts):
+
+    - ``n_docs``      — documents from the domain;
+    - ``dup_ratio``   — 1 − distinct-content/n_docs (exact-dup mass);
+    - ``max_copies``  — the single most-duplicated page's count;
+    - ``short_frac``  — fraction of docs under ``short_tokens`` tokens;
+    - ``mean_tokens`` — mean whitespace-token count;
+    - ``keep``        — False iff ``n_docs >= min_docs`` AND
+      (``dup_ratio >= dup_ratio_max`` OR ``short_frac >=
+      short_frac_max``); small domains pass (no evidence either way).
+
+    The digest is md5 of the same lowercased ws-collapsed
+    normalization :func:`~crawl_spark.operators.dedup.exact_dedup`
+    keys on, so "duplicate" means the same thing across the pipeline.
+    Output is dimension-sized (one row per domain) — gate the corpus
+    with a broadcast join on ``group_col``. Ratios round(·,6).
+    """
+    from .textops import tokens
+
+    tok = tokens(F.col(text_col))
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.md5(F.concat_ws(" ", tok)).alias("content_md5"),
+        F.size(tok).cast("long").alias("n_tok"),
+    ).select(
+        "grp",
+        "content_md5",
+        "n_tok",
+        (F.col("n_tok") < short_tokens).cast("long").alias("is_short"),
+    )
+    g1 = per_doc.groupBy("grp", "content_md5").agg(
+        F.count("*").alias("cnt"),
+        F.sum("is_short").alias("ns"),
+        F.sum("n_tok").alias("st"),
+    )
+    g2 = g1.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("cnt").cast("long").alias("max_copies"),
+        F.sum("ns").alias("n_short"),
+        F.sum("st").alias("sum_tok"),
+    )
+    dup_ratio = 1 - F.col("n_distinct") / F.col("n_docs")
+    short_frac = F.col("n_short") / F.col("n_docs")
+    return g2.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.round(dup_ratio, 6).alias("dup_ratio"),
+        "max_copies",
+        F.round(short_frac, 6).alias("short_frac"),
+        F.round(F.col("sum_tok") / F.col("n_docs"), 6).alias("mean_tokens"),
+        (
+            ~(
+                (F.col("n_docs") >= min_docs)
+                & (
+                    (dup_ratio >= dup_ratio_max)
+                    | (short_frac >= short_frac_max)
+                )
+            )
+        ).alias("keep"),
+    )
+
+
+def leak_safe_split(
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    valid_rate: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe train/validation split: the unit of assignment is
+    the NEAR-DUP CLUSTER, not the document, so no held-out document has
+    a near-duplicate in train (the eval-contamination failure mode
+    document-level random splits cannot avoid — splitting after dedup
+    still leaks when dedup keeps >1 member per cluster, e.g. threshold
+    tuning or per-shard dedup).
+
+    Input is any (id, cluster_id) frame —
+    :func:`~crawl_spark.operators.dedup.neardup_clusters` or
+    :func:`~crawl_spark.operators.similarity.semdedup` output directly;
+    singletons arrive as their own cluster there, so every doc is
+    covered. The split is the module's deterministic md5-bucket rule
+    (:func:`hash_sample`'s threshold semantics) applied to the CLUSTER
+    id: a pure projection — no shuffle, no RNG, stable across runs and
+    engines, and cluster-consistent by construction.
+    """
+    thr = rate_threshold(valid_rate)
+    bucket = _bucket_hex(F.col(cluster_col))
+    return clusters.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.when(bucket < F.lit(thr), F.lit("valid"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -182,3 +182,87 @@ def strip_tracking_params(
         stripped.alias("url_stripped"),
         (F.size(nonempty) - F.size(kept)).cast("int").alias("n_stripped"),
     )
+
+
+def trap_detect(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 50,
+    path_dup_frac: float = 0.5,
+    mean_depth_max: float = 8.0,
+) -> DataFrame:
+    """Per-host crawl-trap detection — the frontier-hygiene aggregate a
+    production crawl runs between rounds (Heritrix "calendar trap" /
+    session-id explosion: one path spawning unbounded query variants,
+    or unbounded path depth from self-linking directory listings; cf.
+    the reference's per-host scheduling surface, crawler.go:119-296,
+    which has no defense against either).
+
+    Signals, all from TWO partial-aggregated groupBys (no window, no
+    per-row Python, URL strings never shuffle — only (host, path)
+    digests and counts):
+
+    - ``n_urls``        — URLs seen for the host;
+    - ``n_paths``       — distinct query-stripped paths;
+    - ``max_per_path``  — URLs sharing the single hottest path (query/
+      session explosion concentrates here);
+    - ``query_frac``    — fraction of URLs carrying a query string;
+    - ``mean_depth``    — mean path-segment count (depth traps);
+    - ``is_trap``       — ``n_urls >= min_urls`` AND (the hottest path
+      holds ≥ ``path_dup_frac`` of the host's URLs OR ``mean_depth >=
+      mean_depth_max``).
+
+    Level 1 groups by (host, md5(path)) — the 16-byte digest, not the
+    path string, is what shuffles; level 2 folds per-path counts into
+    the per-host row. Both aggregations map-side combine, so a trap
+    host with 10^8 URLs contributes O(distinct paths) rows to the
+    first exchange and ONE row to the second — the skew the operator
+    exists to find never becomes the operator's own skew problem.
+    Ratios are round(·,6) per the module float contract.
+
+    The output is dimension-sized (one row per host): feed
+    ``is_trap`` hosts to ``url_blocklist_filter`` or the engine's
+    politeness budgets as a broadcast.
+    """
+    u = F.col(url_col)
+    host = host_expr(u)
+    # strip scheme://authority -> "/p/x?a=1" | "" ; then split off query
+    path_q = F.regexp_replace(
+        F.lower(u), r"^[a-z][a-z0-9+.\-]*://[^/]*", ""
+    )
+    path = F.substring_index(path_q, "?", 1)
+    has_q = (F.instr(path_q, "?") > 0).cast("long")
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))
+    per_url = df.select(
+        host.alias("host"),
+        F.md5(path).alias("path_md5"),
+        has_q.alias("has_q"),
+        depth.cast("long").alias("depth"),
+    )
+    per_path = per_url.groupBy("host", "path_md5").agg(
+        F.count("*").alias("cnt"),
+        F.sum("has_q").alias("nq"),
+        F.sum("depth").alias("sd"),
+    )
+    per_host = per_path.groupBy("host").agg(
+        F.sum("cnt").cast("long").alias("n_urls"),
+        F.count("*").cast("long").alias("n_paths"),
+        F.max("cnt").cast("long").alias("max_per_path"),
+        F.sum("nq").alias("snq"),
+        F.sum("sd").alias("ssd"),
+    )
+    return per_host.select(
+        "host",
+        "n_urls",
+        "n_paths",
+        "max_per_path",
+        F.round(F.col("snq") / F.col("n_urls"), 6).alias("query_frac"),
+        F.round(F.col("ssd") / F.col("n_urls"), 6).alias("mean_depth"),
+        (
+            (F.col("n_urls") >= min_urls)
+            & (
+                (F.col("max_per_path") / F.col("n_urls") >= path_dup_frac)
+                | (F.col("ssd") / F.col("n_urls") >= mean_depth_max)
+            )
+        ).alias("is_trap"),
+    )

@@ -2089,3 +2089,182 @@ def test_c4_clean_random_corpus_matches_twin(spark):
         kept_any |= keep
         drop_any |= not keep
     assert kept_any and drop_any  # the corpus exercised both verdicts
+
+
+def test_trap_detect_signals(spark):
+    from crawl_spark.operators.urlfilter import trap_detect
+
+    rows = []
+    # host A: calendar/session trap — 60 urls, ONE path, query explosion
+    rows += [f"https://a.example/cal?day={i}" for i in range(60)]
+    # host B: healthy — 60 urls, 60 distinct shallow paths, no query
+    rows += [f"https://b.example/p{i}" for i in range(60)]
+    # host C: depth trap — 50 urls at depth 10, distinct paths
+    rows += [
+        "https://c.example/" + "/".join(f"d{j}" for j in range(9)) + f"/x{i}"
+        for i in range(50)
+    ]
+    # host D: below min_urls — same shape as A but only 5 urls
+    rows += [f"https://d.example/cal?day={i}" for i in range(5)]
+    df = spark.createDataFrame([(u,) for u in rows], "url string")
+    got = {
+        r.host: r
+        for r in trap_detect(df, min_urls=50, path_dup_frac=0.5,
+                             mean_depth_max=8.0).collect()
+    }
+    a = got["a.example"]
+    assert (a.n_urls, a.n_paths, a.max_per_path) == (60, 1, 60)
+    assert a.query_frac == 1.0 and a.mean_depth == 1.0 and a.is_trap
+    b = got["b.example"]
+    assert (b.n_urls, b.n_paths, b.max_per_path) == (60, 60, 1)
+    assert b.query_frac == 0.0 and not b.is_trap
+    c = got["c.example"]
+    assert c.mean_depth == 10.0 and c.is_trap and c.max_per_path == 1
+    d = got["d.example"]
+    assert d.max_per_path == 5 and not d.is_trap  # below min_urls
+
+
+def test_domain_reputation_signals(spark):
+    from crawl_spark.operators.sampling import domain_reputation
+
+    rows = []
+    # X: dup farm — 10 copies of one page (identical after ws/case norm)
+    rows += [(100 + i, "X", "Buy CHEAP   widgets now here today") for i in range(10)]
+    # Y: healthy — 10 unique long-enough docs
+    rows += [(200 + i, "Y", f"unique article number {i} " + "w " * 12) for i in range(10)]
+    # Z: stub farm — 10 distinct but tiny docs
+    rows += [(300 + i, "Z", f"stub {i}") for i in range(10)]
+    # W: small domain — 2 identical docs, below min_docs
+    rows += [(400 + i, "W", "tiny twin page") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: r
+        for r in domain_reputation(
+            df, min_docs=5, dup_ratio_max=0.5, short_frac_max=0.5,
+            short_tokens=10,
+        ).collect()
+    }
+    x = got["X"]
+    assert (x.n_docs, x.max_copies) == (10, 10)
+    assert x.dup_ratio == 0.9 and not x.keep
+    y = got["Y"]
+    assert y.dup_ratio == 0.0 and y.short_frac == 0.0 and y.keep
+    assert y.mean_tokens == 16.0  # "unique article number {i}" + 12 w's
+    z = got["Z"]
+    assert z.short_frac == 1.0 and not z.keep
+    w = got["W"]
+    assert w.dup_ratio == 0.5 and w.keep  # below min_docs: no verdict
+
+
+def _py_ccnet_normalize(s: str) -> str:
+    import unicodedata
+
+    out = []
+    for ch in s.lower():
+        cat = unicodedata.category(ch)
+        if cat == "Nd":
+            out.append("0")
+        elif cat.startswith("P"):
+            continue
+        else:
+            out.append(ch)
+    # Java \s+ is ASCII [ \t\n\x0B\f\r]
+    import re
+
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", "".join(out)).strip()
+
+
+def test_ccnet_normalize_matches_python_twin(spark):
+    from crawl_spark.operators.dedup import ccnet_normalize
+
+    samples = [
+        "Posted on 2024-01-02, by ADMIN!",
+        "posted   on 2025-11-30 by admin",
+        "Price: $1,234.99 (was €2.000,00)",
+        "arabic ٣٤ digits; devanagari २ too",
+        "quotes “hello” — dash … ellipsis 。",
+        "tabs\tand\nnewlines\r\nhere",
+        "",
+        "   only   spaces   ",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i long, text string")
+    got = {
+        r.i: r.norm
+        for r in df.select("i", ccnet_normalize(F.col("text")).alias("norm")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == _py_ccnet_normalize(s), (i, s, got[i])
+
+
+def test_ccnet_dedup_collapses_date_variants(spark):
+    from crawl_spark.operators.dedup import ccnet_dedup, exact_dedup
+
+    rows = [
+        (1, "Posted on 2024-01-02: hello world!"),
+        (2, "posted on 2025-11-30 hello world"),
+        (3, "a different page entirely"),
+        (4, "A different page, entirely..."),
+        (5, "unique survivor"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_copies for r in ccnet_dedup(df).collect()}
+    assert got == {1: 2, 3: 2, 5: 1}
+    # plain exact_dedup keeps all 5 — the normalization is what collapses
+    assert exact_dedup(df).count() == 5
+
+
+def test_incremental_dedup_reasons(spark):
+    from crawl_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "already in the corpus"), (2, "an old page")],
+        "doc_id long, text string",
+    )
+    corpus_digests = exact_dedup(corpus).select("content_md5")
+    batch = spark.createDataFrame(
+        [
+            (10, "already in   the CORPUS"),  # corpus dup (normalized)
+            (11, "fresh page one"),
+            (12, "fresh page two"),
+            (13, "fresh page two"),  # batch dup of 12
+            (14, "fresh page two"),  # another batch dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in incremental_dedup(batch, corpus_digests).collect()}
+    assert len(got) == 5
+    assert not got[10].keep and got[10].reason == "corpus_dup"
+    assert got[11].keep and got[11].reason is None
+    assert got[12].keep and got[12].reason is None
+    assert not got[13].keep and got[13].reason == "batch_dup"
+    assert not got[14].keep and got[14].reason == "batch_dup"
+
+
+def test_leak_safe_split_cluster_consistent(spark):
+    import hashlib
+
+    from crawl_spark.operators.dedup import neardup_clusters
+    from crawl_spark.operators.sampling import leak_safe_split
+
+    # 3 near-dup pairs + singletons, via the real clustering path
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    for i in range(20):
+        rows.append((2 * i, base + f"tail {i}"))
+        rows.append((2 * i + 1, base + f"tail {i} extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = neardup_clusters(df, threshold=0.1)
+    got = leak_safe_split(clusters, valid_rate=0.25).collect()
+    by_cluster: dict[int, set] = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        exp = (
+            "valid"
+            if hashlib.md5(str(r.cluster_id).encode()).hexdigest()[:4]
+            < "%04x" % int(0.25 * (1 << 16))
+            else "train"
+        )
+        assert r.split == exp
+    assert all(len(s) == 1 for s in by_cluster.values())  # no straddle
+    assert len(got) == 40
