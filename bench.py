@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "gopher_quality",
     "main_content",
     "url_strip",
+    # round-5 continuation: frontier-hygiene + curation gates
+    "trap_detect",
+    "domain_reputation",
+    "ccnet_dedup",
+    "incremental_dedup",
+    "leak_split",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -34,6 +34,55 @@ MINHASH_K = 12  # hash functions
 LSH_BANDS = 4   # bands of r = K/BANDS rows each
 
 
+def suggest_lsh_bands(
+    n_hashes: int = MINHASH_K,
+    threshold: float = 0.5,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Threshold-optimal LSH banding ``(bands, rows_per_band)``.
+
+    A (b, r) banding of an n-hash MinHash signature collides a pair
+    with Jaccard similarity s with probability ``1 − (1 − s^r)^b``
+    (the classic S-curve; Mining of Massive Datasets §3.4 — public
+    method, same optimization datasketch exposes). This picks, among
+    all b·r ≤ n_hashes with maximal coverage, the (b, r) minimizing
+    the weighted false-positive area (∫ below ``threshold``) plus
+    false-negative area (∫ above) of that curve — so callers tune
+    `lsh_bands` by THRESHOLD, the quantity they actually care about,
+    instead of guessing band counts. Only exact divisor pairs
+    (b·r = n_hashes) are considered, so ``lsh_bands(sig,
+    bands=b)``'s own ``r = n // b`` reproduces the suggested r
+    exactly. Deterministic scan; numerical integration at 1e-3 step.
+
+    ``fp_weight`` ∈ (0,1): weight on the false-positive area (raise it
+    to bias toward fewer, higher-precision candidates; candidates are
+    verified downstream anyway, so FPs cost compute, FNs cost recall).
+    """
+    if not 1 <= n_hashes:
+        raise ValueError("n_hashes must be >= 1")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0,1)")
+    best: tuple[float, int, int] | None = None
+    step = 0.001
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        fp = fn = 0.0
+        for i in range(int(1.0 / step)):
+            s = (i + 0.5) * step
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p * step
+            else:
+                fn += (1.0 - p) * step
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[0] - 1e-12:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized (lowercased, ws-collapsed) text.
 

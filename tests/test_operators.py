@@ -2268,3 +2268,54 @@ def test_leak_safe_split_cluster_consistent(spark):
         assert r.split == exp
     assert all(len(s) == 1 for s in by_cluster.values())  # no straddle
     assert len(got) == 40
+
+
+def test_suggest_lsh_bands_s_curve_optimum():
+    import pytest
+
+    from crawl_spark.operators.dedup import LSH_BANDS, MINHASH_K, suggest_lsh_bands
+
+    # the repo's own default banding is the 0.5-threshold optimum
+    assert suggest_lsh_bands(MINHASH_K, 0.5) == (LSH_BANDS, MINHASH_K // LSH_BANDS)
+    # r is monotone in threshold: stricter thresholds -> longer bands
+    rows = [suggest_lsh_bands(128, t)[1] for t in (0.1, 0.3, 0.5, 0.8, 0.95)]
+    assert rows == sorted(rows) and rows[0] < rows[-1]
+    # exact-divisor contract: lsh_bands(bands=b) reproduces r
+    for t in (0.2, 0.5, 0.9):
+        b, r = suggest_lsh_bands(12, t)
+        assert b * r == 12
+    # FP bias shifts toward longer rows (higher precision)
+    assert suggest_lsh_bands(128, 0.5, fp_weight=0.9)[1] > suggest_lsh_bands(
+        128, 0.5, fp_weight=0.1
+    )[1]
+    with pytest.raises(ValueError):
+        suggest_lsh_bands(12, 0.0)
+    with pytest.raises(ValueError):
+        suggest_lsh_bands(0, 0.5)
+
+
+def test_trap_hosts_feed_blocklist_filter(spark):
+    """The documented frontier-hygiene loop: trap_detect verdicts gate
+    future URLs through url_blocklist_filter (trap host AND its
+    subdomains dropped; healthy hosts untouched)."""
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.urlfilter import trap_detect, url_blocklist_filter
+
+    urls = [f"https://trap.example/cal?day={i}" for i in range(40)]
+    urls += [f"https://ok.example/p{i}" for i in range(40)]
+    seen = spark.createDataFrame([(u,) for u in urls], "url string")
+    verdicts = trap_detect(seen, min_urls=30, path_dup_frac=0.5)
+    blocked = verdicts.filter(F.col("is_trap")).select("host")
+
+    incoming = spark.createDataFrame(
+        [
+            (1, "https://trap.example/cal?day=99"),
+            (2, "https://sub.trap.example/other"),
+            (3, "https://ok.example/p99"),
+            (4, "https://new.example/x"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = url_blocklist_filter(incoming, blocked)
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 4]

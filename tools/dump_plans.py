@@ -537,6 +537,52 @@ def main() -> None:
         span_dedup(docs, checkpoint=False),
     )
 
+    # 25. Crawl-trap detection: two partial-agg levels, URLs never shuffle
+    from crawl_spark.operators.urlfilter import trap_detect
+
+    cap(
+        "Crawl-trap detection (two-level partial agg, URL strings never shuffle)",
+        "Round-5 continuation operator (domain_reputation shares the "
+        "same shape with domains for hosts). What the plan must show: "
+        "TWO partial-aggregated HashAggregate pairs — level 1 on "
+        "(host, md5(path)) where only the 16-byte digest and three "
+        "counters cross the Exchange (URL/path strings are projected "
+        "away before the shuffle), level 2 folding per-path counters "
+        "into ONE row per host. A 10^8-URL trap host map-side-combines "
+        "to O(distinct paths) rows at the first Exchange and one row "
+        "at the second — the skew the operator detects never becomes "
+        "its own skew.",
+        trap_detect(
+            pages.select(F.col("url")), min_urls=50
+        ),
+    )
+
+    # 26. Incremental batch-vs-corpus dedup: corpus scan-probe, no corpus shuffle
+    from crawl_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    corpus_digests = exact_dedup(docs).select("content_md5")
+    batch = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).limit(2000)
+    cap(
+        "Incremental batch-vs-corpus dedup (broadcast probe, corpus never shuffles)",
+        "Round-5 continuation operator — the engine's seen-set probe "
+        "shape at the curation layer. What the plan must show: the "
+        "batch's distinct digests ride a BroadcastExchange into a "
+        "LEFT-SEMI BroadcastHashJoin against the corpus digest side — "
+        "the petabyte-class corpus is only SCANNED (no Exchange on its "
+        "branch; with a digest-bucketed layout the scan additionally "
+        "prunes); the surviving hit set (≤ |batch|) broadcasts back "
+        "onto the batch rows, and batch-internal firsts are one "
+        "bounded partial-aggregated groupBy of the batch itself. (The "
+        "Window/Exchange visible INSIDE the corpus branch belongs to "
+        "this DEMO's inline exact_dedup recomputation of the digests; "
+        "in production corpus_digests is a persisted digest table and "
+        "that branch is a bare scan. The SinglePartition exchanges "
+        "belong to the demo's limit(2000) batch fabrication.)",
+        incremental_dedup(batch, corpus_digests),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
