@@ -1687,6 +1687,50 @@ sig AS (SELECT doc_id, [{_SIG_COMPONENTS}] AS mh FROM sh WHERE len(s) > 0),
 bands AS ({_BAND_SELECTS})
 """
 
+# LSH candidates → Jaccard-verified pairs (threshold 0.1) → transitive
+# closure → (doc_id, cluster_id). ONE point of truth for the pair graph
+# + clustering: both the neardup_clusters and leak_split oracles consume
+# it, so they cannot drift apart about the same clusters. Appended after
+# _MINHASH_CTES inside a WITH RECURSIVE.
+_NEARDUP_CC_CTES = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN shx x ON x.doc_id = c.id_a
+  JOIN shx y ON y.doc_id = c.id_b AND y.g = x.g
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+),
+comp AS (SELECT node, least(node, min(lbl)) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+"""
+
 _COSINE_CTES = """
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 n AS (SELECT vec_id, e,
@@ -2073,42 +2117,7 @@ WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
 """,
         "neardup_clusters": f"""
 WITH RECURSIVE {_MINHASH_CTES},
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN shx x ON x.doc_id = c.id_a
-  JOIN shx y ON y.doc_id = c.id_b AND y.g = x.g
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT i.id_a, i.id_b
-  FROM inter i
-  JOIN sizes na ON na.doc_id = i.id_a
-  JOIN sizes nb ON nb.doc_id = i.id_b
-  WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-),
-reach(node, lbl) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
-),
-comp AS (SELECT node, least(node, min(lbl)) AS cluster_id FROM reach GROUP BY node),
-lab AS (
-  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-),
+{_NEARDUP_CC_CTES},
 sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY cluster_id)
 SELECT l.doc_id, l.cluster_id, s.cluster_size,
        l.doc_id = l.cluster_id AS is_canonical
@@ -3301,11 +3310,12 @@ WITH d AS (SELECT
 u AS (SELECT
   regexp_replace(regexp_extract(lower(url),
     '^[a-z][a-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '\.$', '') AS host,
-  regexp_replace(lower(url), '^[a-z][a-z0-9+.\-]*://[^/]*', '') AS path_q
+  split_part(regexp_replace(lower(url), '^[a-z][a-z0-9+.\-]*://[^/?#]*', ''),
+             '#', 1) AS path_query
   FROM d),
 v AS (SELECT host,
-  split_part(path_q, '?', 1) AS path,
-  CASE WHEN position('?' in path_q) > 0 THEN 1 ELSE 0 END AS has_q
+  split_part(path_query, '?', 1) AS path,
+  CASE WHEN position('?' in path_query) > 0 THEN 1 ELSE 0 END AS has_q
   FROM u),
 w AS (SELECT host, md5(path) AS pm, has_q,
   CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT) AS depth
@@ -3374,8 +3384,9 @@ WITH d AS (SELECT doc_id,
          || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') END AS text
   FROM documents),
 n AS (SELECT doc_id,
+  -- explicit ws class: Java \s has \x0B, RE2's does not (cross-engine contract)
   md5(trim(regexp_replace(regexp_replace(regexp_replace(
-    lower(text), '\p{Nd}', '0', 'g'), '\p{P}', '', 'g'), '\s+', ' ', 'g'))) AS content_md5
+    lower(text), '\p{Nd}', '0', 'g'), '\p{P}', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS content_md5
   FROM d),
 r AS (SELECT doc_id, content_md5,
         row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn,
@@ -3401,46 +3412,11 @@ SELECT d.doc_id, d.content_md5,
        WHEN d.doc_id <> f.first_id THEN 'batch_dup' END AS reason
 FROM d JOIN firsts f USING (content_md5) LEFT JOIN hits h USING (content_md5)
 """,
-        # same pair graph + transitive closure as neardup_clusters (one
-        # point of truth), then the md5-bucket split on the CLUSTER id
+        # the SHARED pair-graph + closure CTEs (one point of truth with
+        # neardup_clusters), then the md5-bucket split on the CLUSTER id
         "leak_split": f"""
 WITH RECURSIVE {_MINHASH_CTES},
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN shx x ON x.doc_id = c.id_a
-  JOIN shx y ON y.doc_id = c.id_b AND y.g = x.g
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT i.id_a, i.id_b
-  FROM inter i
-  JOIN sizes na ON na.doc_id = i.id_a
-  JOIN sizes nb ON nb.doc_id = i.id_b
-  WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-),
-reach(node, lbl) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
-),
-comp AS (SELECT node, least(node, min(lbl)) AS cluster_id FROM reach GROUP BY node),
-lab AS (
-  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-)
+{_NEARDUP_CC_CTES}
 SELECT doc_id, cluster_id,
   CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '4000'
        THEN 'valid' ELSE 'train' END AS split

@@ -396,8 +396,19 @@ def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS)
 
     band_key = md5(band || ':' || sig slice) — docs agreeing on all r
     components of any band collide. Null signatures (empty docs) drop out.
+
+    ``k`` is read off the signature frame's ``mh_*`` columns (NOT
+    assumed = MINHASH_K), so a ``minhash_signature(k=…)`` /
+    :func:`suggest_lsh_bands` pairing bands correctly at any width;
+    a ``bands`` that does not divide k fails loudly instead of
+    silently banding a prefix (or, at bands > k, hashing an EMPTY
+    slice — every doc colliding in every band).
     """
-    k = MINHASH_K
+    k = sum(1 for c in sig_df.columns if c.startswith("mh_"))
+    if bands < 1 or k == 0 or k % bands:
+        raise ValueError(
+            f"bands={bands} must divide the signature's {k} mh_* columns"
+        )
     r = k // bands
     rows = []
     for b in range(bands):
@@ -966,9 +977,13 @@ def ccnet_normalize(c: F.Column) -> F.Column:
     kept text is untouched.
 
     Pure JVM regexp chain (whole-stage codegen, no Python): the
-    character classes used (``\\p{Nd}``, ``\\p{P}``, ASCII ``\\s``) are
-    in the Java∩RE2 regex subset the module's PII scrubber already
-    relies on, so the DuckDB oracle runs the same program.
+    ``\\p{Nd}`` / ``\\p{P}`` classes are in the Java∩RE2 regex subset
+    the module's PII scrubber already relies on, so the DuckDB oracle
+    runs the same program. The whitespace collapse spells the class
+    OUT as ``[ \\t\\n\\x0B\\f\\r]`` rather than ``\\s`` — Java's
+    ``\\s`` includes vertical tab, RE2's does not, so the shorthand
+    would hash ``a\\x0Bb`` differently across engines (and \\x0B is
+    real in PDF/DOC-extracted web text).
     """
     return F.trim(
         F.regexp_replace(
@@ -977,7 +992,7 @@ def ccnet_normalize(c: F.Column) -> F.Column:
                 r"\p{P}",
                 "",
             ),
-            r"\s+",
+            r"[ \t\n\x0B\f\r]+",
             " ",
         )
     )
@@ -991,20 +1006,17 @@ def ccnet_dedup(
     output contract as :func:`exact_dedup` (survivor = min id per
     digest, duplicate count carried), but ``Posted on 2024-01-02!`` and
     ``posted on 2025-11-30`` now collapse to one group.
+
+    Delegates to :func:`exact_dedup` over the pre-normalized text
+    (the :func:`nfc_dedup` pattern — ONE place owns the survivor
+    rule): ``ccnet_normalize`` output is already lowercased,
+    single-spaced and trimmed, so exact_dedup's tokens+concat_ws
+    digest chain is the identity on it — md5(normalized) exactly.
     """
-    d = df.withColumn("content_md5", F.md5(ccnet_normalize(F.col(text_col))))
-    w = Window.partitionBy("content_md5").orderBy(F.col(id_col))
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_copies", F.count("*").over(Window.partitionBy("content_md5"))
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col),
-            "content_md5",
-            F.col("n_copies").cast("long").alias("n_copies"),
-        )
+    return exact_dedup(
+        df.withColumn(text_col, ccnet_normalize(F.col(text_col))),
+        id_col,
+        text_col,
     )
 
 

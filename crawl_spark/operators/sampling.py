@@ -679,11 +679,17 @@ def domain_reputation(
     """
     from .textops import tokens
 
-    tok = tokens(F.col(text_col))
-    per_doc = df.select(
+    # token array materialized ONCE (lazy checkpoint): the digest and
+    # the count both reference it, and Catalyst does not CSE nested
+    # HOFs (CLAUDE.md) — inlined, tokenization would run 2× per row
+    tokd = df.select(
         F.col(group_col).alias("grp"),
-        F.md5(F.concat_ws(" ", tok)).alias("content_md5"),
-        F.size(tok).cast("long").alias("n_tok"),
+        tokens(F.col(text_col)).alias("__t"),
+    ).localCheckpoint(eager=False)
+    per_doc = tokd.select(
+        "grp",
+        F.md5(F.concat_ws(" ", F.col("__t"))).alias("content_md5"),
+        F.size(F.col("__t")).cast("long").alias("n_tok"),
     ).select(
         "grp",
         "content_md5",

@@ -226,12 +226,17 @@ def trap_detect(
     """
     u = F.col(url_col)
     host = host_expr(u)
-    # strip scheme://authority -> "/p/x?a=1" | "" ; then split off query
+    # strip scheme://authority -> "/p/x?a=1#f" | "?sid=1" | "" — the
+    # authority stops at '?'/'#' too (like _HOST_RE), so a PATH-LESS
+    # query URL (https://h.example?sid=N — the root-level session
+    # explosion) keeps its query; then drop the fragment BEFORE
+    # splitting off the query ('?' inside a fragment is not a query)
     path_q = F.regexp_replace(
-        F.lower(u), r"^[a-z][a-z0-9+.\-]*://[^/]*", ""
+        F.lower(u), r"^[a-z][a-z0-9+.\-]*://[^/?#]*", ""
     )
-    path = F.substring_index(path_q, "?", 1)
-    has_q = (F.instr(path_q, "?") > 0).cast("long")
+    path_query = F.substring_index(path_q, "#", 1)
+    path = F.substring_index(path_query, "?", 1)
+    has_q = (F.instr(path_query, "?") > 0).cast("long")
     depth = F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))
     per_url = df.select(
         host.alias("host"),

@@ -2106,6 +2106,10 @@ def test_trap_detect_signals(spark):
     ]
     # host D: below min_urls — same shape as A but only 5 urls
     rows += [f"https://d.example/cal?day={i}" for i in range(5)]
+    # host E: root-level session explosion — PATH-LESS query URLs
+    rows += [f"https://e.example?sid={i}" for i in range(60)]
+    # host F: fragments — same path, '?' inside the fragment is no query
+    rows += ["https://f.example/p#a", "https://f.example/p#b?x"]
     df = spark.createDataFrame([(u,) for u in rows], "url string")
     got = {
         r.host: r
@@ -2122,6 +2126,11 @@ def test_trap_detect_signals(spark):
     assert c.mean_depth == 10.0 and c.is_trap and c.max_per_path == 1
     d = got["d.example"]
     assert d.max_per_path == 5 and not d.is_trap  # below min_urls
+    e = got["e.example"]
+    assert (e.n_urls, e.n_paths, e.max_per_path) == (60, 1, 60)
+    assert e.query_frac == 1.0 and e.mean_depth == 0.0 and e.is_trap
+    f = got["f.example"]
+    assert (f.n_paths, f.query_frac) == (1, 0.0)  # fragment '?' ≠ query
 
 
 def test_domain_reputation_signals(spark):
@@ -2184,6 +2193,7 @@ def test_ccnet_normalize_matches_python_twin(spark):
         "arabic ٣٤ digits; devanagari २ too",
         "quotes “hello” — dash … ellipsis 。",
         "tabs\tand\nnewlines\r\nhere",
+        "vertical\x0btab\x0bseam",  # Java \s has \x0B, RE2's does not
         "",
         "   only   spaces   ",
     ]
@@ -2319,3 +2329,21 @@ def test_trap_hosts_feed_blocklist_filter(spark):
     )
     kept = url_blocklist_filter(incoming, blocked)
     assert sorted(r.doc_id for r in kept.collect()) == [3, 4]
+
+
+def test_lsh_bands_derives_k_and_rejects_nondivisor(spark):
+    import pytest
+
+    from crawl_spark.operators.dedup import lsh_bands, minhash_signature
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    sig = minhash_signature(df, k=6)  # non-default width
+    out = lsh_bands(sig, bands=3)
+    assert out.select("band").distinct().count() == 3
+    assert out.count() == 6  # 2 docs × 3 bands
+    with pytest.raises(ValueError):
+        lsh_bands(sig, bands=4)  # 4 does not divide 6
+    with pytest.raises(ValueError):
+        lsh_bands(sig, bands=7)  # bands > k would hash an empty slice
