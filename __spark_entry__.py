@@ -1557,6 +1557,41 @@ def q_leak_split(spark, sf_dir):
     )
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection over synthesized (host, text): hosts h0/h1
+    hold the SAME content set keyed by doc_id//12 (full mirror,
+    jaccard 1.0), h2/h3 hold half-overlapping 'semi' key ranges
+    (candidate pair, below the 0.5 bar at sf0.01), h4-h7 carry ONLY a
+    global boilerplate page (on 4 hosts > cap 3 — dropped, so they
+    produce no pairs), h8-h11 unique docs. Exercises the hot-digest
+    cap, both is_mirror verdicts, and pair absence."""
+    from crawl_spark.operators.dedup import mirror_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    m = i % 12
+    key = F.floor(i / 12).cast("long")
+    lid = F.translate(key.cast("string"), "0123456789", "abcdefghij")
+    text = (
+        F.when(m < 2, F.concat(F.lit("mirror page "), lid))
+        .when(m == 2, F.concat(F.lit("semi "), (key % 40).cast("string")))
+        .when(m == 3, F.concat(F.lit("semi "), (key % 40 + 20).cast("string")))
+        .when(m < 8, F.lit("global footer boilerplate"))
+        .otherwise(
+            F.concat(
+                F.lit("solo "),
+                F.translate(i.cast("string"), "0123456789", "abcdefghij"),
+            )
+        )
+    )
+    host = F.concat(F.lit("h"), m.cast("string"))
+    return mirror_hosts(
+        d.select(host.alias("host"), text.alias("text")),
+        min_jaccard=0.5,
+        max_hosts_per_digest=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1643,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_dedup": q_ccnet_dedup,
         "incremental_dedup": q_incremental_dedup,
         "leak_split": q_leak_split,
+        "mirror_hosts": q_mirror_hosts,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3421,6 +3457,29 @@ SELECT doc_id, cluster_id,
   CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '4000'
        THEN 'valid' ELSE 'train' END AS split
 FROM lab
+""",
+        "mirror_hosts": rf"""
+WITH d AS (SELECT
+  'h' || CAST(doc_id % 12 AS VARCHAR) AS host,
+  CASE WHEN doc_id % 12 < 2 THEN 'mirror page '
+         || translate(CAST(doc_id // 12 AS VARCHAR), '0123456789', 'abcdefghij')
+       WHEN doc_id % 12 = 2 THEN 'semi ' || CAST((doc_id // 12) % 40 AS VARCHAR)
+       WHEN doc_id % 12 = 3 THEN 'semi ' || CAST((doc_id // 12) % 40 + 20 AS VARCHAR)
+       WHEN doc_id % 12 < 8 THEN 'global footer boilerplate'
+       ELSE 'solo ' || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') END AS text
+  FROM documents),
+hd AS (SELECT DISTINCT host, md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS digest FROM d),
+cold AS (SELECT hd.* FROM hd
+         JOIN (SELECT digest FROM hd GROUP BY digest HAVING count(*) <= 3) k
+         USING (digest)),
+tot AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM cold GROUP BY host),
+p AS (SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM cold a JOIN cold b ON a.digest = b.digest AND a.host < b.host
+      GROUP BY 1, 2)
+SELECT host_a, host_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+  round(n_shared / (ta.n + tb.n - n_shared), 6) AS jaccard,
+  (n_shared / (ta.n + tb.n - n_shared)) >= 0.5 AS is_mirror
+FROM p JOIN tot ta ON ta.host = p.host_a JOIN tot tb ON tb.host = p.host_b
 """,
     }
     # decontaminate_bloom is exactness-preserving by construction (Bloom

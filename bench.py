@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "ccnet_dedup",
     "incremental_dedup",
     "leak_split",
+    "mirror_hosts",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

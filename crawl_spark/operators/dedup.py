@@ -1078,3 +1078,81 @@ def incremental_dedup(
         .when(F.col(id_col) != F.col("first_id"), F.lit("batch_dup"))
         .alias("reason"),
     )
+
+
+def mirror_hosts(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_hosts_per_digest: int = 16,
+) -> DataFrame:
+    """Mirror-site detection (Broder/Bharat's shared-content host
+    pairs — the crawl-hygiene step that stops a crawler fetching the
+    same corpus once per mirror, and the curation step that stops a
+    mirror farm weighting its content N×): host pairs ranked by the
+    Jaccard overlap of their page-content digest sets.
+
+    Candidate-then-verify over the module's exact-dedup digest, with
+    the same hot-key discipline as `embedding_neardup_pairs`:
+
+    - (host, digest) pairs are de-duplicated in ONE shuffle (text never
+      shuffles — only host + the 16-byte digest);
+    - digests on more than ``max_hosts_per_digest`` hosts are dropped
+      BEFORE the pair join — site-template boilerplate shared by every
+      host on a shared platform would otherwise contribute O(hosts²)
+      candidate pairs per digest, and carries no mirror signal (a real
+      mirror PAIR holds its content at 2 hosts, far under any sane
+      cap). Totals use the same capped set, so the Jaccard's numerator
+      and denominator agree;
+    - the digest self-join is bounded by Σ c² over c ≤ cap, and the
+      per-pair count is a partial-aggregated groupBy;
+    - per-host digest totals are dimension-sized and broadcast back
+      onto the pair frame.
+
+    Emits one row per candidate pair (host_a < host_b, ≥1 shared
+    digest): (host_a, host_b, n_shared, n_a, n_b, jaccard·6dp,
+    is_mirror = jaccard ≥ ``min_jaccard``). Feed ``is_mirror`` pairs'
+    losing side to ``url_blocklist_filter``.
+    """
+    hd = df.select(
+        F.col(host_col).alias("host"),
+        F.md5(F.concat_ws(" ", tokens(F.col(text_col)))).alias("digest"),
+    ).distinct()
+    cold = hd.join(
+        hd.groupBy("digest")
+        .agg(F.count("*").alias("nh"))
+        .filter(F.col("nh") <= max_hosts_per_digest)
+        .select("digest"),
+        "digest",
+    )
+    totals = cold.groupBy("host").agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        cold.alias("a")
+        .join(cold.alias("b"), "digest")
+        .filter(F.col("a.host") < F.col("b.host"))
+        .groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).alias("jaccard"),
+            (jac >= min_jaccard).alias("is_mirror"),
+        )
+    )

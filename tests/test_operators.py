@@ -2347,3 +2347,32 @@ def test_lsh_bands_derives_k_and_rejects_nondivisor(spark):
         lsh_bands(sig, bands=4)  # 4 does not divide 6
     with pytest.raises(ValueError):
         lsh_bands(sig, bands=7)  # bands > k would hash an empty slice
+
+
+def test_mirror_hosts_pairs(spark):
+    from crawl_spark.operators.dedup import mirror_hosts
+
+    rows = []
+    for i in range(8):
+        rows += [("m1", f"page {i} mirrored content"),
+                 ("m2", f"page {i} mirrored content")]
+    rows += [("m2", "extra a only on m2"), ("m2", "extra b only on m2")]
+    rows += [("u1", f"unique u1 {i}") for i in range(5)]
+    rows += [("u2", f"unique u2 {i}") for i in range(3)]
+    rows += [("u1", "shared once page"), ("u2", "shared once page")]
+    # boilerplate on ALL 4 hosts: above the cap, must not create pairs
+    rows += [(h, "footer boilerplate") for h in ("m1", "m2", "u1", "u2")]
+    rows += [("m1", "page 0 mirrored content")]  # dup row: distinct folds it
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {
+        (r.host_a, r.host_b): r
+        for r in mirror_hosts(df, min_jaccard=0.5,
+                              max_hosts_per_digest=3).collect()
+    }
+    assert set(got) == {("m1", "m2"), ("u1", "u2")}
+    m = got[("m1", "m2")]
+    assert (m.n_shared, m.n_a, m.n_b) == (8, 8, 10)
+    assert m.jaccard == 0.8 and m.is_mirror
+    u = got[("u1", "u2")]
+    assert (u.n_shared, u.n_a, u.n_b) == (1, 6, 4)
+    assert u.jaccard == round(1 / 9, 6) and not u.is_mirror
