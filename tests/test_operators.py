@@ -2376,3 +2376,176 @@ def test_mirror_hosts_pairs(spark):
     u = got[("u1", "u2")]
     assert (u.n_shared, u.n_a, u.n_b) == (1, 6, 4)
     assert u.jaccard == round(1 / 9, 6) and not u.is_mirror
+
+
+def _java_ws_tokens(s: str) -> list[str]:
+    # tokens()'s contract: lowercase, split on Java \s = [ \t\n\x0B\f\r]
+    import re
+
+    return [t for t in re.split(r"[ \t\n\x0b\f\r]+", s.lower()) if t]
+
+
+def test_trap_detect_random_corpus_matches_twin(spark):
+    """Seeded random URL corpus over every parse boundary (path-less
+    queries, fragments, '?' inside fragments, userinfo, root-dot hosts,
+    uppercase schemes, unparsable junk) — every output field must match
+    a from-first-principles python twin."""
+    import random
+    import re
+
+    from crawl_spark.operators.urlfilter import trap_detect
+
+    rng = random.Random(41)
+    hosts = ["a.example", "B.Example", "deep.example", "q.example."]
+    urls = []
+    for _ in range(400):
+        h = rng.choice(hosts)
+        scheme = rng.choice(["https", "HTTP", "ftp"])
+        user = rng.choice(["", "u:p@"])
+        kind = rng.randrange(6)
+        if kind == 0:
+            path = "/cal"
+            tail = f"?day={rng.randrange(50)}"
+        elif kind == 1:
+            path = "/" + "/".join(f"d{rng.randrange(3)}" for _ in range(rng.randrange(1, 12)))
+            tail = ""
+        elif kind == 2:
+            path = ""
+            tail = f"?sid={rng.randrange(30)}"
+        elif kind == 3:
+            path = f"/p{rng.randrange(20)}"
+            tail = "#frag" + rng.choice(["", "?notaquery"])
+        elif kind == 4:
+            path = f"/x/y{rng.randrange(5)}"
+            tail = rng.choice(["?a=1#f", "#f?a=1", "?", "#"])
+        else:
+            path = f"/p{rng.randrange(20)}"
+            tail = ""
+        urls.append(f"{scheme}://{user}{h}{path}{tail}")
+    urls += ["not a url at all", "mailto:x@y.example"]
+    # a dedicated calendar-trap host so both verdicts appear
+    urls += [f"https://trap.example/cal?day={i}" for i in range(40)]
+
+    # twin: the documented semantics from first principles
+    agg: dict[str, dict] = {}
+    for u in urls:
+        lu = u.lower()
+        m = re.match(r"^[a-z][a-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)", lu)
+        host = re.sub(r"\.$", "", m.group(1)) if m else ""
+        path_q = re.sub(r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "", lu, count=1)
+        path_query = path_q.split("#", 1)[0]
+        path = path_query.split("?", 1)[0]
+        a = agg.setdefault(host, {"n": 0, "paths": {}, "nq": 0, "sd": 0})
+        a["n"] += 1
+        a["paths"][path] = a["paths"].get(path, 0) + 1
+        a["nq"] += 1 if "?" in path_query else 0
+        a["sd"] += len([s for s in path.split("/") if s])
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.host: r for r in trap_detect(df, min_urls=30).collect()}
+    assert set(got) == set(agg)
+    for host, a in agg.items():
+        r = got[host]
+        assert (r.n_urls, r.n_paths, r.max_per_path) == (
+            a["n"], len(a["paths"]), max(a["paths"].values())
+        ), host
+        assert abs(r.query_frac - a["nq"] / a["n"]) < 5.1e-7, host  # 6dp round
+        assert abs(r.mean_depth - a["sd"] / a["n"]) < 5.1e-7, host
+        exp_trap = a["n"] >= 30 and (
+            max(a["paths"].values()) / a["n"] >= 0.5 or a["sd"] / a["n"] >= 8.0
+        )
+        assert r.is_trap == exp_trap, host
+    assert any(r.is_trap for r in got.values())
+    assert any(not r.is_trap for r in got.values())
+
+
+def test_mirror_hosts_random_corpus_matches_twin(spark):
+    """Seeded random (host, text) corpus — pair set, counts, Jaccards
+    and verdicts must match a from-first-principles set-arithmetic twin
+    (including which digests the hot cap removes)."""
+    import random
+    from itertools import combinations
+
+    from crawl_spark.operators.dedup import mirror_hosts
+
+    rng = random.Random(17)
+    pool = [f"page {i} body words here" for i in range(30)]
+    pool += ["Shared   BOILERPLATE\tfooter"]  # ws/case-normalized dup
+    hosts = [f"h{i}" for i in range(6)]
+    rows = []
+    for h in hosts:
+        for _ in range(rng.randrange(8, 25)):
+            rows.append((h, rng.choice(pool)))
+
+    cap, thr = 3, 0.3
+    sets: dict[str, set] = {h: set() for h in hosts}
+    for h, t in rows:
+        sets[h].add(" ".join(_java_ws_tokens(t)))
+    from collections import Counter
+
+    nh = Counter(d for h in hosts for d in sets[h])
+    cold = {h: {d for d in sets[h] if nh[d] <= cap} for h in hosts}
+    exp = {}
+    for a, b in combinations(sorted(hosts), 2):
+        shared = len(cold[a] & cold[b])
+        if shared:
+            jac = shared / (len(cold[a]) + len(cold[b]) - shared)
+            exp[(a, b)] = (shared, len(cold[a]), len(cold[b]), jac, jac >= thr)
+
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {
+        (r.host_a, r.host_b): r
+        for r in mirror_hosts(df, min_jaccard=thr, max_hosts_per_digest=cap).collect()
+    }
+    assert set(got) == set(exp)
+    for k, (shared, na, nb, jac, mir) in exp.items():
+        r = got[k]
+        assert (r.n_shared, r.n_a, r.n_b) == (shared, na, nb), k
+        assert abs(r.jaccard - jac) < 5.1e-7 and r.is_mirror == mir, k
+
+
+def test_domain_reputation_random_corpus_matches_twin(spark):
+    """Seeded random (doc, source, text) corpus — all six output fields
+    must match a from-first-principles twin (dup mass via normalized
+    text identity, short fraction via the Java-\\s token count)."""
+    import random
+
+    from crawl_spark.operators.sampling import domain_reputation
+
+    rng = random.Random(23)
+    pool = (
+        [f"unique article {i} alpha beta gamma delta epsilon zeta eta theta" for i in range(40)]
+        + ["dup  PROMO page\tbuy now cheap fast deal widgets here today"] * 6
+        + ["tiny stub", "another stub"] * 3
+    )
+    rows = [
+        (i, f"dom{rng.randrange(5)}", rng.choice(pool)) for i in range(300)
+    ]
+    agg: dict[str, dict] = {}
+    for _i, g, t in rows:
+        toks = _java_ws_tokens(t)
+        a = agg.setdefault(g, {"n": 0, "dig": {}, "ns": 0, "st": 0})
+        a["n"] += 1
+        d = " ".join(toks)
+        a["dig"][d] = a["dig"].get(d, 0) + 1
+        a["ns"] += 1 if len(toks) < 10 else 0
+        a["st"] += len(toks)
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: r
+        for r in domain_reputation(
+            df, min_docs=5, dup_ratio_max=0.4, short_frac_max=0.3, short_tokens=10
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for g, a in agg.items():
+        r = got[g]
+        dup = 1 - len(a["dig"]) / a["n"]
+        short = a["ns"] / a["n"]
+        assert r.n_docs == a["n"] and r.max_copies == max(a["dig"].values()), g
+        assert abs(r.dup_ratio - dup) < 5.1e-7, g
+        assert abs(r.short_frac - short) < 5.1e-7, g
+        assert abs(r.mean_tokens - a["st"] / a["n"]) < 5.1e-7, g
+        exp_keep = not (a["n"] >= 5 and (dup >= 0.4 or short >= 0.3))
+        assert r.keep == exp_keep, g
