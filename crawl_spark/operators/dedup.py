@@ -1119,13 +1119,16 @@ def mirror_hosts(
         F.col(host_col).alias("host"),
         F.md5(F.concat_ws(" ", tokens(F.col(text_col)))).alias("digest"),
     ).distinct()
+    # cold feeds THREE consumers (totals + both sides of the pair
+    # self-join): materialize it once, or the tokenize+digest+distinct
+    # +cap subtree re-executes per consumer (CLAUDE.md no-reuse rule)
     cold = hd.join(
         hd.groupBy("digest")
         .agg(F.count("*").alias("nh"))
         .filter(F.col("nh") <= max_hosts_per_digest)
         .select("digest"),
         "digest",
-    )
+    ).localCheckpoint(eager=False)
     totals = cold.groupBy("host").agg(F.count("*").cast("long").alias("n"))
     pairs = (
         cold.alias("a")
