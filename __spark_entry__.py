@@ -1592,6 +1592,17 @@ def q_mirror_hosts(spark, sf_dir):
     )
 
 
+def q_datasheet(spark, sf_dir):
+    """Corpus datasheet (Gopher tab. A1 / Dolma source-table role): one
+    accounting row per (lang, source) stratum — docs / tokens / bytes /
+    dup mass / corpus shares. Two partial-agg groupBys; text never
+    shuffles; share denominators are one bounded driver read
+    (operators/stats.corpus_datasheet)."""
+    from crawl_spark.operators.stats import corpus_datasheet
+
+    return corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1679,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "leak_split": q_leak_split,
         "mirror_hosts": q_mirror_hosts,
+        "datasheet": q_datasheet,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3480,6 +3492,35 @@ SELECT host_a, host_b, n_shared, ta.n AS n_a, tb.n AS n_b,
   round(n_shared / (ta.n + tb.n - n_shared), 6) AS jaccard,
   (n_shared / (ta.n + tb.n - n_shared)) >= 0.5 AS is_mirror
 FROM p JOIN tot ta ON ta.host = p.host_a JOIN tot tb ON tb.host = p.host_b
+""",
+        "datasheet": rf"""
+WITH tk AS (SELECT lang, source, {_TOKS} AS t,
+              CAST(strlen(text) AS BIGINT) AS b FROM documents),
+pd AS (SELECT lang, source,
+         md5(list_aggregate(t, 'string_agg', ' ')) AS cm,
+         CAST(len(t) AS BIGINT) AS nt, b FROM tk),
+g1 AS (SELECT lang, source, cm, count(*) AS cnt, sum(nt) AS st,
+         sum(b) AS sb,
+         sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS ns
+       FROM pd GROUP BY 1, 2, 3),
+g2 AS (SELECT lang, source,
+         CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(cnt) AS BIGINT) AS max_copies,
+         CAST(sum(st) AS BIGINT) AS n_tokens,
+         CAST(sum(sb) AS BIGINT) AS n_bytes,
+         CAST(sum(ns) AS BIGINT) AS n_short
+       FROM g1 GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+               CAST(sum(n_tokens) AS BIGINT) AS tt FROM g2)
+SELECT lang, source, n_docs,
+  round(1 - n_distinct / n_docs, 6) AS dup_ratio,
+  max_copies, n_tokens, n_bytes,
+  round(n_short / n_docs, 6) AS short_frac,
+  round(n_tokens / n_docs, 6) AS mean_tokens,
+  round(n_docs / td, 6) AS doc_share,
+  round(n_tokens / tt, 6) AS token_share
+FROM g2, tot
 """,
     }
     # decontaminate_bloom is exactness-preserving by construction (Bloom

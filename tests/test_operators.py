@@ -2549,3 +2549,34 @@ def test_domain_reputation_random_corpus_matches_twin(spark):
         assert abs(r.mean_tokens - a["st"] / a["n"]) < 5.1e-7, g
         exp_keep = not (a["n"] >= 5 and (dup >= 0.4 or short >= 0.3))
         assert r.keep == exp_keep, g
+
+
+def test_corpus_datasheet_hand_computed(spark):
+    from crawl_spark.operators.stats import corpus_datasheet
+
+    rows = [
+        (1, "en", "web", "a b c"),
+        (2, "en", "web", "A  B   c"),  # same normalized content as doc 1
+        (3, "en", "web", "a b c d e f g h i j k l"),
+        (4, "en", "web", "x"),
+        (5, "fr", "web", "un deux trois"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    got = {(r.lang, r.source): r for r in corpus_datasheet(df).collect()}
+    en = got[("en", "web")]
+    assert (en.n_docs, en.max_copies, en.n_tokens) == (4, 2, 19)
+    assert en.n_bytes == len("a b c") + len("A  B   c") + 23 + 1
+    assert en.dup_ratio == 0.25 and en.short_frac == 0.75
+    assert en.mean_tokens == 4.75
+    assert en.doc_share == 0.8 and en.token_share == round(19 / 22, 6)
+    fr = got[("fr", "web")]
+    assert (fr.n_docs, fr.n_tokens, fr.dup_ratio) == (1, 3, 0.0)
+    assert fr.short_frac == 1.0 and fr.doc_share == 0.2
+    assert fr.token_share == round(3 / 22, 6)
+
+
+def test_corpus_datasheet_empty(spark):
+    from crawl_spark.operators.stats import corpus_datasheet
+
+    df = spark.createDataFrame([], "doc_id long, lang string, source string, text string")
+    assert corpus_datasheet(df).collect() == []
