@@ -1603,6 +1603,19 @@ def q_datasheet(spark, sf_dir):
     return corpus_datasheet(_t(spark, sf_dir, "documents"))
 
 
+def q_epoch_mix(spark, sf_dir):
+    """Fractional-epoch upsampling (GPT-3 tab. 2.2 / FineWeb-Edu data-mix
+    role): en × 2.5 epochs, fr × 0.25, everything else × 1. The extra
+    half-copy subset is the md5-bucket rule, replayed exactly by the
+    DuckDB twin (sampling.epoch_mix — broadcast schedule + map-side
+    explode, no shuffle)."""
+    from crawl_spark.operators.sampling import epoch_mix
+
+    return epoch_mix(
+        _t(spark, sf_dir, "documents"), {"en": 2.5, "fr": 0.25}, default_epochs=1.0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1691,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leak_split": q_leak_split,
         "mirror_hosts": q_mirror_hosts,
         "datasheet": q_datasheet,
+        "epoch_mix": q_epoch_mix,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3521,6 +3535,17 @@ SELECT lang, source, n_docs,
   round(n_docs / td, 6) AS doc_share,
   round(n_tokens / tt, 6) AS token_share
 FROM g2, tot
+""",
+        "epoch_mix": """
+WITH spec(lang, n_full, thr) AS (VALUES ('en', 2, '8000'), ('fr', 0, '4000')),
+b AS (SELECT doc_id, d.lang,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+        coalesce(s.n_full, 1)
+          + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      < coalesce(s.thr, '0000') THEN 1 ELSE 0 END AS copies
+      FROM documents d LEFT JOIN spec s ON s.lang = d.lang)
+SELECT doc_id, lang, bucket, CAST(unnest(generate_series(1, copies)) AS INT) AS epoch
+FROM b WHERE copies >= 1
 """,
     }
     # decontaminate_bloom is exactness-preserving by construction (Bloom

@@ -641,6 +641,76 @@ def mix_domains(
     )
 
 
+def epoch_mix(
+    df: DataFrame,
+    epochs: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Fractional-epoch UP-sampling by stratum — the data-mix schedule
+    role (GPT-3 tab. 2.2's per-dataset epoch counts, FineWeb-Edu /
+    Llama-style quality-bucket upweighting): a stratum scheduled for
+    2.5 epochs emits every doc twice plus a deterministic half of the
+    docs a third time.
+
+    ``epochs`` maps group value → epochs ≥ 0 (groups absent from the
+    map get ``default_epochs``). Per doc: ``copies = floor(e)`` plus
+    one more iff the doc's 16-bit md5 bucket falls under the
+    fractional part's :func:`rate_threshold` — so the extra-copy
+    subset is the same on re-runs, across engines, and NESTED across
+    schedules (e=2.3's extra docs ⊂ e=2.7's). Emits one row per copy:
+    (id, group, bucket, epoch) with epoch = 1..copies; e < 1 strata
+    are down-sampled (epoch_mix generalizes :func:`hash_sample`).
+
+    Scale: the schedule is a dimension-sized broadcast; copies
+    materialize as one map-side ``explode(sequence(...))`` — no
+    shuffle, no RNG, output exactly Σ_g copies_g(doc) rows.
+
+    SQL twin: the same spec as a VALUES join + generate_series — see
+    the ``epoch_mix`` oracle in __spark_entry__.
+    """
+    spark = df.sparkSession
+    for g, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs[{g!r}] must be >= 0, got {e}")
+    if default_epochs < 0:
+        raise ValueError(f"default_epochs must be >= 0, got {default_epochs}")
+
+    def _split(e: float) -> tuple[int, str]:
+        n_full = int(e)
+        return n_full, rate_threshold(e - n_full)
+
+    spec_rows = [(g, *_split(e)) for g, e in sorted(epochs.items())]
+    spec = spark.createDataFrame(
+        spec_rows, f"{group_col} string, n_full int, thr string"
+    )
+    dn, dthr = _split(default_epochs)
+    copies = (
+        F.coalesce(F.col("n_full"), F.lit(dn))
+        + (
+            F.col("bucket")
+            < F.coalesce(F.col("thr"), F.lit(dthr))
+        ).cast("int")
+    ).alias("copies")
+    based = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            _bucket_hex(F.col(id_col)).alias("bucket"),
+        )
+        .join(F.broadcast(spec), group_col, "left")
+        .select(id_col, group_col, "bucket", copies)
+        .filter(F.col("copies") >= 1)
+    )
+    return based.select(
+        id_col,
+        group_col,
+        "bucket",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch"),
+    )
+
+
 def domain_reputation(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2580,3 +2580,54 @@ def test_corpus_datasheet_empty(spark):
 
     df = spark.createDataFrame([], "doc_id long, lang string, source string, text string")
     assert corpus_datasheet(df).collect() == []
+
+
+def test_epoch_mix_matches_python_rule(spark):
+    import hashlib
+
+    from crawl_spark.operators.sampling import epoch_mix, rate_threshold
+
+    rows = [(i, ["hi", "lo", "mid"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = epoch_mix(
+        df, {"hi": 2.5, "lo": 0.25}, group_col="grp", default_epochs=1.0
+    ).collect()
+
+    spec = {"hi": (2, rate_threshold(0.5)), "lo": (0, rate_threshold(0.25))}
+    exp = {}
+    for i, g in rows:
+        n, thr = spec.get(g, (1, rate_threshold(0.0)))
+        b = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        c = n + (1 if b < thr else 0)
+        if c >= 1:
+            exp[i] = (g, c)
+    assert {r.doc_id for r in got} == set(exp)
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+        assert r.grp == exp[r.doc_id][0]
+    for i, (g, c) in exp.items():
+        assert sorted(per_doc[i]) == list(range(1, c + 1)), i
+    # the "hi" stratum really upsamples: ~2.5x its doc count
+    hi_rows = sum(1 for r in got if r.grp == "hi")
+    assert 2 * 30 <= hi_rows <= 3 * 30
+    # nesting: e=2.3's extra-copy docs are a subset of e=2.7's
+    e23 = {r.doc_id for r in epoch_mix(df, {"hi": 2.3}, group_col="grp",
+                                       default_epochs=0.0).collect()
+           if r.epoch == 3}
+    e27 = {r.doc_id for r in epoch_mix(df, {"hi": 2.7}, group_col="grp",
+                                       default_epochs=0.0).collect()
+           if r.epoch == 3}
+    assert e23 <= e27
+
+
+def test_epoch_mix_rejects_negative(spark):
+    import pytest as _pytest
+
+    from crawl_spark.operators.sampling import epoch_mix
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, grp string")
+    with _pytest.raises(ValueError):
+        epoch_mix(df, {"a": -1.0}, group_col="grp")
+    with _pytest.raises(ValueError):
+        epoch_mix(df, {}, group_col="grp", default_epochs=-0.5)
