@@ -1616,6 +1616,45 @@ def q_epoch_mix(spark, sf_dir):
     )
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """Canonical-link alias folding over synthesized pages: docs 0-2 of
+    every 10 declare a shared canonical target keyed doc_id//7
+    (rel-first attr order), doc 3 declares it href-first with uppercase
+    REL, doc 4 declares an empty href (self), the rest have no
+    canonical. Exercises both regexp orders, case-insensitivity, the
+    empty-href rule and the min-url survivor (dedup.canonical_dedup)."""
+    from crawl_spark.operators.dedup import canonical_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    m = i % 10
+    target = F.concat(
+        F.lit("https://ex.com/c"), F.floor(i / 7).cast("long").cast("string")
+    )
+    html = (
+        F.when(
+            m <= 2,
+            F.concat(
+                F.lit('<head><link rel="canonical" href="'),
+                target,
+                F.lit('"/></head>'),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("<head><link href='"),
+                target,
+                F.lit("' REL='CANONICAL'></head>"),
+            ),
+        )
+        .when(m == 4, F.lit('<head><link rel="canonical" href=""></head>'))
+        .otherwise(F.lit("<head><title>t</title></head>"))
+    )
+    url = F.concat(F.lit("https://ex.com/u"), i.cast("string"))
+    return canonical_dedup(d.select(url.alias("url"), html.alias("html")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1705,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "datasheet": q_datasheet,
         "epoch_mix": q_epoch_mix,
+        "canonical_dedup": q_canonical_dedup,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3546,6 +3586,28 @@ b AS (SELECT doc_id, d.lang,
       FROM documents d LEFT JOIN spec s ON s.lang = d.lang)
 SELECT doc_id, lang, bucket, CAST(unnest(generate_series(1, copies)) AS INT) AS epoch
 FROM b WHERE copies >= 1
+""",
+        "canonical_dedup": r"""
+WITH d AS (SELECT doc_id,
+    'https://ex.com/u' || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN doc_id % 10 <= 2 THEN
+           '<head><link rel="canonical" href="https://ex.com/c'
+             || CAST(doc_id // 7 AS VARCHAR) || '"/></head>'
+         WHEN doc_id % 10 = 3 THEN
+           '<head><link href=''https://ex.com/c'
+             || CAST(doc_id // 7 AS VARCHAR) || ''' REL=''CANONICAL''></head>'
+         WHEN doc_id % 10 = 4 THEN '<head><link rel="canonical" href=""></head>'
+         ELSE '<head><title>t</title></head>' END AS html
+  FROM documents),
+k AS (SELECT url, coalesce(
+        nullif(regexp_extract(html,
+          '(?i)<link[^>]*\brel\s*=\s*["'']canonical["''][^>]*\bhref\s*=\s*["'']([^"'']+)["'']', 1), ''),
+        nullif(regexp_extract(html,
+          '(?i)<link[^>]*\bhref\s*=\s*["'']([^"'']+)["''][^>]*\brel\s*=\s*["'']canonical["'']', 1), ''),
+        url) AS canon_target
+      FROM d)
+SELECT min(url) AS url, canon_target, CAST(count(*) AS BIGINT) AS n_aliases
+FROM k GROUP BY canon_target
 """,
     }
     # decontaminate_bloom is exactness-preserving by construction (Bloom

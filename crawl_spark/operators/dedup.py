@@ -161,6 +161,60 @@ def latest_capture(
     )
 
 
+def canonical_href(html: F.Column) -> F.Column:
+    """First ``<link rel="canonical" href="...">`` target in the page,
+    or NULL — both attribute orders, case-insensitive, single or
+    double quotes. Pure JVM ``regexp_extract`` in the Java ∩ RE2
+    dialect (whole-stage codegen; the DuckDB twin runs the identical
+    patterns), so canonical discovery never leaves the scan stage.
+    """
+    p_rel_first = (
+        r"""(?i)<link[^>]*\brel\s*=\s*["']canonical["'][^>]*"""
+        r"""\bhref\s*=\s*["']([^"']+)["']"""
+    )
+    p_href_first = (
+        r"""(?i)<link[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*"""
+        r"""\brel\s*=\s*["']canonical["']"""
+    )
+    return F.coalesce(
+        F.nullif(F.regexp_extract(html, p_rel_first, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, p_href_first, 1), F.lit("")),
+    )
+
+
+def canonical_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Collapse URL aliases by the page's declared canonical target —
+    the ``<link rel=canonical>`` fold Common-Crawl-style dedup runs
+    before content hashing (print views, tracking-param variants and
+    mobile mirrors of one article all declare the same canonical, so
+    they fold without comparing bodies; cf. the reference's extraction
+    surface `html_utils.go:12-106`, which reads attrs by selector but
+    has no alias fold).
+
+    Key = the canonical href when the page declares one, else the
+    page's own URL (self-canonical). Survivor = min url per key. Emits
+    (url, canon_target, n_aliases). ONE shuffle on the target key —
+    html never moves; the extraction is a map-side JVM regexp over the
+    scan. Absolute hrefs are folded as-declared; resolve relative
+    canonicals against the page URL upstream with the engine's
+    canonicalization UDF when crawling hostile markup.
+    """
+    keyed = pages.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(canonical_href(F.col(html_col)), F.col(url_col)).alias(
+            "canon_target"
+        ),
+    )
+    return keyed.groupBy("canon_target").agg(
+        F.min("url").alias("url"),
+        F.count("*").cast("long").alias("n_aliases"),
+    ).select("url", "canon_target", "n_aliases")
+
+
 def block_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2631,3 +2631,35 @@ def test_epoch_mix_rejects_negative(spark):
         epoch_mix(df, {"a": -1.0}, group_col="grp")
     with _pytest.raises(ValueError):
         epoch_mix(df, {}, group_col="grp", default_epochs=-0.5)
+
+
+def test_canonical_dedup_folds_aliases(spark):
+    from crawl_spark.operators.dedup import canonical_dedup
+
+    pages = [
+        # three aliases declaring one canonical, both attr orders + case
+        ("http://a/print", '<head><link rel="canonical" href="http://a/x"/></head>'),
+        ("http://a/amp", "<head><link href='http://a/x' rel='canonical'></head>"),
+        ("http://a/x", '<head><LINK REL="CANONICAL" HREF="http://a/x"></head>'),
+        # no canonical: self-keyed
+        ("http://b/1", "<head><title>t</title></head>"),
+        # empty href: treated as absent
+        ("http://b/2", '<head><link rel="canonical" href=""></head>'),
+        # first canonical wins when several are declared
+        (
+            "http://c/1",
+            '<link rel="canonical" href="http://c/first">'
+            '<link rel="canonical" href="http://c/second">',
+        ),
+        # a canonical-looking rel on a DIFFERENT tag attr must not match
+        ("http://d/1", '<link rel="alternate" href="http://d/nope">'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = {r.canon_target: r for r in canonical_dedup(df).collect()}
+    assert got["http://a/x"].n_aliases == 3
+    assert got["http://a/x"].url == "http://a/amp"  # min url survives
+    assert got["http://b/1"].n_aliases == 1
+    assert got["http://b/2"].n_aliases == 1  # empty href -> self
+    assert got["http://c/first"].url == "http://c/1"
+    assert got["http://d/1"].n_aliases == 1
+    assert len(got) == 5  # 7 pages fold into 5 canonical groups
