@@ -1655,6 +1655,32 @@ def q_canonical_dedup(spark, sf_dir):
     return canonical_dedup(d.select(url.alias("url"), html.alias("html")))
 
 
+def q_pr_priority(spark, sf_dir):
+    """PageRank-ordered frontier tiers: q_pagerank's synthetic graph
+    quantized into scheduler priorities by literal thresholds on the
+    6-dp ranks (graph.pr_priority — pure projection, no shuffle; tier 0
+    dequeues first under the engine FIFO key)."""
+    from crawl_spark.operators.graph import pagerank, pr_priority
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    e = (
+        d.select((i % 101).alias("src"), ((i * 31 + 7) % 101).alias("dst"))
+        .union(d.select((i % 101).alias("src"), ((i * 13 + 3) % 101).alias("dst")))
+        .union(
+            d.filter(i % 5 == 0).select(
+                (i % 101).alias("src"), F.lit(0).cast("long").alias("dst")
+            )
+        )
+        .union(
+            d.filter(i % 11 == 0).select(
+                (i % 101).alias("src"), (i % 5 + 200).alias("dst")
+            )
+        )
+    )
+    return pr_priority(pagerank(e, iters=5), thresholds=(0.02, 0.01, 0.005))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1745,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasheet": q_datasheet,
         "epoch_mix": q_epoch_mix,
         "canonical_dedup": q_canonical_dedup,
+        "pr_priority": q_pr_priority,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -2680,6 +2707,24 @@ UNION ALL SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
 UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
 UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0""",
             iters=5,
+        ),
+        # pr_priority = the pagerank oracle wrapped in the same literal
+        # threshold tiers the Spark side applies (one point of truth for
+        # the underlying ranks)
+        "pr_priority": (
+            "SELECT node, rank, CAST("
+            "  CASE WHEN rank < 0.02 THEN 1 ELSE 0 END"
+            "  + CASE WHEN rank < 0.01 THEN 1 ELSE 0 END"
+            "  + CASE WHEN rank < 0.005 THEN 1 ELSE 0 END AS INT) AS priority "
+            "FROM (\n"
+            + pagerank_oracle_sql(
+                """SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
+UNION ALL SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
+UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
+UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0""",
+                iters=5,
+            )
+            + "\n)"
         ),
         "nfc_dedup": r"""
 WITH d AS (

@@ -46,6 +46,40 @@ def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
     )
 
 
+def pr_priority(
+    ranks: DataFrame,
+    thresholds: tuple[float, ...] = (1e-2, 1e-3, 1e-4, 1e-5),
+    node_col: str = "node",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Quantize PageRank mass into frontier priority tiers — the
+    composition that closes the loop between the link graph and the
+    crawl scheduler (OPIC/PageRank-ordered frontiers: crawl
+    high-centrality hosts first). The engine's FIFO key is
+    ``(priority, round_added, seq)`` ascending (`plans/engine.py:62`),
+    so tier 0 = highest rank dequeues first.
+
+    ``priority = Σ_i [rank < thresholds[i]]`` over strictly-decreasing
+    literal thresholds: rank ≥ t_0 → 0, t_1 ≤ rank < t_0 → 1, …,
+    below all → len(thresholds). Literal-threshold compares on the
+    6-dp ranks :func:`pagerank` emits are engine-exact — no quantile
+    estimation, no window. Pure projection: O(nodes), no shuffle;
+    join the result onto seeds/frontier by host to schedule.
+    """
+    if list(thresholds) != sorted(set(thresholds), reverse=True):
+        raise ValueError("thresholds must be strictly decreasing")
+    r = F.col(rank_col)
+    prio = sum(
+        ((r < F.lit(float(t))).cast("int") for t in thresholds),
+        F.lit(0),
+    )
+    return ranks.select(
+        F.col(node_col).alias("node"),
+        r.alias("rank"),
+        prio.cast("int").alias("priority"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,

@@ -1197,3 +1197,52 @@ def test_rebase_robots_to_empty_rules(spark, tiny_fixture, tmp_path_factory):
             assert got[kk] == exp[kk]
     seen = {row.url_canon for row in eng2.read_table("seen").collect()}
     assert seen == golden.seen
+
+
+def test_pr_priority_frontier_integration(spark, tiny_fixture, tmp_path_factory):
+    """Link-graph → scheduler composition: pagerank over the host graph,
+    pr_priority tiers, seeds stamped with their host's tier — the
+    hub host's seed must lead round 0 even though the default FIFO key
+    (all priorities equal) would have crawled the lexically-smaller
+    url first."""
+    from urllib.parse import urlsplit
+
+    from crawl_spark.operators.graph import pagerank, pr_priority
+
+    pages = pd.read_parquet(tiny_fixture["pages"])
+    urls = sorted(pages["url"])
+    host_rep: dict[str, str] = {}
+    for u in urls:
+        host_rep.setdefault(urlsplit(u).netloc, u)
+    hs = sorted(host_rep)
+    assert len(hs) >= 2
+    hub = hs[-1]
+    u_low, u_hub = host_rep[hs[0]], host_rep[hub]
+    assert u_low < u_hub  # default order would fetch u_low first
+
+    edges = spark.createDataFrame(
+        [(h, hub) for h in hs if h != hub], "src string, dst string"
+    )
+    pr = pr_priority(pagerank(edges, iters=3), thresholds=(0.2,))
+    tiers = {r.node: r.priority for r in pr.collect()}
+    assert tiers[hub] == 0 and all(t == 1 for h, t in tiers.items() if h != hub)
+
+    eng = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        _registry(),
+        config=EngineConfig(
+            batch_cap=2,
+            max_rounds=1,
+            workdir=str(tmp_path_factory.mktemp("prprio_wd")),
+            collect_transcript=True,
+        ),
+    )
+    res = eng.run(
+        [
+            {"url": u, "callbacks": ["page"],
+             "priority": tiers[urlsplit(u).netloc]}
+            for u in (u_low, u_hub)
+        ]
+    )
+    assert list(res.transcript[0]) == [u_hub, u_low]

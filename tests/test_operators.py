@@ -2663,3 +2663,20 @@ def test_canonical_dedup_folds_aliases(spark):
     assert got["http://c/first"].url == "http://c/1"
     assert got["http://d/1"].n_aliases == 1
     assert len(got) == 5  # 7 pages fold into 5 canonical groups
+
+
+def test_pr_priority_tiers(spark):
+    import pytest as _pytest
+
+    from crawl_spark.operators.graph import pr_priority
+
+    ranks = spark.createDataFrame(
+        [(1, 0.02), (2, 0.005), (3, 0.00005), (4, 0.0000001), (5, 0.00001)],
+        "node long, rank double",
+    )
+    got = {r.node: r.priority for r in pr_priority(ranks).collect()}
+    assert got == {1: 0, 2: 1, 3: 3, 4: 4, 5: 3}  # 1e-5 boundary: >= keeps tier 3
+    with _pytest.raises(ValueError):
+        pr_priority(ranks, thresholds=(1e-3, 1e-2))
+    with _pytest.raises(ValueError):
+        pr_priority(ranks, thresholds=(1e-3, 1e-3))
