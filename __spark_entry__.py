@@ -1681,6 +1681,31 @@ def q_pr_priority(spark, sf_dir):
     return pr_priority(pagerank(e, iters=5), thresholds=(0.02, 0.01, 0.005))
 
 
+def q_meta_robots(spark, sf_dir):
+    """Page-level robots meta directives over synthesized pages: every
+    8th-residue class exercises one rule — both attribute orders +
+    case, content="none" implying both flags, explicit index/follow,
+    no meta at all, token-boundary negatives (nonestandard/noindexing)
+    and the name="googlebot" non-match (urlfilter.meta_robots_flags)."""
+    from crawl_spark.operators.urlfilter import meta_robots_flags
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    m = i % 8
+    html = (
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(m == 1, F.lit("<META CONTENT='NOFOLLOW' NAME='ROBOTS'>"))
+        .when(m == 2, F.lit('<meta name="robots" content="none">'))
+        .when(m == 3, F.lit('<meta name="robots" content="index, follow">'))
+        .when(m == 4, F.lit("<head><title>t</title></head>"))
+        .when(m == 5, F.lit('<meta name="robots" content="nonestandard,noindexing">'))
+        .when(m == 6, F.lit('<meta name="googlebot" content="noindex">'))
+        .otherwise(F.lit("<meta name='robots' content='noindex'>"))
+    )
+    url = F.concat(F.lit("https://ex.com/u"), i.cast("string"))
+    return meta_robots_flags(d.select(url.alias("url"), html.alias("html")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1772,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix": q_epoch_mix,
         "canonical_dedup": q_canonical_dedup,
         "pr_priority": q_pr_priority,
+        "meta_robots": q_meta_robots,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3653,6 +3679,33 @@ k AS (SELECT url, coalesce(
       FROM d)
 SELECT min(url) AS url, canon_target, CAST(count(*) AS BIGINT) AS n_aliases
 FROM k GROUP BY canon_target
+""",
+        "meta_robots": r"""
+WITH d AS (SELECT doc_id,
+    'https://ex.com/u' || CAST(doc_id AS VARCHAR) AS url,
+    CASE doc_id % 8
+      WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+      WHEN 1 THEN '<META CONTENT=''NOFOLLOW'' NAME=''ROBOTS''>'
+      WHEN 2 THEN '<meta name="robots" content="none">'
+      WHEN 3 THEN '<meta name="robots" content="index, follow">'
+      WHEN 4 THEN '<head><title>t</title></head>'
+      WHEN 5 THEN '<meta name="robots" content="nonestandard,noindexing">'
+      WHEN 6 THEN '<meta name="googlebot" content="noindex">'
+      ELSE '<meta name=''robots'' content=''noindex''>' END AS html
+  FROM documents),
+c AS (SELECT url, coalesce(
+        nullif(regexp_extract(html,
+          '(?i)<meta[^>]*\bname\s*=\s*["'']robots["''][^>]*\bcontent\s*=\s*["'']([^"'']*)["'']', 1), ''),
+        nullif(regexp_extract(html,
+          '(?i)<meta[^>]*\bcontent\s*=\s*["'']([^"'']*)["''][^>]*\bname\s*=\s*["'']robots["'']', 1), ''),
+        '') AS content
+      FROM d)
+SELECT url,
+  (regexp_matches(content, '(?i)(^|[,\s])noindex([,\s]|$)')
+   OR regexp_matches(content, '(?i)(^|[,\s])none([,\s]|$)')) AS noindex,
+  (regexp_matches(content, '(?i)(^|[,\s])nofollow([,\s]|$)')
+   OR regexp_matches(content, '(?i)(^|[,\s])none([,\s]|$)')) AS nofollow
+FROM c
 """,
     }
     # decontaminate_bloom is exactness-preserving by construction (Bloom

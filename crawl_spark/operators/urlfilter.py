@@ -271,3 +271,64 @@ def trap_detect(
             )
         ).alias("is_trap"),
     )
+
+
+# <meta name="robots" content="..."> — both attribute orders, either
+# quote style, case-insensitive (Java ∩ RE2 dialect, shared verbatim
+# with the DuckDB twin)
+_META_ROBOTS_NAME_FIRST = (
+    r"""(?i)<meta[^>]*\bname\s*=\s*["']robots["'][^>]*"""
+    r"""\bcontent\s*=\s*["']([^"']*)["']"""
+)
+_META_ROBOTS_CONTENT_FIRST = (
+    r"""(?i)<meta[^>]*\bcontent\s*=\s*["']([^"']*)["'][^>]*"""
+    r"""\bname\s*=\s*["']robots["']"""
+)
+# directive match inside the content list: token boundaries are
+# commas/whitespace (per the robots-meta spec, directives are a
+# comma-separated list; stray spaces are common in the wild)
+_DIRECTIVE = r"(?i)(^|[,\s]){}([,\s]|$)"
+
+
+def meta_robots_flags(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Page-level robots meta directives — the indexing gate the REP
+    spec puts INSIDE the page (`<meta name="robots"
+    content="noindex,nofollow">`), complementing the host-level
+    robots.txt rules the engine stamps at add time: a compliant
+    pipeline drops ``noindex`` pages from the corpus and skips link
+    expansion on ``nofollow`` pages (the reference's extraction surface
+    `html_utils.go:12-106` reads attrs by selector but has no
+    directive semantics).
+
+    Emits (url, noindex, nofollow). ``content="none"`` implies both
+    (per Google's documented REP extension); an absent or
+    directive-free tag yields false/false. Pure map-side JVM regexps —
+    whole-stage codegen over the scan, html never shuffles; compose as
+    ``pages.join(flags.filter(~noindex), url)`` or feed ``nofollow``
+    into the link-extraction branch.
+    """
+    content = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col(html_col), _META_ROBOTS_NAME_FIRST, 1),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(F.col(html_col), _META_ROBOTS_CONTENT_FIRST, 1),
+            F.lit(""),
+        ),
+        F.lit(""),
+    )
+
+    def has(directive: str) -> F.Column:
+        return content.rlike(_DIRECTIVE.format(directive))
+
+    none = has("none")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        (has("noindex") | none).alias("noindex"),
+        (has("nofollow") | none).alias("nofollow"),
+    )

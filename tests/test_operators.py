@@ -2680,3 +2680,30 @@ def test_pr_priority_tiers(spark):
         pr_priority(ranks, thresholds=(1e-3, 1e-2))
     with _pytest.raises(ValueError):
         pr_priority(ranks, thresholds=(1e-3, 1e-3))
+
+
+def test_meta_robots_flags_rules(spark):
+    from crawl_spark.operators.urlfilter import meta_robots_flags
+
+    pages = [
+        ("u1", '<meta name="robots" content="noindex, nofollow">'),
+        ("u2", "<META CONTENT='NOFOLLOW' NAME='ROBOTS'>"),  # reversed, caps
+        ("u3", '<meta name="robots" content="none">'),  # implies both
+        ("u4", '<meta name="robots" content="index, follow">'),
+        ("u5", "<head><title>no meta at all</title></head>"),
+        # directive must match on token boundaries, not substrings
+        ("u6", '<meta name="robots" content="nonestandard,noindexing">'),
+        # a robots-valued content on a DIFFERENT meta name must not match
+        ("u7", '<meta name="googlebot" content="noindex">'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = {r.url: (r.noindex, r.nofollow) for r in meta_robots_flags(df).collect()}
+    assert got == {
+        "u1": (True, True),
+        "u2": (False, True),
+        "u3": (True, True),
+        "u4": (False, False),
+        "u5": (False, False),
+        "u6": (False, False),
+        "u7": (False, False),
+    }
