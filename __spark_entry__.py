@@ -1706,6 +1706,40 @@ def q_meta_robots(spark, sf_dir):
     return meta_robots_flags(d.select(url.alias("url"), html.alias("html")))
 
 
+def q_host_budget(spark, sf_dir):
+    """Per-host crawl-budget planning over synthesized host-signal
+    dimensions keyed doc_id%50: hosts 0-9 carry a trap verdict (true
+    below 5), 10-19 a reputation verdict (keep on evens), 20-34 a
+    priority tier (m%3), the rest no signals — exercises zeroing,
+    both boost tiers, the 1x fall-through and every coalesce default
+    (recrawl.host_budget)."""
+    from crawl_spark.operators.recrawl import host_budget
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 50
+    host = F.concat(F.lit("h"), m.cast("string"))
+    hosts = d.select(host.alias("host")).distinct()
+    traps = (
+        d.filter(m < 10)
+        .select(host.alias("host"), (m < 5).alias("is_trap"))
+        .distinct()
+    )
+    rep = (
+        d.filter((m >= 10) & (m < 20))
+        .select(host.alias("host"), (m % 2 == 0).alias("keep"))
+        .distinct()
+    )
+    prio = (
+        d.filter((m >= 20) & (m < 35))
+        .select(host.alias("node"), (m % 3).cast("int").alias("priority"))
+        .distinct()
+    )
+    return host_budget(
+        hosts, base_budget=100, traps=traps, reputation=rep,
+        priorities=prio, boost=(4, 2),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1798,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": q_canonical_dedup,
         "pr_priority": q_pr_priority,
         "meta_robots": q_meta_robots,
+        "host_budget": q_host_budget,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3706,6 +3741,20 @@ SELECT url,
   (regexp_matches(content, '(?i)(^|[,\s])nofollow([,\s]|$)')
    OR regexp_matches(content, '(?i)(^|[,\s])none([,\s]|$)')) AS nofollow
 FROM c
+""",
+        "host_budget": """
+WITH h AS (SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+                  doc_id % 50 AS m FROM documents),
+f AS (SELECT host,
+        CASE WHEN m < 10 THEN m < 5 ELSE false END AS is_trap,
+        CASE WHEN m >= 10 AND m < 20 THEN m % 2 = 0 ELSE true END AS keep,
+        CAST(CASE WHEN m >= 20 AND m < 35 THEN m % 3 ELSE 2 END AS INT) AS priority
+      FROM h)
+SELECT host, is_trap, keep, priority,
+  CAST(CASE WHEN is_trap OR NOT keep THEN 0
+            ELSE 100 * (CASE priority WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END)
+       END AS BIGINT) AS budget
+FROM f
 """,
     }
     # decontaminate_bloom is exactness-preserving by construction (Bloom

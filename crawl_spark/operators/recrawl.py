@@ -90,3 +90,95 @@ def recrawl_schedule(
         .cast("long")
         .alias("recrawl_priority"),
     )
+
+
+def host_budget(
+    hosts: DataFrame,
+    base_budget: int = 100,
+    traps: DataFrame | None = None,
+    reputation: DataFrame | None = None,
+    priorities: DataFrame | None = None,
+    boost: tuple[int, ...] = (4, 2),
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host page budget for the next crawl epoch — the planning
+    composition over the host-signal family: crawl traps get zero
+    budget, reputation-dropped domains get zero budget, and
+    high-centrality hosts get a multiplied allowance (tier 0 →
+    ``boost[0]``×, tier 1 → ``boost[1]``×, deeper tiers → 1×). Feed
+    the result into the engine's politeness budgets / `batch_cap`
+    routing as a broadcast dimension.
+
+    Inputs are the dimension-sized outputs of
+    :func:`~crawl_spark.operators.urlfilter.trap_detect` (``host``,
+    ``is_trap``), :func:`~crawl_spark.operators.sampling.
+    domain_reputation` (``host_col``, ``keep``) and
+    :func:`~crawl_spark.operators.graph.pr_priority` (``node``,
+    ``priority``); any of them may be None (no signal = no
+    restriction / no boost). All joins are broadcasts of
+    dimension-sized frames onto the host dimension — O(hosts), no
+    corpus access, no window.
+
+    Emits (host, is_trap, keep, priority, budget) with
+    ``budget = 0`` when trapped or dropped, else
+    ``base_budget × boost[min(priority, len(boost))]`` (boost beyond
+    the tuple = 1×). Deterministic integer arithmetic — the SQL twin
+    replays it exactly.
+    """
+    if base_budget < 0:
+        raise ValueError(f"base_budget must be >= 0, got {base_budget}")
+    out = hosts.select(F.col(host_col).alias("host"))
+    if traps is not None:
+        out = out.join(
+            F.broadcast(
+                traps.select(F.col("host"), F.col("is_trap"))
+            ),
+            "host",
+            "left",
+        )
+    else:
+        out = out.withColumn("is_trap", F.lit(None).cast("boolean"))
+    if reputation is not None:
+        rep_host = "host" if "host" in reputation.columns else reputation.columns[0]
+        out = out.join(
+            F.broadcast(
+                reputation.select(
+                    F.col(rep_host).alias("host"), F.col("keep")
+                )
+            ),
+            "host",
+            "left",
+        )
+    else:
+        out = out.withColumn("keep", F.lit(None).cast("boolean"))
+    if priorities is not None:
+        out = out.join(
+            F.broadcast(
+                priorities.select(
+                    F.col("node").alias("host"), F.col("priority")
+                )
+            ),
+            "host",
+            "left",
+        )
+    else:
+        out = out.withColumn("priority", F.lit(None).cast("int"))
+
+    is_trap = F.coalesce(F.col("is_trap"), F.lit(False))
+    keep = F.coalesce(F.col("keep"), F.lit(True))
+    tier = F.coalesce(F.col("priority"), F.lit(len(boost)))
+    mult = F.lit(1)
+    for t in range(len(boost) - 1, -1, -1):
+        mult = F.when(tier <= t, F.lit(int(boost[t]))).otherwise(mult)
+    budget = (
+        F.when(is_trap | ~keep, F.lit(0))
+        .otherwise(F.lit(int(base_budget)) * mult)
+        .cast("long")
+    )
+    return out.select(
+        "host",
+        is_trap.alias("is_trap"),
+        keep.alias("keep"),
+        tier.cast("int").alias("priority"),
+        budget.alias("budget"),
+    )

@@ -2707,3 +2707,61 @@ def test_meta_robots_flags_rules(spark):
         "u6": (False, False),
         "u7": (False, False),
     }
+
+
+def test_host_budget_composes_host_signals(spark):
+    """Full planning composition: trap_detect + domain_reputation +
+    pagerank/pr_priority -> host_budget. trap.example gets 0 (trap),
+    farm.example gets 0 (reputation drop), hub.example gets the tier-0
+    boost, plain.example the base budget."""
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.graph import pagerank, pr_priority
+    from crawl_spark.operators.recrawl import host_budget
+    from crawl_spark.operators.sampling import domain_reputation
+    from crawl_spark.operators.urlfilter import trap_detect
+
+    # corpus: trap host = 60 urls on ONE path with query variants;
+    # others get distinct paths
+    urls = [("http://trap.example/cal?d=%d" % i) for i in range(60)]
+    urls += [("http://hub.example/p%d" % i) for i in range(10)]
+    urls += [("http://plain.example/p%d" % i) for i in range(10)]
+    urls += [("http://farm.example/p%d" % i) for i in range(10)]
+    traps = trap_detect(
+        spark.createDataFrame([(u,) for u in urls], "url string"),
+        min_urls=50,
+    )
+
+    # reputation: farm.example is 10 copies of one page
+    docs = [(i, "farm.example", "buy cheap widgets now today friends") for i in range(10)]
+    docs += [(100 + i, h, "unique article %d words words words words words words words words" % i)
+             for i, h in enumerate(["hub.example", "plain.example", "trap.example"] * 4)]
+    rep = domain_reputation(
+        spark.createDataFrame(docs, "doc_id long, host string, text string"),
+        group_col="host",
+        min_docs=5,
+    )
+
+    edges = spark.createDataFrame(
+        [(h, "hub.example") for h in ("trap.example", "plain.example", "farm.example")],
+        "src string, dst string",
+    )
+    prio = pr_priority(pagerank(edges, iters=3), thresholds=(0.3,))
+
+    hosts = spark.createDataFrame(
+        [(h + ".example",) for h in ("trap", "hub", "plain", "farm", "new")],
+        "host string",
+    )
+    got = {
+        r.host: r
+        for r in host_budget(
+            hosts, base_budget=100, traps=traps, reputation=rep,
+            priorities=prio, boost=(4, 2),
+        ).collect()
+    }
+    assert got["trap.example"].budget == 0 and got["trap.example"].is_trap
+    assert got["farm.example"].budget == 0 and not got["farm.example"].keep
+    assert got["hub.example"].budget == 400 and got["hub.example"].priority == 0
+    assert got["plain.example"].budget == 200  # tier 1 (below 0.3)
+    assert got["new.example"].budget == 100  # no signals: base budget
+    assert got["new.example"].priority == 2  # beyond boost tiers
