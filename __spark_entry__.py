@@ -1740,6 +1740,16 @@ def q_host_budget(spark, sf_dir):
     )
 
 
+def q_postings(spark, sf_dir):
+    """Inverted-index postings export: per-term top-5 documents by term
+    frequency (tf >= 2). Hot stopword terms span nearly every doc —
+    textops.build_postings bounds them through grouped_topk's local
+    prune instead of a per-term full-corpus window."""
+    from crawl_spark.operators.textops import build_postings
+
+    return build_postings(_t(spark, sf_dir, "documents"), k=5, min_tf=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1833,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_priority": q_pr_priority,
         "meta_robots": q_meta_robots,
         "host_budget": q_host_budget,
+        "postings": q_postings,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3755,6 +3766,16 @@ SELECT host, is_trap, keep, priority,
             ELSE 100 * (CASE priority WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END)
        END AS BIGINT) AS budget
 FROM f
+""",
+        "postings": rf"""
+WITH tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY 1, 2),
+r AS (SELECT term, doc_id, tf,
+        row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+      FROM tf WHERE tf >= 2)
+SELECT term, doc_id, tf, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 """,
     }
     # decontaminate_bloom is exactness-preserving by construction (Bloom

@@ -96,6 +96,14 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "leak_split",
     "mirror_hosts",
+    # round-5 continuation: planning/reporting compositions
+    "datasheet",
+    "epoch_mix",
+    "canonical_dedup",
+    "pr_priority",
+    "meta_robots",
+    "host_budget",
+    "postings",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

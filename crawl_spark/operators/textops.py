@@ -371,6 +371,56 @@ def vocabulary(
     )
 
 
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_tf: int = 1,
+    tokenizer=None,
+) -> DataFrame:
+    """Inverted-index postings export — the classic downstream of a
+    crawl (term → the top-``k`` documents ranked by term frequency),
+    i.e. an impact-ordered posting list per term ready for a search
+    index or a keyword-retrieval baseline over the corpus.
+
+    ONE explode + ONE partial-aggregated ``groupBy(term, doc)`` (the
+    shuffle carries (term, id, count) — never text), then per-term
+    ranking through ``grouped_topk``: the hub problem is structural
+    here — a stopword's posting list spans nearly EVERY document, so a
+    bare ``Window.partitionBy(term)`` would funnel the whole corpus'
+    rows for that term through one task; grouped_topk's local prune
+    bounds each term at ≤ P·k candidate rows first. Order within a
+    term: tf desc, then id asc (deterministic, engine-exact).
+
+    Emits (term, doc_id, tf, rank), rank 1-based. ``tokenizer``
+    follows the :func:`resolve_tokens` hook (default = the whitespace
+    contract, so the DuckDB oracle replays it).
+    """
+    from .topk import grouped_topk
+
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(resolve_tokens(F.col(text_col), tokenizer)).alias("term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("long").alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    ranked = grouped_topk(
+        tf.withColumn("__negtf", -F.col("tf")),
+        ["term"],
+        ["__negtf", id_col],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    )
+    return ranked.select(
+        "term", id_col, "tf", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

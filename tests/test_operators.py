@@ -2765,3 +2765,33 @@ def test_host_budget_composes_host_signals(spark):
     assert got["plain.example"].budget == 200  # tier 1 (below 0.3)
     assert got["new.example"].budget == 100  # no signals: base budget
     assert got["new.example"].priority == 2  # beyond boost tiers
+
+
+def test_build_postings_matches_python_index(spark):
+    from collections import Counter, defaultdict
+
+    from crawl_spark.operators.textops import build_postings
+
+    rows = [
+        (1, "the cat sat on the mat the end"),
+        (2, "the dog the dog the dog"),
+        (3, "cat dog cat"),
+        (4, "mat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = defaultdict(list)
+    for r in build_postings(df, k=2).collect():
+        got[r.term].append((r.rank, r.doc_id, r.tf))
+
+    index = defaultdict(list)
+    for i, t in rows:
+        for term, tf in Counter(t.split()).items():
+            index[term].append((i, tf))
+    for term, posts in index.items():
+        posts.sort(key=lambda p: (-p[1], p[0]))
+        exp = [(rk + 1, i, tf) for rk, (i, tf) in enumerate(posts[:2])]
+        assert sorted(got[term]) == exp, term
+    assert set(got) == set(index)
+    # the hub term "the" (docs 1 and 2 both tf 3) is capped at k=2 and
+    # tie-breaks by doc id ascending
+    assert sorted(got["the"]) == [(1, 1, 3), (2, 2, 3)]
