@@ -1750,6 +1750,140 @@ def q_postings(spark, sf_dir):
     return build_postings(_t(spark, sf_dir, "documents"), k=5, min_tf=2)
 
 
+# the BM25 query set shared by q_bm25 and its oracle (driver literals)
+_BM25_QUERIES = [
+    ("q_hash_join", "hash join"),
+    ("q_window", "window agg spark"),
+    ("q_scan", "slow scan filter"),
+    ("q_mixed", "customer value data stream"),
+]
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 per query over the documents corpus: the
+    ranking half of the search-index export (postings = the lists,
+    this = the scores). Per-term contributions rounded 6dp then summed
+    decimal-exact; ranking through grouped_topk (a stopword query
+    matches nearly every doc — the hub shape)."""
+    from crawl_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
+def _synth_edges(spark, sf_dir):
+    """The shared synthetic link graph (same recipe as q_pagerank /
+    q_hits): two affine edge families over hosts 0..100, a hub edge to
+    host 0 from every 5th doc, sink edges to hosts 200..204."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    return (
+        d.select((i % 101).alias("src"), ((i * 31 + 7) % 101).alias("dst"))
+        .union(d.select((i % 101).alias("src"), ((i * 13 + 3) % 101).alias("dst")))
+        .union(
+            d.filter(i % 5 == 0).select(
+                (i % 101).alias("src"), F.lit(0).cast("long").alias("dst")
+            )
+        )
+        .union(
+            d.filter(i % 11 == 0).select(
+                (i % 101).alias("src"), (i % 5 + 200).alias("dst")
+            )
+        )
+    )
+
+
+# the shared synthetic-edge recipe as DuckDB SQL (twin of _synth_edges)
+_EDGES_SQL = """
+  SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
+  UNION ALL
+  SELECT doc_id % 101, CAST(0 AS BIGINT) FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def q_hop_distance(spark, sf_dir):
+    """BFS hop count from a 3-node seed set over the shared synthetic
+    link graph, max 4 hops — iterative frontier expansion with the
+    engine's scan-probe membership shape; the oracle is a bounded
+    recursive CTE (min hop per node)."""
+    from crawl_spark.operators.graph import hop_distance
+
+    seeds = spark.createDataFrame([(0,), (47,), (200,)], "node long")
+    return hop_distance(_synth_edges(spark, sf_dir), seeds, max_hops=4)
+
+
+def q_degree_stats(spark, sf_dir):
+    """Per-node degree profile (out/in over distinct edges + the
+    power-law log2 bucket) of the shared synthetic link graph — sink
+    hosts 200..204 exercise the dangling (out_deg=0) side of the
+    full-outer merge."""
+    from crawl_spark.operators.graph import degree_stats
+
+    return degree_stats(_synth_edges(spark, sf_dir))
+
+
+def q_content_drift(spark, sf_dir):
+    """Per-URL change-rate profile over a synthetic multi-capture
+    history: docs fold onto 200 URLs (2-3 captures each, hourly-spaced
+    unique timestamps); a URL's content flips once when its capture
+    index crosses (url_key % 3) + 1, so some URLs change at capture 1,
+    some at 2, some never — exercising the NULL est_interval_s path."""
+    from crawl_spark.operators.recrawl import content_drift
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    key = i % 200
+    ver = ((i - key) / 200).cast("long")  # capture index (exact: 200 | i-key)
+    caps = d.select(
+        F.concat(
+            F.lit("https://host"), (key % 20).cast("string"),
+            F.lit(".example/p/"), key.cast("string"),
+        ).alias("url"),
+        (F.lit(1600000000) + i * 3600).alias("warc_ts"),
+        F.concat(
+            F.lit("body-"), (key % 5).cast("string"),
+            F.when(ver >= key % 3 + 1, F.lit("-changed")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return content_drift(caps)
+
+
+def q_sitemap_gap(spark, sf_dir):
+    """Per-host sitemap-vs-crawl coverage: declared URLs fold onto
+    /p/{doc_id % 300} (20 | 300, so the host assignment is consistent),
+    crawled URLs are /p/{doc_id} for doc_id % 3 != 0 plus undeclared
+    /q/{doc_id} discoveries for doc_id % 7 == 0. Spark extracts hosts
+    with the real host_expr regex; the oracle derives them
+    arithmetically."""
+    from crawl_spark.operators.stats import sitemap_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    declared = d.select(
+        F.concat(
+            F.lit("https://host"), ((i % 300) % 20).cast("string"),
+            F.lit(".example/p/"), (i % 300).cast("string"),
+        ).alias("loc")
+    )
+    crawled = d.filter(i % 3 != 0).select(
+        F.concat(
+            F.lit("https://host"), (i % 20).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        ).alias("url")
+    ).union(
+        d.filter(i % 7 == 0).select(
+            F.concat(
+                F.lit("https://host"), (i % 20).cast("string"),
+                F.lit(".example/q/"), i.cast("string"),
+            ).alias("url")
+        )
+    )
+    return sitemap_coverage(declared, crawled)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1844,6 +1978,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "host_budget": q_host_budget,
         "postings": q_postings,
+        "bm25": q_bm25,
+        "hop_distance": q_hop_distance,
+        "degree_stats": q_degree_stats,
+        "content_drift": q_content_drift,
+        "sitemap_gap": q_sitemap_gap,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3777,7 +3916,97 @@ r AS (SELECT term, doc_id, tf,
       FROM tf WHERE tf >= 2)
 SELECT term, doc_id, tf, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 """,
+        "hop_distance": rf"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+seeds(node) AS (SELECT CAST(v AS BIGINT) FROM (VALUES (0), (47), (200)) s(v)),
+bfs(node, hop) AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT e.dst, b.hop + 1 FROM bfs b JOIN e ON e.src = b.node WHERE b.hop < 4
+)
+SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY node
+""",
+        "degree_stats": rf"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1),
+m AS (SELECT node,
+        CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+        CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+      FROM o FULL OUTER JOIN i USING (node))
+SELECT node, out_deg, in_deg,
+  CAST(length(bin(out_deg + in_deg)) AS INT) AS deg_bucket
+FROM m
+""",
+        "content_drift": r"""
+WITH caps AS (
+  SELECT
+    'https://host' || CAST((doc_id % 200) % 20 AS VARCHAR)
+      || '.example/p/' || CAST(doc_id % 200 AS VARCHAR) AS url,
+    CAST(1600000000 + doc_id * 3600 AS BIGINT) AS ts,
+    md5('body-' || CAST((doc_id % 200) % 5 AS VARCHAR)
+        || CASE WHEN CAST((doc_id - doc_id % 200) / 200 AS BIGINT)
+                     >= (doc_id % 200) % 3 + 1
+                THEN '-changed' ELSE '' END) AS dg
+  FROM documents),
+f AS (
+  SELECT url, ts,
+    CASE WHEN lag(dg) OVER w IS NOT NULL AND dg <> lag(dg) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts)),
+a AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+         CAST(sum(chg) AS BIGINT) AS n_changes,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM f GROUP BY 1)
+SELECT url, n_captures, n_changes,
+  CASE WHEN n_captures > 1
+       THEN round(CAST(n_changes AS DOUBLE) / (n_captures - 1), 6) END
+    AS change_rate,
+  first_ts, last_ts,
+  CAST(CASE WHEN n_changes > 0
+            THEN floor(CAST(last_ts - first_ts AS DOUBLE) / n_changes) END
+       AS BIGINT) AS est_interval_s
+FROM a
+""",
+        "sitemap_gap": r"""
+WITH dd AS (
+  SELECT DISTINCT
+    'host' || CAST((doc_id % 300) % 20 AS VARCHAR) || '.example' AS host,
+    'https://host' || CAST((doc_id % 300) % 20 AS VARCHAR)
+      || '.example/p/' || CAST(doc_id % 300 AS VARCHAR) AS u
+  FROM documents),
+cc AS (
+  SELECT DISTINCT host, u FROM (
+    SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+           'https://host' || CAST(doc_id % 20 AS VARCHAR)
+             || '.example/p/' || CAST(doc_id AS VARCHAR) AS u
+    FROM documents WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+           'https://host' || CAST(doc_id % 20 AS VARCHAR)
+             || '.example/q/' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 7 = 0)),
+nd AS (SELECT host, CAST(count(*) AS BIGINT) AS n_declared FROM dd GROUP BY 1),
+nc AS (SELECT host, CAST(count(*) AS BIGINT) AS n_crawled FROM cc GROUP BY 1),
+nm AS (SELECT dd.host, CAST(count(*) AS BIGINT) AS n_matched
+       FROM dd JOIN cc ON dd.u = cc.u GROUP BY 1),
+m AS (
+  SELECT host,
+    CAST(coalesce(n_declared, 0) AS BIGINT) AS n_declared,
+    CAST(coalesce(n_crawled, 0) AS BIGINT) AS n_crawled,
+    CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched
+  FROM nd FULL OUTER JOIN nc USING (host) FULL OUTER JOIN nm USING (host))
+SELECT host, n_declared, n_crawled, n_matched,
+  CASE WHEN n_declared > 0
+       THEN round(CAST(n_matched AS DOUBLE) / n_declared, 6) END AS coverage,
+  CAST(n_crawled - n_matched AS BIGINT) AS n_undeclared
+FROM m
+""",
     }
+    from crawl_spark.operators.search import bm25_oracle_sql
+
+    sql["bm25"] = bm25_oracle_sql(_BM25_QUERIES, _TOKS, k=10)
     # decontaminate_bloom is exactness-preserving by construction (Bloom
     # negatives are authoritative; positives verify on md5) — its oracle
     # is the broadcast path's oracle verbatim.

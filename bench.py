@@ -104,6 +104,12 @@ BENCH_QUERIES = [
     "meta_robots",
     "host_budget",
     "postings",
+    # round-5 continuation: retrieval + crawl-coverage analytics
+    "bm25",
+    "hop_distance",
+    "degree_stats",
+    "content_drift",
+    "sitemap_gap",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

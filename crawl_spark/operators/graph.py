@@ -382,6 +382,106 @@ def connected_components_star(
     )
 
 
+def hop_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """BFS shortest hop count from a seed set over a directed (src, dst)
+    link graph — crawl-depth analysis: how many link hops from the seed
+    list is each reachable page? (The engine's `round_added` is the
+    politeness-budgeted analogue; this is the pure graph distance used
+    for frontier-depth caps and seed-coverage studies.)
+
+    Returns (node, hop) for every node reachable within ``max_hops``
+    (seeds at hop 0; unreachable nodes are absent). Deterministic:
+    hop = length of the shortest directed path.
+
+    Scale shape (the same one the engine's seen-set probe uses,
+    `plans/engine.py` `_links_minus_seen`): per round the frontier is
+    expanded through ONE equi-join on src, then membership against the
+    accumulated distance table runs scan-probe — `dist` (O(nodes),
+    checkpointed) is SCANNED, never shuffled: hits = dist ⋉ candidates,
+    new = candidates ⋉̸ hits, and only the bounded per-round sides move.
+    State is localCheckpointed per round (O(1) lineage). Rounds are
+    bounded by ``max_hops``, the per-round cost by |frontier| · avg
+    out-degree. For web-scale edge tables, lay the edges out bucketed
+    by src (the :func:`pagerank` ``bucket_path`` pattern) and pass the
+    bucketed scan in with ``pre_deduped=True`` — the O(E) side is then
+    scanned in place every round, no exchange, no materialization.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not pre_deduped:
+        e = e.distinct().localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        cand = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        hits = dist.join(F.broadcast(cand), "node", "leftsemi").select("node")
+        new = (
+            cand.join(F.broadcast(hits), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        dist = dist.union(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist.select("node", F.col("hop").cast("int").alias("hop"))
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node degree profile of a directed link graph: (node, out_deg,
+    in_deg, deg_bucket) over distinct edges — the standard first look at
+    a crawl's link structure (hub/authority mass, dangling share; the
+    log2 bucket is the power-law histogram key).
+
+    Two partial-aggregated groupBys (distinct edges → per-src count,
+    per-dst count) and ONE dimension-sized full-outer merge on node —
+    no window, no driver data. ``deg_bucket`` = number of binary digits
+    of (out_deg + in_deg), i.e. floor(log2)+1, computed with integer/
+    string builtins (`bin()`) so both engines agree exactly.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=False)
+    out_d = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("out_deg")
+    )
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("in_deg")
+    )
+    # full outer on the dimension-sized per-node aggregates; both sides
+    # preserved, so no broadcast hint (repo rule) — AQE picks the
+    # strategy. coalesce() fills the one-sided nodes.
+    merged = out_d.join(in_d, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+    )
+    return merged.withColumn(
+        "deg_bucket",
+        F.length(F.bin(F.col("out_deg") + F.col("in_deg"))).cast("int"),
+    )
+
+
 def anchor_text_topk(
     links: DataFrame,
     dst: str = "dst",

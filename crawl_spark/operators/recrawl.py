@@ -182,3 +182,71 @@ def host_budget(
         tier.cast("int").alias("priority"),
         budget.alias("budget"),
     )
+
+
+def content_drift(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "text",
+) -> DataFrame:
+    """Per-URL change-rate profile from a multi-capture history — the
+    empirical input a re-crawl scheduler actually wants (Cho &
+    Garcia-Molina, "Effective Page Refresh Policies for Web Crawlers",
+    TODS'03: estimate each page's change frequency from observed
+    captures, then budget re-fetches by it). `changefreq` from sitemaps
+    (:func:`recrawl_schedule`) is a publisher CLAIM; this measures it.
+
+    Input: one row per (url, capture) with an epoch-seconds timestamp
+    and the captured content. Output, one row per url:
+
+    - ``n_captures`` — captures observed;
+    - ``n_changes`` — captures whose content digest differs from the
+      previous capture's (md5, the repo's cross-engine hash);
+    - ``change_rate`` — n_changes / (n_captures − 1), 6 dp, NULL when a
+      single capture (no interval observed);
+    - ``first_ts`` / ``last_ts``;
+    - ``est_interval_s`` — observed mean seconds between CHANGES,
+      floor((last_ts − first_ts) / n_changes) in exact integer math;
+      NULL when no change was observed (no evidence the page ever
+      changes — schedule by the publisher claim instead).
+
+    Scale shape: ONE shuffle on url; the lag window is per-url, bounded
+    by that url's capture count (a handful — crawls keep the last few
+    captures), never a corpus-wide sort. Content never shuffles: the
+    digest is projected map-side before the exchange.
+    """
+    from pyspark.sql import Window
+
+    digested = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.md5(F.col(content_col).cast("binary")).alias("dg"),
+    )
+    w = Window.partitionBy("url").orderBy("ts")
+    flagged = digested.withColumn(
+        "chg",
+        (F.lag("dg").over(w).isNotNull() & (F.col("dg") != F.lag("dg").over(w)))
+        .cast("int"),
+    )
+    agg = flagged.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.sum("chg").cast("long").alias("n_changes"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    return agg.select(
+        "url",
+        "n_captures",
+        "n_changes",
+        F.when(
+            F.col("n_captures") > 1,
+            F.round(F.col("n_changes") / (F.col("n_captures") - 1), 6),
+        ).alias("change_rate"),
+        "first_ts",
+        "last_ts",
+        F.when(
+            F.col("n_changes") > 0,
+            F.floor((F.col("last_ts") - F.col("first_ts")) / F.col("n_changes")),
+        ).cast("long").alias("est_interval_s"),
+    )

@@ -120,3 +120,77 @@ def corpus_datasheet(
             6,
         ).alias("token_share"),
     )
+
+
+def sitemap_coverage(
+    declared: DataFrame,
+    crawled: DataFrame,
+    declared_url: str = "loc",
+    crawled_url: str = "url",
+) -> DataFrame:
+    """Per-host sitemap-vs-crawl coverage audit — the crawl-ops report
+    that closes the loop between `sources/sitemap.py` (what the site
+    DECLARES) and the engine's extracted table (what the crawl actually
+    FETCHED): per host,
+
+    - ``n_declared`` — distinct sitemap URLs;
+    - ``n_crawled`` — distinct crawled URLs;
+    - ``n_matched`` — declared URLs that were crawled (exact URL match
+      — canonicalize both sides upstream with the same
+      `functions.urlnorm` contract);
+    - ``coverage`` — n_matched / n_declared, 6 dp (how much of the
+      declared site the crawl reached);
+    - ``n_undeclared`` — crawled-but-not-declared (discovery beyond the
+      sitemap, or a stale sitemap).
+
+    Scale shape: two distinct-projections keyed on url (partial-agg),
+    ONE url-equality join between them (the only O(pages) shuffle),
+    then dimension-sized per-host aggregates merged with full-outer
+    joins on host (no broadcast hint — both sides preserved, repo
+    rule). Hosts with a sitemap but no crawled pages (and vice versa)
+    both appear, zero-filled.
+    """
+    from .urlfilter import host_expr
+
+    d = (
+        declared.select(F.col(declared_url).alias("u"))
+        .filter(F.col("u").isNotNull())
+        .distinct()
+        .select("u", host_expr(F.col("u")).alias("host"))
+        .filter(F.col("host") != "")
+    )
+    c = (
+        crawled.select(F.col(crawled_url).alias("u"))
+        .filter(F.col("u").isNotNull())
+        .distinct()
+        .select("u", host_expr(F.col("u")).alias("host"))
+        .filter(F.col("host") != "")
+    )
+    nd = d.groupBy("host").agg(F.count("*").cast("long").alias("n_declared"))
+    nc = c.groupBy("host").agg(F.count("*").cast("long").alias("n_crawled"))
+    nm = (
+        d.join(c.select("u"), "u")
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    out = (
+        nd.join(nc, "host", "full_outer")
+        .join(nm, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("n_declared", F.lit(0)).alias("n_declared"),
+            F.coalesce("n_crawled", F.lit(0)).alias("n_crawled"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        )
+    )
+    return out.select(
+        "host",
+        "n_declared",
+        "n_crawled",
+        "n_matched",
+        F.when(
+            F.col("n_declared") > 0,
+            F.round(F.col("n_matched") / F.col("n_declared"), 6),
+        ).alias("coverage"),
+        (F.col("n_crawled") - F.col("n_matched")).cast("long").alias("n_undeclared"),
+    )

@@ -2795,3 +2795,193 @@ def test_build_postings_matches_python_index(spark):
     # the hub term "the" (docs 1 and 2 both tf 3) is capped at k=2 and
     # tie-breaks by doc id ascending
     assert sorted(got["the"]) == [(1, 1, 3), (2, 2, 3)]
+
+
+def test_bm25_matches_python_model(spark):
+    """bm25_topk vs a from-scratch Python BM25 (same Lucene idf, same
+    round-6-then-sum contract), including the n_terms column and the
+    (score desc, doc_id) tie order."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from crawl_spark.operators.search import bm25_topk, tokenize_query
+
+    rows = [
+        (1, "hash join hash join hash probe build"),
+        (2, "window agg window sort agg spill"),
+        (3, "join scan filter scan join hash"),
+        (4, "the the the the the the the the"),
+        (5, "hash"),
+        (6, ""),  # empty doc: counts in N and avgdl, matches nothing
+    ]
+    queries = [("qa", "hash join"), ("qb", "the"), ("qc", "agg window agg")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.n_terms, r.score)
+        for r in bm25_topk(df, queries, k=3).collect()
+    }
+
+    toks = {i: t.lower().split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+    exp = {}
+    for qid, qtext in queries:
+        terms = tokenize_query(qtext)
+        dfreq = {
+            t: sum(1 for tk in toks.values() if t in tk) for t in terms
+        }
+        scored = []
+        for i, tk in toks.items():
+            c = Counter(tk)
+            s, n_terms = Decimal(0), 0
+            for t in terms:
+                tf = c.get(t, 0)
+                if not tf:
+                    continue
+                n_terms += 1
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                w = idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(tk) / avgdl)
+                )
+                s += Decimal(str(round(w, 6)))
+            if n_terms:
+                scored.append((-float(s), i, n_terms))
+        scored.sort()
+        for rk, (neg, i, nt) in enumerate(scored[:3], start=1):
+            exp[(qid, rk)] = (i, nt, -neg)
+    assert got == exp
+    # the single-term query ranks purely by tf saturation: doc 4 (tf=8)
+    # still beats nothing else — it is the only 'the' match
+    assert got[("qb", 1)][0] == 4 and ("qb", 2) not in got
+
+
+def test_bm25_empty_inputs_raise(spark):
+    from crawl_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(df, [])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        bm25_topk(empty, [("q", "a")])
+
+
+def test_hop_distance_matches_python_bfs(spark):
+    """hop_distance vs a dict BFS: cycle, diamond (two paths, min hop
+    wins), unreachable node absent, max_hops truncation, seed not in
+    the edge table still reported at hop 0."""
+    from collections import deque
+
+    from crawl_spark.operators.graph import hop_distance
+
+    edges = [
+        (0, 1), (1, 2), (2, 0),          # cycle back to the seed
+        (0, 3), (3, 4), (1, 4),          # diamond: 4 via 0-1-4 (hop 2)
+        (4, 5), (5, 6), (6, 7), (7, 8),  # chain beyond max_hops
+        (9, 0),                          # 9 reaches the seed, nothing reaches 9
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+
+    def bfs(adj, starts, cap):
+        dist = {s: 0 for s in starts}
+        q = deque(starts)
+        while q:
+            u = q.popleft()
+            if dist[u] == cap:
+                continue
+            for v in adj.get(u, ()):  # noqa: B909
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    for cap in (0, 1, 4):
+        got = {
+            r.node: r.hop
+            for r in hop_distance(e, seeds, max_hops=cap).collect()
+        }
+        assert got == bfs(adj, [0, 99], cap), cap
+    full = {r.node: r.hop for r in hop_distance(e, seeds, max_hops=4).collect()}
+    assert full[99] == 0 and 9 not in full and full[4] == 2
+    assert 8 not in full  # hop 6 > max_hops=4
+
+
+def test_degree_stats_hand_computed(spark):
+    from crawl_spark.operators.graph import degree_stats
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 3), (3, 1), (4, 1)],  # (1,2) duplicated
+        "src long, dst long",
+    )
+    got = {
+        r.node: (r.out_deg, r.in_deg, r.deg_bucket)
+        for r in degree_stats(e).collect()
+    }
+    # distinct edges: 1->2, 1->3, 2->3, 3->1, 4->1
+    assert got == {
+        1: (2, 2, 3),  # total 4 -> bin '100' -> bucket 3
+        2: (1, 1, 2),
+        3: (1, 2, 2),
+        4: (1, 0, 1),  # dangling source-only node
+    }
+
+
+def test_content_drift_hand_computed(spark):
+    from crawl_spark.operators.recrawl import content_drift
+
+    rows = [
+        ("u1", 100, "a"), ("u1", 200, "b"), ("u1", 300, "b"), ("u1", 400, "c"),
+        ("u2", 100, "x"), ("u2", 500, "x"),   # never changes
+        ("u3", 100, "only"),                  # single capture
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long, text string")
+    got = {r.url: r.asDict() for r in content_drift(df).collect()}
+    assert got["u1"] == {
+        "url": "u1", "n_captures": 4, "n_changes": 2,
+        "change_rate": round(2 / 3, 6), "first_ts": 100, "last_ts": 400,
+        "est_interval_s": 150,
+    }
+    assert got["u2"]["n_changes"] == 0
+    assert got["u2"]["change_rate"] == 0.0
+    assert got["u2"]["est_interval_s"] is None
+    assert got["u3"]["n_captures"] == 1
+    assert got["u3"]["change_rate"] is None
+    assert got["u3"]["est_interval_s"] is None
+
+
+def test_sitemap_coverage_hand_computed(spark):
+    from crawl_spark.operators.stats import sitemap_coverage
+
+    declared = spark.createDataFrame(
+        [
+            ("https://a.example/p/1",), ("https://a.example/p/2",),
+            ("https://a.example/p/2",),           # duplicate declaration
+            ("https://b.example/p/1",),           # declared, never crawled
+            (None,),                              # loc-less row: dropped
+        ],
+        "loc string",
+    )
+    crawled = spark.createDataFrame(
+        [
+            ("https://a.example/p/1",), ("https://a.example/q/9",),
+            ("https://c.example/p/1",),           # crawled, never declared
+        ],
+        "url string",
+    )
+    got = {r.host: r.asDict() for r in sitemap_coverage(declared, crawled).collect()}
+    assert got["a.example"] == {
+        "host": "a.example", "n_declared": 2, "n_crawled": 2, "n_matched": 1,
+        "coverage": 0.5, "n_undeclared": 1,
+    }
+    assert got["b.example"]["n_declared"] == 1
+    assert got["b.example"]["n_crawled"] == 0
+    assert got["b.example"]["coverage"] == 0.0
+    assert got["c.example"]["n_declared"] == 0
+    assert got["c.example"]["coverage"] is None
+    assert got["c.example"]["n_undeclared"] == 1
