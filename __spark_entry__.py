@@ -1884,6 +1884,24 @@ def q_sitemap_gap(spark, sf_dir):
     return sitemap_coverage(declared, crawled)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-min gap, the
+    telemetry default): one shuffle on entity, per-entity bounded
+    windows, exact integer-microsecond boundaries."""
+    from crawl_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
+def q_error_streaks(spark, sf_dir):
+    """Consecutive-error streak profile per entity over the events
+    stream — the backoff/circuit-breaker input (max run of 'error'
+    events, whether the entity is currently failing)."""
+    from crawl_spark.operators.sessions import error_streaks
+
+    return error_streaks(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -1983,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": q_degree_stats,
         "content_drift": q_content_drift,
         "sitemap_gap": q_sitemap_gap,
+        "sessionize": q_sessionize,
+        "error_streaks": q_error_streaks,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -4002,6 +4022,50 @@ SELECT host, n_declared, n_crawled, n_matched,
        THEN round(CAST(n_matched AS DOUBLE) / n_declared, 6) END AS coverage,
   CAST(n_crawled - n_matched AS BIGINT) AS n_undeclared
 FROM m
+""",
+        "sessionize": r"""
+WITH base AS (SELECT user_id AS entity, epoch_us(ts) AS us FROM events),
+f AS (
+  SELECT entity, us,
+    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS nw
+  FROM base WINDOW w AS (PARTITION BY entity ORDER BY us)),
+s AS (
+  SELECT entity, us,
+    sum(nw) OVER (PARTITION BY entity ORDER BY us ROWS UNBOUNDED PRECEDING)
+      AS session_idx
+  FROM f)
+SELECT entity, CAST(session_idx AS INT) AS session_idx,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(us) AS start_us, max(us) AS end_us,
+  max(us) - min(us) AS duration_us
+FROM s GROUP BY 1, 2
+""",
+        "error_streaks": r"""
+WITH base AS (
+  SELECT user_id AS entity, epoch_us(ts) AS us,
+    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+  FROM events),
+g AS (
+  SELECT entity, us, err,
+    row_number() OVER (PARTITION BY entity ORDER BY us)
+      - row_number() OVER (PARTITION BY entity, err ORDER BY us) AS isl,
+    CASE WHEN us = max(us) OVER (PARTITION BY entity) THEN 1 ELSE 0 END AS lastf
+  FROM base),
+st AS (SELECT entity, isl, CAST(count(*) AS BIGINT) AS len
+       FROM g WHERE err = 1 GROUP BY 1, 2),
+ag AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_streaks,
+              max(len) AS max_streak
+       FROM st GROUP BY 1),
+tot AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(err) AS BIGINT) AS n_errors,
+               max(CASE WHEN lastf = 1 THEN err END) AS tail
+        FROM g GROUP BY 1)
+SELECT t.entity, n_events, n_errors,
+  CAST(coalesce(n_streaks, 0) AS BIGINT) AS n_streaks,
+  CAST(coalesce(max_streak, 0) AS BIGINT) AS max_streak,
+  tail = 1 AS ends_in_streak
+FROM tot t LEFT JOIN ag USING (entity)
 """,
     }
     from crawl_spark.operators.search import bm25_oracle_sql

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "degree_stats",
     "content_drift",
     "sitemap_gap",
+    "sessionize",
+    "error_streaks",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

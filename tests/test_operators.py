@@ -2985,3 +2985,65 @@ def test_sitemap_coverage_hand_computed(spark):
     assert got["c.example"]["n_declared"] == 0
     assert got["c.example"]["coverage"] is None
     assert got["c.example"]["n_undeclared"] == 1
+
+
+def test_sessionize_hand_computed(spark):
+    """Gap rule is strict (> gap starts a session; == gap does not),
+    session_idx is 1-based in time order, singleton sessions have
+    duration 0."""
+    from datetime import datetime as DT
+
+    from crawl_spark.operators.sessions import sessionize
+
+    def ts(s):
+        return DT(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, ts(0)), (1, ts(10)), (1, ts(20)),   # session 1: 3 events
+        (1, ts(50)), (1, ts(55)),               # gap 30 > 10? -> new
+        (2, ts(0)),                             # singleton
+        (2, ts(11)),                            # gap 11 > 10 -> new
+        (3, ts(0)), (3, ts(10)),                # gap == 10 -> SAME session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.entity, r.session_idx): (r.n_events, r.duration_us)
+        for r in sessionize(df, gap_s=10).collect()
+    }
+    m = 1_000_000
+    assert got == {
+        (1, 1): (3, 20 * m), (1, 2): (2, 5 * m),
+        (2, 1): (1, 0), (2, 2): (1, 0),
+        (3, 1): (2, 10 * m),
+    }
+
+
+def test_error_streaks_hand_computed(spark):
+    from datetime import datetime as DT
+
+    from crawl_spark.operators.sessions import error_streaks
+
+    def ts(s):
+        return DT(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # entity 1: E E ok E E E  -> streaks 2 and 3, ends failing
+        (1, ts(0), "error"), (1, ts(1), "error"), (1, ts(2), "view"),
+        (1, ts(3), "error"), (1, ts(4), "error"), (1, ts(5), "error"),
+        # entity 2: never errors
+        (2, ts(0), "view"), (2, ts(1), "click"),
+        # entity 3: one error then recovers
+        (3, ts(0), "error"), (3, ts(1), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.entity: r.asDict() for r in error_streaks(df).collect()}
+    assert got[1] == {
+        "entity": 1, "n_events": 6, "n_errors": 5, "n_streaks": 2,
+        "max_streak": 3, "ends_in_streak": True,
+    }
+    assert got[2]["n_streaks"] == 0 and got[2]["max_streak"] == 0
+    assert got[2]["ends_in_streak"] is False
+    assert got[3] == {
+        "entity": 3, "n_events": 2, "n_errors": 1, "n_streaks": 1,
+        "max_streak": 1, "ends_in_streak": False,
+    }
