@@ -1884,6 +1884,53 @@ def q_sitemap_gap(spark, sf_dir):
     return sitemap_coverage(declared, crawled)
 
 
+def q_asset_filter(spark, sf_dir):
+    """Fetch-worthiness classification over synthetic URLs cycling 10
+    extension cases (page/asset kinds, extension-less paths, dotted
+    directory segments, query strings after the extension)."""
+    from crawl_spark.operators.urlfilter import classify_asset_urls
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    exts = F.array(*[F.lit(x) for x in (
+        "html", "png", "css", "js", "pdf", "zip", "mp4", "woff2", "", "php",
+    )])
+    ext = F.element_at(exts, (i % 10 + 1).cast("int"))
+    path = F.when(i % 13 == 0, F.concat(F.lit("a.b/c"), i.cast("string"))).otherwise(
+        F.when(ext == "", F.concat(F.lit("p"), i.cast("string"))).otherwise(
+            F.concat(F.lit("p"), i.cast("string"), F.lit("."), ext)
+        )
+    )
+    url = F.concat(
+        F.lit("https://host"), (i % 20).cast("string"), F.lit(".example/"),
+        path,
+        F.when(i % 4 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+    return classify_asset_urls(d.select(url.alias("url")))
+
+
+def q_redirects(spark, sf_dir):
+    """Redirect-chain resolution (pointer doubling) over synthetic 3xx
+    edges: decade chains (9->8->...->0, terminals at multiples of 10),
+    a 3-node loop at 5000..5002 and a chain feeding into it — loops
+    and their feeders come back resolved=false."""
+    from crawl_spark.operators.graph import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    chain = d.filter((i % 1000) % 10 != 0).select(
+        (i % 1000).alias("src"), (i % 1000 - 1).alias("dst")
+    )
+    cyc = d.select(
+        (F.lit(5000) + i % 3).alias("src"),
+        (F.lit(5000) + (i % 3 + 1) % 3).alias("dst"),
+    )
+    into = d.filter(i % 500 == 0).select(
+        F.lit(4999).cast("long").alias("src"), F.lit(5000).cast("long").alias("dst")
+    )
+    return resolve_redirects(chain.union(cyc).union(into), max_chain=16)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (30-min gap, the
     telemetry default): one shuffle on entity, per-entity bounded
@@ -2003,6 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_gap": q_sitemap_gap,
         "sessionize": q_sessionize,
         "error_streaks": q_error_streaks,
+        "asset_filter": q_asset_filter,
+        "redirects": q_redirects,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -4067,10 +4116,58 @@ SELECT t.entity, n_events, n_errors,
   tail = 1 AS ends_in_streak
 FROM tot t LEFT JOIN ag USING (entity)
 """,
+        "redirects": r"""
+WITH RECURSIVE redir AS (
+  SELECT doc_id % 1000 AS src, doc_id % 1000 - 1 AS dst
+  FROM documents WHERE (doc_id % 1000) % 10 <> 0
+  UNION ALL
+  SELECT 5000 + doc_id % 3, 5000 + (doc_id % 3 + 1) % 3 FROM documents
+  UNION ALL
+  SELECT CAST(4999 AS BIGINT), CAST(5000 AS BIGINT)
+  FROM documents WHERE doc_id % 500 = 0),
+r AS (SELECT src AS node, min(dst) AS nxt FROM redir GROUP BY 1),
+walk(node, cur, hops) AS (
+  SELECT node, nxt, 1 AS hops FROM r
+  UNION ALL
+  SELECT w.node, r2.nxt, w.hops + 1
+  FROM walk w JOIN r r2 ON r2.node = w.cur WHERE w.hops < 16),
+term AS (
+  SELECT node, cur, hops FROM walk
+  WHERE cur NOT IN (SELECT node FROM r))
+SELECT r.node AS src, t.cur AS final, CAST(t.hops AS INT) AS hops,
+  t.cur IS NOT NULL AS resolved
+FROM r LEFT JOIN term t USING (node)
+""",
     }
     from crawl_spark.operators.search import bm25_oracle_sql
 
     sql["bm25"] = bm25_oracle_sql(_BM25_QUERIES, _TOKS, k=10)
+
+    # asset_filter: the extension regex and the kind mapping are IMPORTED
+    # from the operator (one source of truth), the CASE generated from it
+    from crawl_spark.operators.urlfilter import _EXT_RE, ASSET_KINDS
+
+    _kind_case = "CASE " + " ".join(
+        f"WHEN ext IN ({', '.join(repr(e) for e in exts)}) THEN '{k}'"
+        for k, exts in ASSET_KINDS.items()
+    ) + " ELSE 'page' END"
+    sql["asset_filter"] = f"""
+WITH u AS (
+  SELECT 'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example/'
+    || CASE WHEN doc_id % 13 = 0 THEN 'a.b/c' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 10 = 8 THEN 'p' || CAST(doc_id AS VARCHAR)
+            ELSE 'p' || CAST(doc_id AS VARCHAR) || '.'
+                 || list_extract(['html','png','css','js','pdf','zip',
+                                  'mp4','woff2','','php'],
+                                 CAST(doc_id % 10 + 1 AS INT))
+       END
+    || CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' ELSE '' END AS url
+  FROM documents),
+e AS (SELECT url, regexp_extract(lower(url), '{_EXT_RE}', 1) AS ext FROM u)
+SELECT url, ext, {_kind_case} AS kind,
+  ({_kind_case}) = 'page' AS fetch_html
+FROM e
+"""
     # decontaminate_bloom is exactness-preserving by construction (Bloom
     # negatives are authoritative; positives verify on md5) — its oracle
     # is the broadcast path's oracle verbatim.

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "sitemap_gap",
     "sessionize",
     "error_streaks",
+    "asset_filter",
+    "redirects",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

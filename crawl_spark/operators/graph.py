@@ -446,6 +446,93 @@ def hop_distance(
     return dist.select("node", F.col("hop").cast("int").alias("hop"))
 
 
+def resolve_redirects(
+    redirects: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_chain: int = 16,
+) -> DataFrame:
+    """Resolve HTTP-redirect chains to their final target — the 3xx
+    folding a crawl runs before frontier dedup (chains of 301/302/
+    canonical hops all name one page; Common Crawl's index stores the
+    resolved target). Input is one (src, dst) edge per redirecting URL;
+    multiple recorded edges per src fold to ``min(dst)`` first (one
+    deterministic successor — redirects are functional per capture).
+
+    Returns one row per redirecting URL: ``(src, final, hops,
+    resolved)`` — ``final``/``hops`` are the chain's terminal (a URL
+    with no outgoing redirect) and its exact length when the chain
+    terminates within ``max_chain`` hops; loops and over-long chains
+    come back ``resolved = false`` with NULL final/hops (the crawler
+    drops them — a redirect loop is a trap).
+
+    POINTER DOUBLING, not step-by-step walking: each round every
+    unresolved pointer jumps through the pointer of the URL it
+    currently points at, doubling the covered distance — ceil(log2(
+    max_chain)) rounds total, each ONE self-equi-join of the O(|
+    redirects|) pointer table (hash-partitioned on the join key) plus
+    a localCheckpoint (O(1) lineage). A 10^4-long chain resolves in 14
+    rounds where per-hop walking needs 10^4; the same contrast as
+    min-label vs star-contraction CC.
+    """
+    if max_chain < 1:
+        raise ValueError("max_chain must be >= 1")
+    r = (
+        redirects.groupBy(F.col(src).alias("node"))
+        .agg(F.min(dst).alias("cur"))
+        .localCheckpoint(eager=True)
+    )
+    # done at hops=1 iff the first target already has no out-edge
+    ptr = (
+        r.join(
+            r.select(F.col("node").alias("cur"), F.lit(1).alias("__k")),
+            "cur",
+            "left",
+        )
+        .select(
+            "node",
+            "cur",
+            F.lit(1).cast("long").alias("hops"),
+            F.col("__k").isNull().alias("done"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    span = 1
+    while span < max_chain:
+        jump = ptr.select(
+            F.col("node").alias("j_node"),
+            F.col("cur").alias("j_cur"),
+            F.col("hops").alias("j_hops"),
+            F.col("done").alias("j_done"),
+        )
+        ptr = (
+            ptr.join(jump, ptr["cur"] == jump["j_node"], "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("done") | F.col("j_node").isNull(), F.col("cur")
+                ).otherwise(F.col("j_cur")).alias("cur"),
+                F.when(
+                    F.col("done") | F.col("j_node").isNull(), F.col("hops")
+                ).otherwise(F.col("hops") + F.col("j_hops")).alias("hops"),
+                (
+                    F.col("done")
+                    | F.col("j_node").isNull()
+                    | F.col("j_done")
+                ).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        span *= 2
+    ok = F.col("done") & (F.col("hops") <= max_chain)
+    return ptr.select(
+        F.col("node").alias("src"),
+        F.when(ok, F.col("cur")).alias("final"),
+        F.when(ok, F.col("hops")).cast("int").alias("hops"),
+        ok.alias("resolved"),
+    )
+
+
 def degree_stats(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -184,6 +184,52 @@ def strip_tracking_params(
     )
 
 
+# path-extension → resource kind (the Heritrix/Nutch default-skip set:
+# an HTML crawler fetches pages, not their static assets)
+ASSET_KINDS: dict[str, tuple[str, ...]] = {
+    "image": ("png", "jpg", "jpeg", "gif", "webp", "svg", "ico", "bmp", "tiff"),
+    "style": ("css",),
+    "script": ("js", "mjs"),
+    "font": ("woff", "woff2", "ttf", "otf", "eot"),
+    "media": ("mp3", "mp4", "avi", "mov", "mkv", "webm", "wav", "flac", "ogg"),
+    "archive": ("zip", "gz", "tgz", "tar", "rar", "7z", "bz2", "xz"),
+    "document": ("pdf", "doc", "docx", "xls", "xlsx", "ppt", "pptx"),
+}
+
+# extension of the LAST path segment (before ?/#): the greedy [^?#]*
+# backtracks to the last dot, and the [a-z0-9]{1,8} group cannot span
+# '/', so a dot in the host or a directory segment never matches.
+# Java-regex ∩ RE2 common dialect (the repo's cross-engine contract).
+_EXT_RE = r"^[a-z][a-z0-9+.\-]*://[^?#]*\.([a-z0-9]{1,8})(?:[?#]|$)"
+
+
+def classify_asset_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Fetch-worthiness classification by path extension — the frontier
+    gate every HTML crawler applies before enqueueing a discovered link
+    (Heritrix's default skip rules; the reference fetches whatever the
+    handler glob matched, so this is the operator a production
+    deployment puts in front of `Schedule`).
+
+    Adds ``ext`` (lowercased extension of the last path segment, ''
+    when none), ``kind`` (image/style/script/font/media/archive/
+    document, else 'page'), and ``fetch_html`` (kind == 'page' — the
+    enqueue verdict). Pure projection: one JVM regexp per row, no
+    shuffle, no Python — the scan is the operator at any scale.
+    """
+    ext = F.regexp_extract(F.lower(F.col(url_col)), _EXT_RE, 1)
+    kind = F.lit("page")
+    expr = None
+    for k, exts in ASSET_KINDS.items():
+        cond = F.col("ext").isin(*exts)
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    kind = expr.otherwise(kind)
+    return (
+        df.withColumn("ext", ext)
+        .withColumn("kind", kind)
+        .withColumn("fetch_html", F.col("kind") == "page")
+    )
+
+
 def trap_detect(
     df: DataFrame,
     url_col: str = "url",

@@ -3047,3 +3047,68 @@ def test_error_streaks_hand_computed(spark):
         "entity": 3, "n_events": 2, "n_errors": 1, "n_streaks": 1,
         "max_streak": 1, "ends_in_streak": False,
     }
+
+
+def test_classify_asset_urls_rules(spark):
+    from crawl_spark.operators.urlfilter import classify_asset_urls
+
+    cases = {
+        "https://a.example/p.PNG": ("png", "image", False),
+        "https://a.example/p.png?x=1#f": ("png", "image", False),
+        "https://a.example/deep/path/app.min.js": ("js", "script", False),
+        "https://a.example/font.woff2": ("woff2", "font", False),
+        "https://a.example/x.tar.gz": ("gz", "archive", False),
+        "https://a.example/report.pdf": ("pdf", "document", False),
+        "https://a.example/page.html": ("html", "page", True),
+        "https://a.example/api/v1.2/items": ("2/items"[-7:], "page", True),
+        "https://a.example/plain": ("", "page", True),
+        "https://a.example/": ("", "page", True),
+        "https://a.example/a.b/c": ("", "page", True),  # dot in dir only
+    }
+    # fix the v1.2 expectation: ext group cannot span '/', so no match
+    cases["https://a.example/api/v1.2/items"] = ("", "page", True)
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r.url: (r.ext, r.kind, r.fetch_html)
+        for r in classify_asset_urls(df).collect()
+    }
+    assert got == cases
+
+
+def test_resolve_redirects_matches_python_walk(spark):
+    from crawl_spark.operators.graph import resolve_redirects
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),            # chain 1->4 (3 hops), 2->4, 3->4
+        (10, 11), (11, 10),                # 2-loop
+        (20, 10),                          # feeds the loop -> unresolved
+        (30, 31),                          # 1-hop
+        (40, 41), (40, 42),                # duplicate out-edges: min(dst)=41
+        # long chain 100 -> 99 -> ... -> 80 (20 hops from 100)
+        *[(100 - k, 99 - k) for k in range(20)],
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def walk(ptr, s, cap):
+        cur, hops = ptr[s], 1
+        while cur in ptr and hops < cap:
+            cur, hops = ptr[cur], hops + 1
+        return (cur, hops, True) if cur not in ptr and hops <= cap else (None, None, False)
+
+    ptr = {}
+    for s, d in edges:
+        ptr[s] = min(ptr.get(s, d), d)
+    for cap in (1, 2, 8, 16, 32):
+        got = {
+            r.src: (r.final, r.hops, r.resolved)
+            for r in resolve_redirects(df, max_chain=cap).collect()
+        }
+        assert got == {s: walk(ptr, s, cap) for s in ptr}, cap
+    full = {
+        r.src: (r.final, r.hops, r.resolved)
+        for r in resolve_redirects(df, max_chain=32).collect()
+    }
+    assert full[1] == (4, 3, True)
+    assert full[10] == (None, None, False) and full[20] == (None, None, False)
+    assert full[40] == (41, 1, True)  # min(dst) rule
+    assert full[100] == (80, 20, True)  # doubling covers the long chain

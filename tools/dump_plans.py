@@ -583,6 +583,41 @@ def main() -> None:
         incremental_dedup(batch, corpus_digests),
     )
 
+    # 27. BM25: query-term semi-join BELOW the tf aggregation
+    from crawl_spark.operators.search import bm25_topk
+
+    cap(
+        "BM25 ranked retrieval (query-term semi-join below the tf aggregation)",
+        "Round-5 continuation operator. What the plan must show: the "
+        "exploded token stream meets the broadcast query-term dimension "
+        "in a LEFT-SEMI BroadcastHashJoin BEFORE the (doc, term) "
+        "HashAggregate pair — only matching tokens cross the Exchange, "
+        "so a non-stopword query moves a tiny corpus slice and document "
+        "text never shuffles. df(t) and the per-(query, doc) decimal "
+        "score sum are partial-aggregated; the final ranking is "
+        "grouped_topk's local-prune + bounded window, never a "
+        "Window.partitionBy(query_id) over the whole scored corpus "
+        "(a stopword query scores nearly every document).",
+        bm25_topk(docs, [("q1", "hash join"), ("q2", "slow scan")], k=10),
+    )
+
+    # 28. Telemetry sessionization: one entity Exchange, windows after it
+    from crawl_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(sf + "/events.parquet")
+    cap(
+        "Gap-based sessionization (one entity Exchange, per-entity windows)",
+        "Round-5 continuation operator (error_streaks shares the "
+        "shape). What the plan must show: ONE hashpartitioning "
+        "Exchange on entity; the lag window, the running-sum session "
+        "counter and the final per-session HashAggregate all reuse "
+        "that partitioning (no second Exchange) — every window is "
+        "per-entity and bounded by that entity's event count. "
+        "Timestamps compare as exact integer microseconds (unix_micros "
+        "in the projection), no float time math anywhere.",
+        sessionize(ev, gap_s=1800),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
