@@ -1884,6 +1884,24 @@ def q_sitemap_gap(spark, sf_dir):
     return sitemap_coverage(declared, crawled)
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN eval harness: recall@10 of the IVF path (same parameters as
+    q_ivf_topk: default codebook, nprobe=2) against exact brute force,
+    one row per query — the number an ANN deployment tunes against."""
+    from crawl_spark.operators.similarity import ann_recall
+
+    v = _t(spark, sf_dir, "embeddings")
+    return ann_recall(v, v.filter(F.col("vec_id") < 8), k=10, nprobe=2)
+
+
+def q_embed_dim_stats(spark, sf_dir):
+    """Per-dimension embedding distribution profile (mean/var/min/max,
+    decimal-exact sums) — the PQ/shortlist diagnostic."""
+    from crawl_spark.operators.similarity import embed_dim_stats
+
+    return embed_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def q_asset_filter(spark, sf_dir):
     """Fetch-worthiness classification over synthetic URLs cycling 10
     extension cases (page/asset kinds, extension-less paths, dotted
@@ -2052,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_streaks": q_error_streaks,
         "asset_filter": q_asset_filter,
         "redirects": q_redirects,
+        "ann_recall": q_ann_recall,
+        "embed_dim_stats": q_embed_dim_stats,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -3370,6 +3390,80 @@ SELECT query_id, rank, nbr_id, cos FROM (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
   FROM scored
 ) WHERE rank <= 10
+""",
+        "ann_recall": f"""
+WITH {_COSINE_CTES},
+cents AS (SELECT vec_id AS centroid_id, e AS ce, nn AS cnn FROM n WHERE vec_id % 41 = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]))
+                                             / (sqrt(v.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
+    FROM n v, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.ce[i]))
+                                             / (sqrt(q.nn) * sqrt(c.cnn)), 6) DESC, c.centroid_id) AS rn
+    FROM n q, cents c WHERE q.vec_id < 8
+  ) WHERE rn <= 2
+),
+ivf_scored AS (
+  SELECT p.query_id, a.vec_id AS nbr_id,
+         max(round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+                   / (sqrt(q.nn) * sqrt(x.nn)), 6)) AS cos
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN n q ON q.vec_id = p.query_id
+  JOIN n x ON x.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id
+),
+approx AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= 10
+),
+exact AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]))
+                                             / (sqrt(q.nn) * sqrt(x.nn)), 6) DESC, x.vec_id) AS rank
+    FROM n q, n x WHERE q.vec_id < 8 AND x.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+)
+SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(count(a.nbr_id) AS BIGINT) AS n_hit,
+  round(CAST(count(a.nbr_id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a USING (query_id, nbr_id)
+GROUP BY 1
+""",
+        "embed_dim_stats": """
+WITH exploded AS (
+  SELECT CAST(pos AS INT) AS pos, CAST(val AS DOUBLE) AS v FROM (
+    SELECT unnest(range(1, len(embedding)+1)) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings)
+),
+a AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS s1,
+    sum(CAST(round(v * v, 12) AS DECIMAL(28,12))) AS s2,
+    round(min(v), 6) AS vmin, round(max(v), 6) AS vmax
+  FROM exploded GROUP BY 1)
+SELECT pos, n,
+  round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+  round(CAST(s2 AS DOUBLE) / n
+        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6) AS var,
+  vmin, vmax
+FROM a
 """,
         "multimodal_meta": """
 SELECT doc_id AS media_id,

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "error_streaks",
     "asset_filter",
     "redirects",
+    "ann_recall",
+    "embed_dim_stats",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

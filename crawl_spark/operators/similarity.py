@@ -1027,3 +1027,92 @@ def ivf_pq_topk(
     if not rerank_mult:
         return ranked.select("query_id", "rank", "nbr_id", "adc_d2")
     return _pq_exact_rerank(ranked, vectors, qdf, q_k, id_col, vec_col)
+
+
+def ann_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_mod: int = 41,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    shortlist_dims: int | None = None,
+    shortlist_mult: int = 4,
+) -> DataFrame:
+    """recall@k of the IVF path against exact brute force — the eval
+    harness an ANN deployment tunes (nprobe / codebook / shortlist)
+    against. One row per query: ``(query_id, n_exact, n_hit, recall)``
+    where ``n_exact = min(k, |corpus|-1)`` is the ground-truth set
+    size, ``n_hit`` how many of those the IVF path returned, ``recall``
+    their 6-dp ratio.
+
+    Composition of the two existing operators (same parameters ivf_topk
+    takes), joined per (query, neighbor): the hit check is a LEFT-SEMI
+    join of two ≤ |queries|·k frames — eval cost is bounded by the
+    query set, never the corpus (the brute-force side is the documented
+    verifier: run it on a SAMPLE of queries in production, exactly what
+    this operator's `queries` parameter expresses).
+    """
+    exact = brute_force_topk(vectors, queries, k, id_col, vec_col)
+    approx = ivf_topk(
+        vectors, queries, k, nprobe, centroid_mod, id_col, vec_col,
+        centroids, shortlist_dims, shortlist_mult,
+    )
+    hits = exact.select("query_id", "nbr_id").join(
+        approx.select("query_id", "nbr_id"), ["query_id", "nbr_id"], "leftsemi"
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    n_hit = hits.groupBy("query_id").agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def embed_dim_stats(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension distribution profile of an embedding column:
+    ``(pos, n, mean, var, vmin, vmax)`` (pos 1-based) — the codebook /
+    shortlist diagnostic (is the energy front-loaded enough for
+    truncated-dim shortlists? are there dead dimensions a PQ split
+    wastes a sub-quantizer on?).
+
+    ONE posexplode + ONE partial-aggregated groupBy(pos); output is
+    dimension-sized. Float contract: values are rounded (6 dp for the
+    sum, 12 dp for the square sum) and accumulated as DECIMALS — sums
+    across 10^9 rows are exact on both engines regardless of partial-
+    agg order; mean/var then come from the exact sums in one double
+    expression each.
+    """
+    x = vectors.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v")
+    ).select((F.col("pos0") + 1).cast("int").alias("pos"), "v")
+    s1 = F.sum(F.round(F.col("v"), 6).cast("decimal(18,6)"))
+    s2 = F.sum(F.round(F.col("v") * F.col("v"), 12).cast("decimal(28,12)"))
+    agg = x.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        s1.alias("__s1"),
+        s2.alias("__s2"),
+        F.round(F.min("v"), 6).alias("vmin"),
+        F.round(F.max("v"), 6).alias("vmax"),
+    )
+    mean = F.col("__s1").cast("double") / F.col("n")
+    var = F.col("__s2").cast("double") / F.col("n") - mean * mean
+    return agg.select(
+        "pos", "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        "vmin", "vmax",
+    ).orderBy("pos")

@@ -3112,3 +3112,56 @@ def test_resolve_redirects_matches_python_walk(spark):
     assert full[10] == (None, None, False) and full[20] == (None, None, False)
     assert full[40] == (41, 1, True)  # min(dst) rule
     assert full[100] == (80, 20, True)  # doubling covers the long chain
+
+
+def test_ann_recall_full_probe_is_one(spark):
+    """Probing EVERY cell makes IVF exhaustive, so recall@k must be
+    exactly 1.0 per query; nprobe=1 recall is <= that and the hit
+    counts match a from-scratch python evaluation of both pipelines."""
+    import numpy as np
+
+    from crawl_spark.operators.similarity import ann_recall
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter("vec_id < 5")
+    # centroid_mod=20 -> centroids at ids 0,20,40 (3 cells)
+    full = {
+        r.query_id: r
+        for r in ann_recall(df, q, k=5, nprobe=3, centroid_mod=20).collect()
+    }
+    assert all(r.recall == 1.0 and r.n_hit == r.n_exact == 5 for r in full.values())
+    one = {
+        r.query_id: r
+        for r in ann_recall(df, q, k=5, nprobe=1, centroid_mod=20).collect()
+    }
+    assert set(one) == set(full) == set(range(5))
+    assert all(0 <= one[i].n_hit <= 5 and one[i].recall == round(one[i].n_hit / 5, 6) for i in one)
+
+
+def test_embed_dim_stats_matches_numpy(spark):
+    import numpy as np
+
+    from crawl_spark.operators.similarity import embed_dim_stats
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 4).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.pos: r for r in embed_dim_stats(df).collect()}
+    for d in range(4):
+        col = vecs[:, d]
+        s1 = sum(round(float(x), 6) for x in col)
+        s2 = sum(round(float(x) * float(x), 12) for x in col)
+        r = got[d + 1]
+        assert r.n == 200
+        assert r.mean == round(s1 / 200, 6)
+        assert r.var == round(s2 / 200 - (s1 / 200) * (s1 / 200), 6)
+        assert r.vmin == round(float(col.min()), 6)
+        assert r.vmax == round(float(col.max()), 6)
