@@ -1884,6 +1884,16 @@ def q_sitemap_gap(spark, sf_dir):
     return sitemap_coverage(declared, crawled)
 
 
+def q_lsh_recall(spark, sf_dir):
+    """MinHash-LSH eval harness: recall/precision of the banded
+    candidate generator against the exact all-pairs shingle-Jaccard
+    truth at threshold 0.1 (the fixture's near-dup range) — one summary
+    row, the measured counterpart of suggest_lsh_bands' S-curve."""
+    from crawl_spark.operators.dedup import lsh_recall
+
+    return lsh_recall(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN eval harness: recall@10 of the IVF path (same parameters as
     q_ivf_topk: default codebook, nprobe=2) against exact brute force,
@@ -2072,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "ann_recall": q_ann_recall,
         "embed_dim_stats": q_embed_dim_stats,
+        "lsh_recall": q_lsh_recall,
         "crawl_flagship": flagship_crawl,  # no oracle: round-loop, not ANSI SQL
     }
 
@@ -2543,6 +2554,39 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
+""",
+        "lsh_recall": f"""
+WITH {_MINHASH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY doc_id),
+inter_all AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM shx x JOIN shx y ON y.g = x.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT i.id_a, i.id_b
+  FROM inter_all i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.1
+),
+hit AS (SELECT tp.id_a, tp.id_b FROM tp SEMI JOIN cand USING (id_a, id_b)),
+c AS (
+  SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_true,
+         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit)
+SELECT n_true, n_cand, n_hit,
+  CASE WHEN n_true > 0
+       THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
+  CASE WHEN n_cand > 0
+       THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS precision
+FROM c
 """,
         "neardup_clusters": f"""
 WITH RECURSIVE {_MINHASH_CTES},

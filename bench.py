@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "redirects",
     "ann_recall",
     "embed_dim_stats",
+    "lsh_recall",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -1213,3 +1213,86 @@ def mirror_hosts(
             (jac >= min_jaccard).alias("is_mirror"),
         )
     )
+
+
+def lsh_recall(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Eval harness for the MinHash-LSH stage (the dedup twin of
+    `similarity.ann_recall`): how much of the TRUE near-dup pair set
+    (exact shingle Jaccard >= ``threshold``, computed with the all-pairs
+    shingle-join verifier) does the banded candidate generator recover,
+    and how much of what it generates is real?
+
+    ONE summary row: ``(n_true, n_cand, n_hit, recall, precision)`` —
+    recall = hit/true (NULL when no true pair exists), precision =
+    hit/candidates (NULL when no candidate), both 6 dp. These are the
+    numbers `suggest_lsh_bands`' S-curve PREDICTS; this measures them.
+
+    The ground-truth side shares one shingle per (doc, gram) row across
+    its three consumers (lazy checkpoint — the module's no-CSE rule)
+    and pairs docs through a shingle-equality self-join: O(Σ per-gram
+    doc-count²), not O(n²) — but still super-linear on hot shingles,
+    which is exactly why it is the documented VERIFIER: run it on a
+    sample of the corpus (the `df` you pass in), never the whole crawl.
+    """
+    cand = minhash_candidates(df, id_col, text_col).localCheckpoint(eager=True)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+        ).alias("sh"),
+    ).localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter_all = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    true_pairs = (
+        inter_all.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"),
+            "id_b",
+        )
+        .filter(
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            )
+            >= threshold
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    hit = true_pairs.join(cand, ["id_a", "id_b"], "leftsemi")
+    row = (
+        true_pairs.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(cand.agg(F.count("*").cast("long").alias("n_cand")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+    )
+    return row.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0, F.round(F.col("n_hit") / F.col("n_true"), 6)
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0, F.round(F.col("n_hit") / F.col("n_cand"), 6)
+        ).alias("precision"),
+    )

@@ -3165,3 +3165,43 @@ def test_embed_dim_stats_matches_numpy(spark):
         assert r.var == round(s2 / 200 - (s1 / 200) * (s1 / 200), 6)
         assert r.vmin == round(float(col.min()), 6)
         assert r.vmax == round(float(col.max()), 6)
+
+
+def test_lsh_recall_matches_python_truth(spark):
+    """lsh_recall vs a from-scratch python evaluation: exact Jaccard
+    truth over all pairs, candidates from the same banded minhash (via
+    the operator, trusted separately by test_minhash_*), identical
+    recall/precision arithmetic. Corpus built so both near-dups and
+    unrelated docs exist at threshold 0.5."""
+    from crawl_spark.operators.dedup import lsh_recall, minhash_candidates
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "one two three four five six seven eight"),
+        (4, "one two three four five six seven eight"),        # exact dup of 3
+        (5, "completely different words entirely unrelated here now ok"),
+        (6, "short text"),                                     # no 3-shingle pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lsh_recall(df, threshold=0.5).collect()[0]
+
+    def sh3(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    true = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            a, b = sh3(ta), sh3(tb)
+            if a and b and round(len(a & b) / len(a | b), 6) >= 0.5:
+                true.add((ia, ib))
+    cand = {
+        (r.id_a, r.id_b) for r in minhash_candidates(df).collect()
+    }
+    hit = true & cand
+    assert got.n_true == len(true) and got.n_cand == len(cand)
+    assert got.n_hit == len(hit)
+    assert got.recall == (round(len(hit) / len(true), 6) if true else None)
+    assert got.precision == (round(len(hit) / len(cand), 6) if cand else None)
+    assert (1, 2) in true and (3, 4) in true  # the fixture has real signal

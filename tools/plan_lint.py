@@ -54,6 +54,7 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
     "nb_classify": [("BroadcastNestedLoopJoin", "K-row priors x 1-row total, KxB model spine, gram-less docs x K labels — all bounded by class count")],
     "curate": [("BroadcastNestedLoopJoin", "composition inherits the sanctioned 1-row/centroid broadcasts above")],
     "ann_recall": [("BroadcastNestedLoopJoin", "eval harness composes the brute-force verifier (queries broadcast-small by contract) with ivf_topk's broadcast centroids")],
+    "lsh_recall": [("BroadcastNestedLoopJoin", "three 1-row count aggregates crossed into the summary row (the contamination-report shape)")],
 }
 
 
