@@ -538,6 +538,16 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048, streams=64)
 
 
+def q_shuffle_order(spark, sf_dir):
+    """Seeded deterministic training-order shuffle: sharded md5
+    permutation (operators/sampling.shuffle_corpus)."""
+    from crawl_spark.operators.sampling import shuffle_corpus
+
+    return shuffle_corpus(
+        _t(spark, sf_dir, "documents"), seed=7, shards=64
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over a deterministic synthetic link graph: two affine
     edge families per doc over hosts 0..100, a hub edge to host 0 from
@@ -2023,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
+        "shuffle_order": q_shuffle_order,
         "shard_stats": q_shard_stats,
         "nb_classify": q_nb_classify,
         "nfc_dedup": q_nfc_dedup,
@@ -3044,6 +3055,17 @@ SELECT doc_id, stream, n_tokens,
        CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS bin
 FROM s
 WINDOW w AS (PARTITION BY stream ORDER BY pick, doc_id ROWS UNBOUNDED PRECEDING)
+""",
+        "shuffle_order": """
+WITH b AS (
+  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS k FROM documents
+), s AS (
+  SELECT doc_id, CAST((('0x'||substr(k,1,8))::BIGINT % 64) AS INT) AS shard, k
+  FROM b
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM s
 """,
         "pagerank": pagerank_oracle_sql(
             """SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "domain_quota",
     "signbit_neardup",
     "pack_sequences",
+    "shuffle_order",
     "token_entropy",
     "pagerank",
     "connected_components",

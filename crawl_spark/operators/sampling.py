@@ -194,6 +194,72 @@ def pack_sequences(
     )
 
 
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    shards: int = 64,
+) -> DataFrame:
+    """Deterministic SEEDED global shuffle — the training-order
+    randomization step every pretraining run performs between curation
+    and the data loader (and again per epoch with a new seed).
+
+    Emits one row per doc: ``(id, shard, pos)``. The global training
+    order is shards ascending, then ``pos`` (1-based, dense) within the
+    shard — a sharded writer emits file ``shard`` sorted by ``pos`` and
+    the loader reads files in shard order. Because the permutation key
+    is ``md5(seed ':' id)``, the order is (a) uniform, (b) reproducible
+    bit-for-bit across runs and engines (resume/debug replays the exact
+    batch sequence), and (c) re-seedable: a new ``seed`` yields an
+    independent permutation for the next epoch without touching the
+    data — unlike ``rand()``, which changes under partition layout.
+
+    Scale shape (100 TB corpus): an exact GLOBAL rank would be a
+    SinglePartition window — the one plan shape this repo bans — so the
+    permutation is SHARDED exactly like :func:`pack_sequences`: docs
+    hash to ``shards`` independent md5 buckets (uniform by construction
+    — no hot key is possible), and each shard ranks locally in one
+    bounded window task of ~N/shards rows. Set ``shards`` to at least
+    the cluster parallelism; it is part of the deterministic contract
+    (same warning semantics as ``pack_sequences``).
+
+    SQL twin: row_number() OVER (PARTITION BY shard ORDER BY
+    md5(seed ':' id), id).
+    """
+    from pyspark.sql import Window
+
+    if shards < 1:
+        raise ValueError("shuffle_corpus: shards must be >= 1")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if shards < par:
+        import warnings
+
+        warnings.warn(
+            "shuffle_corpus(shards=%d) < defaultParallelism=%d: the "
+            "per-shard rank windows will use only %d of %d cores. Raise "
+            "`shards` — but note the shard count is part of the "
+            "deterministic order contract, so pick it per-corpus, not "
+            "per-cluster." % (shards, par, shards, par),
+            stacklevel=2,
+        )
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(int(seed))), F.col(id_col).cast("string"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(shards)
+        ).cast("int").alias("shard"),
+        key.alias("__key"),
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return base.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 # -- DSIR: hashed-n-gram importance resampling (data selection) -------------
 # Xie et al., "Data Selection for Language Models via Importance
 # Resampling" (NeurIPS 2023, arXiv:2302.03169 — public method): estimate

@@ -3205,3 +3205,60 @@ def test_lsh_recall_matches_python_truth(spark):
     assert got.recall == (round(len(hit) / len(true), 6) if true else None)
     assert got.precision == (round(len(hit) / len(cand), 6) if cand else None)
     assert (1, 2) in true and (3, 4) in true  # the fixture has real signal
+
+
+def test_shuffle_corpus_is_seeded_permutation(spark):
+    """(a) every id appears exactly once; (b) pos is dense 1..n per
+    shard; (c) identical across two invocations (determinism); (d) a
+    different seed yields a different order; (e) the (shard, pos) key
+    matches the pure-Python twin of the md5 contract exactly."""
+    import hashlib
+
+    from crawl_spark.operators.sampling import shuffle_corpus
+
+    ids = list(range(200))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_corpus(df, seed=7, shards=8).collect()
+    }
+    assert sorted(got) == ids  # permutation: each id exactly once
+    by_shard: dict[int, list[int]] = {}
+    for sh, pos in got.values():
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), sh
+
+    again = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_corpus(df, seed=7, shards=8).collect()
+    }
+    assert again == got  # deterministic replay
+
+    other = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_corpus(df, seed=8, shards=8).collect()
+    }
+    assert other != got  # a new epoch seed is a new permutation
+
+    # pure-Python twin: shard = int(md5('7:'+id)[:8], 16) % 8, order by
+    # (md5 hex, id) within the shard
+    keyed = [(hashlib.md5(b"7:%d" % i).hexdigest(), i) for i in ids]
+    twin: dict[int, tuple[int, int]] = {}
+    shards: dict[int, list[tuple[str, int]]] = {}
+    for k, i in keyed:
+        shards.setdefault(int(k[:8], 16) % 8, []).append((k, i))
+    for sh, rows in shards.items():
+        for pos, (_, i) in enumerate(sorted(rows), 1):
+            twin[i] = (sh, pos)
+    assert twin == got
+
+
+def test_shuffle_corpus_rejects_bad_shards(spark):
+    import pytest as _pytest
+
+    from crawl_spark.operators.sampling import shuffle_corpus
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="shards"):
+        shuffle_corpus(df, shards=0)
