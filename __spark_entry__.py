@@ -538,6 +538,18 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048, streams=64)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Trained BPE over the documents corpus (operators/bpe.bpe_train):
+    one word-count shuffle + ranked_topk prune + driver-side Sennrich
+    merge loop. Rows-only: an iterative merge loop is not ANSI-SQL —
+    the contract is pinned bit-for-bit by the naive-reference twin in
+    tests/test_bpe.py (incremental == recount-from-scratch, and
+    MergeBpe inference reproduces the training segmentation)."""
+    from crawl_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=200)
+
+
 def q_shuffle_order(spark, sf_dir):
     """Seeded deterministic training-order shuffle: sharded md5
     permutation (operators/sampling.shuffle_corpus)."""
@@ -2034,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "shuffle_order": q_shuffle_order,
+        "bpe_merges": q_bpe_merges,  # rows-only: iterative merge loop not ANSI-SQL
+
         "shard_stats": q_shard_stats,
         "nb_classify": q_nb_classify,
         "nfc_dedup": q_nfc_dedup,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "signbit_neardup",
     "pack_sequences",
     "shuffle_order",
+    "bpe_merges",
     "token_entropy",
     "pagerank",
     "connected_components",
