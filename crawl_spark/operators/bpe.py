@@ -115,6 +115,20 @@ def _train_merges(
     return merges
 
 
+def word_type_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) token-type table — the ONE distributed pass of
+    :func:`bpe_train`: explode + partial-aggregated groupBy; the only
+    shuffle carries (word, partial count), never text. Exposed so the
+    plan evidence (PLANS.md) and the trainer share one definition."""
+    from .textops import tokens
+
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 1000,
@@ -138,7 +152,6 @@ def bpe_train(
     learned (< requested when pair counts fall under
     ``min_pair_count`` — tiny corpora saturate).
     """
-    from .textops import tokens
     from .topk import ranked_topk
 
     if n_merges < 1:
@@ -146,12 +159,7 @@ def bpe_train(
     if max_word_types < 1:
         raise ValueError("bpe_train: max_word_types must be >= 1")
     spark = df.sparkSession
-    counts = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("count"))
-        .localCheckpoint(eager=False)
-    )
+    counts = word_type_counts(df, text_col).localCheckpoint(eager=False)
     total_types, total_mass = counts.agg(
         F.count("*"), F.coalesce(F.sum("count"), F.lit(0))
     ).first()

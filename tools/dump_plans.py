@@ -618,6 +618,40 @@ def main() -> None:
         sessionize(ev, gap_s=1800),
     )
 
+    # 29. Seeded training-order shuffle: sharded rank, never SinglePartition
+    from crawl_spark.operators.sampling import shuffle_corpus
+
+    cap(
+        "Seeded training-order shuffle (sharded md5 permutation)",
+        "Round-5 continuation operator. What the plan must show: the "
+        "permutation rank is a window PARTITIONED BY the md5 shard "
+        "(uniform 64-way buckets — no hot key is possible), so the "
+        "plan has ONE hashpartitioning Exchange on shard and NO "
+        "SinglePartition Exchange anywhere: an exact GLOBAL "
+        "row_number would be the banned single-task sort. The "
+        "permutation key md5(seed ':' id) is a JVM projection in "
+        "whole-stage codegen.",
+        shuffle_corpus(docs, seed=7, shards=64),
+    )
+
+    # 30. BPE training's distributed half: word-type counts + bounded prune
+    from crawl_spark.operators.bpe import word_type_counts
+    from crawl_spark.operators.topk import ranked_topk
+
+    wc = word_type_counts(docs).withColumn("__negc", -F.col("count"))
+    cap(
+        "BPE training corpus pass (word-type counts + ranked_topk prune)",
+        "Round-5 continuation operator (operators/bpe.py). The merge "
+        "loop itself is driver-side over this BOUNDED result (the "
+        "PQ-codebook pattern — no per-merge Spark jobs); what the "
+        "distributed half's plan must show: partial_count before the "
+        "one (word, partial-count) Exchange — text never shuffles — "
+        "and ranked_topk's partition-local prune (sortWithinPartitions "
+        "+ filter on the local rank) BEFORE its bounded range "
+        "repartitioning, so no single task ever holds the vocabulary.",
+        ranked_topk(wc, ["__negc", "word"], 250_000, pos_col="__rank"),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
