@@ -538,6 +538,16 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048, streams=64)
 
 
+def q_zlib_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (textops.compression_ratio).
+    Rows-only: DuckDB has no zlib — the driver twin
+    (compression_ratio_str, same CPython zlib as the executors) pins
+    the per-row rule bit-for-bit in tests."""
+    from crawl_spark.operators.textops import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def q_bpe_merges(spark, sf_dir):
     """Trained BPE over the documents corpus (operators/bpe.bpe_train):
     one word-count shuffle + ranked_topk prune + driver-side Sennrich
@@ -2047,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "shuffle_order": q_shuffle_order,
         "bpe_merges": q_bpe_merges,  # rows-only: iterative merge loop not ANSI-SQL
+        "zlib_ratio": q_zlib_ratio,  # rows-only: DuckDB has no zlib
 
         "shard_stats": q_shard_stats,
         "nb_classify": q_nb_classify,

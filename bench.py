@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "shuffle_order",
     "bpe_merges",
+    "zlib_ratio",
     "token_entropy",
     "pagerank",
     "connected_components",

@@ -546,6 +546,70 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def compression_ratio_str(s: str | None, level: int = 6) -> tuple | None:
+    """Driver-side twin of :func:`compression_ratio`'s per-row rule:
+    (n_bytes, n_compressed, ratio) of the UTF-8 encoding under zlib at
+    ``level``; None for NULL/empty text (no bytes → no ratio)."""
+    import zlib
+
+    if not s:
+        return None
+    raw = s.encode("utf-8")
+    comp = zlib.compress(raw, level)
+    return (len(raw), len(comp), round(len(comp) / len(raw), 6))
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signal — the cheap repetition /
+    boilerplate detector the published web-text pipelines gate on
+    (Dolma §2.2 / RefinedWeb run gzip-ratio filters: machine-generated
+    and template-spam pages compress far below prose; random or
+    binary-ish payloads compress near 1.0). Emits
+    ``(id, n_bytes, n_compressed, ratio)`` with ``ratio`` rounded to
+    6 dp; NULL row for empty/NULL text.
+
+    Scale shape: a pure PROJECTION — no shuffle, no state. The zlib
+    pass is per-element C (CPython's zlib) inside ONE Arrow-batched
+    pandas UDF: the sanctioned Python path (nfc_normalize precedent),
+    never a row-at-a-time Spark UDF. Contract: zlib output at a fixed
+    ``level`` is deterministic for a given zlib library; the driver
+    twin (:func:`compression_ratio_str`) runs the same CPython zlib as
+    the executors, so tests pin the rule bit-for-bit. Rows-only at the
+    oracle (DuckDB has no zlib) — same class as fix_encoding.
+    """
+    import zlib  # noqa: F401  (documented dependency of the closure)
+
+    @F.pandas_udf("struct<n_bytes:long,n_compressed:long,ratio:double>")
+    def _cr(s: pd.Series) -> pd.DataFrame:
+        import zlib as _z
+
+        def one(x):
+            if not x:
+                return (None, None, None)
+            raw = x.encode("utf-8")
+            comp = _z.compress(raw, level)
+            return (len(raw), len(comp), round(len(comp) / len(raw), 6))
+
+        vals = s.map(one)
+        return pd.DataFrame(
+            vals.tolist(), columns=["n_bytes", "n_compressed", "ratio"],
+            index=s.index,
+        )
+
+    out = df.select(F.col(id_col), _cr(F.col(text_col)).alias("__c"))
+    return out.select(
+        F.col(id_col),
+        F.col("__c.n_bytes").alias("n_bytes"),
+        F.col("__c.n_compressed").alias("n_compressed"),
+        F.col("__c.ratio").alias("ratio"),
+    )
+
+
 def gopher_repetition(
     df: DataFrame,
     id_col: str = "doc_id",

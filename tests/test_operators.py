@@ -3262,3 +3262,31 @@ def test_shuffle_corpus_rejects_bad_shards(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError, match="shards"):
         shuffle_corpus(df, shards=0)
+
+
+def test_compression_ratio_matches_python_twin(spark):
+    """Per-row rule == the driver twin (same CPython zlib) bit-for-bit;
+    repetitive text scores measurably below varied prose; NULL/empty
+    rows come back NULL."""
+    from crawl_spark.operators.textops import (
+        compression_ratio,
+        compression_ratio_str,
+    )
+
+    docs = [
+        (0, "spam spam spam " * 200),
+        (1, "the quick brown fox jumps over the lazy dog and then "
+            "discusses seventeen unrelated topics in varied prose"),
+        (2, None),
+        (3, ""),
+        (4, "héllo wörld ünïcode " * 30),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bytes, r.n_compressed, r.ratio)
+        for r in compression_ratio(df).collect()
+    }
+    for i, t in docs:
+        want = compression_ratio_str(t)
+        assert got[i] == (want if want else (None, None, None)), i
+    assert got[0][2] < got[1][2]  # repetition compresses far better
