@@ -161,6 +161,7 @@ def seed_feed_stream(
     checkpoint_dir: str = "",
     available_now: bool = False,
     source_df: DataFrame | None = None,
+    dedup_within: str | None = None,
 ):
     """Stream seeds → canonicalize → dedup → staged parquet.
 
@@ -174,6 +175,21 @@ def seed_feed_stream(
     Structured Streaming state store plays the seen-set role for the
     out-of-band path; the engine's exact anti-join re-checks at pickup,
     so duplicates across the two paths still collapse.
+
+    **State-size contract (100 TB / long-lived feeds):** the default
+    keeps one state row per distinct canonical URL FOREVER — exact, but
+    the state store grows with the url universe (10^10 urls ≈ the
+    frontier itself duplicated into executor state). Pass
+    ``dedup_within`` (e.g. ``"30 minutes"``) to switch to
+    ``dropDuplicatesWithinWatermark`` on ``event_ts``: state is bounded
+    by the watermark horizon, and duplicates farther apart than the
+    horizon pass through — SAFELY, because this staging dedup is an
+    optimization, not the correctness boundary: the engine re-checks
+    every staged row against the exact seen set at round-boundary
+    pickup (``drain_staged_seeds`` → frontier anti-join), so a
+    late duplicate costs one redundant staged row, never a re-crawl.
+    This is the recommended production mode; the unbounded default is
+    kept for the exact fixture-replay contract.
     """
     if source_df is not None:
         raw = source_df
@@ -199,8 +215,13 @@ def seed_feed_stream(
             F.col("event_ts"),
         )
         .filter(F.col("url_canon").isNotNull())
-        .dropDuplicates(["url_canon"])
     )
+    if dedup_within is not None:
+        staged = staged.withWatermark(
+            "event_ts", dedup_within
+        ).dropDuplicatesWithinWatermark(["url_canon"])
+    else:
+        staged = staged.dropDuplicates(["url_canon"])
     writer = (
         staged.writeStream.format("parquet")
         .option("path", staging_dir)

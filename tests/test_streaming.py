@@ -298,3 +298,35 @@ def test_drain_skips_incomplete_parquet_files(spark, tmp_path):
     os.replace(staging / "part-torn2.parquet", staging / "part-torn.parquet")
     df2, files2 = drain_staged_seeds(spark, str(staging), exclude=set(files))
     assert files2 == ["part-torn.parquet"] and df2.count() == 1
+
+
+def test_seed_feed_watermark_bounded_dedup(spark, tmp_path):
+    """dedup_within= switches to dropDuplicatesWithinWatermark: state is
+    bounded by the horizon; in-horizon duplicates still collapse, and
+    the exactness story is unchanged because the engine re-checks staged
+    rows against the seen set at pickup."""
+    in_dir, staging, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "staged"), str(tmp_path / "ck")
+    )
+    os.makedirs(in_dir)
+    _write_json(
+        os.path.join(in_dir, "batch1.json"),
+        [
+            {"url": "HTTP://Host0.Example/p/1#frag", "priority": 1,
+             "callbacks": ["page"], "event_ts": "2026-01-01T00:00:00Z"},
+            {"url": "http://host0.example:80/p/1", "priority": 2,
+             "callbacks": ["page"], "event_ts": "2026-01-01T00:00:05Z"},
+            {"url": "http://host1.example/p/2", "callbacks": ["page"],
+             "event_ts": "2026-01-01T00:00:02Z"},
+        ],
+    )
+    q = seed_feed_stream(
+        spark, in_dir, staging, ckpt, available_now=True,
+        dedup_within="10 minutes",
+    )
+    q.awaitTermination(120)
+    staged = drain_staged_seeds(spark, staging)[0].toPandas()
+    assert sorted(staged.url_canon) == [
+        "http://host0.example/p/1",
+        "http://host1.example/p/2",
+    ]
