@@ -675,6 +675,29 @@ def q_cc_star(spark, sf_dir):
     return connected_components_star(p)
 
 
+def q_wet_export(spark, sf_dir):
+    """WET conversion-record formatting (the sink half of the WARC/WET
+    round trip, `sources/wet.py`): each document renders its full
+    WARC/1.0 record string JVM-side — URL + UTC ISO date + UTF-8
+    Content-Length + payload with CRLF framing — exactly the bytes
+    `write_wet` ships. The oracle replays the concat with chr(13)/
+    chr(10), strftime and octet_length(encode(·)), so the record is
+    hash-checked byte-for-byte."""
+    from crawl_spark.sources.wet import wet_records
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pages = d.select(
+        F.concat(
+            F.lit("https://w"), (i % 20).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + i * 3600).alias("warc_ts"),
+        F.col("text"),
+    )
+    return wet_records(pages)
+
+
 def q_sitemap(spark, sf_dir):
     """Sitemap parsing over synthetic payloads: most docs render a
     <urlset> with a fully-populated entry (whitespace-padded loc,
@@ -2070,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "cc_star": q_cc_star,
         "sitemap": q_sitemap,
+        "wet_export": q_wet_export,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
         "latest_capture": q_latest_capture,
@@ -3217,6 +3241,29 @@ UNION ALL SELECT doc_id, doc_id + 13 FROM documents WHERE doc_id % 29 = 0"""
         "cc_star": connected_components_oracle_sql(
             "SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 40 <> 39"
         ),
+        "wet_export": """
+WITH pages AS (
+  SELECT 'https://w' || (doc_id % 20) || '.example/p/' || doc_id AS url,
+         epoch_ms((CAST(1600000000 AS BIGINT) + doc_id * 3600) * 1000) AS warc_ts,
+         text
+  FROM documents
+),
+rec AS (
+  SELECT url,
+    'WARC/1.0' || chr(13) || chr(10)
+    || 'WARC-Type: conversion' || chr(13) || chr(10)
+    || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+    || 'WARC-Date: ' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10)
+    || 'Content-Type: text/plain' || chr(13) || chr(10)
+    || 'Content-Length: ' || octet_length(encode(text)) || chr(13) || chr(10)
+    || chr(13) || chr(10) || text || chr(13) || chr(10) || chr(13) || chr(10)
+    AS record
+  FROM pages
+  WHERE text IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT url, record, CAST(octet_length(encode(record)) AS BIGINT) AS n_bytes
+FROM rec
+""",
         "sitemap": r"""
 WITH x AS (
   SELECT doc_id, 'host' || (doc_id % 20) || '.example' AS host FROM documents

@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "ann_recall",
     "embed_dim_stats",
     "lsh_recall",
+    # round-5 continuation: WET sink (the WARC/WET round-trip's write half)
+    "wet_export",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -58,11 +58,14 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_bytes(data: bytes) -> list[dict]:
-    """Parse WARC bytes → list of response-record dicts
-    (url, warc_ts, html). Non-response records are skipped; truncated
-    trailing garbage is ignored (a segment is best-effort, like real
-    crawl data)."""
+def parse_warc_bytes(data: bytes, warc_type: str = "response") -> list[dict]:
+    """Parse WARC bytes → list of record dicts (url, warc_ts, html) for
+    records of ``warc_type`` (default ``response`` — the fetch-capture
+    records; ``conversion`` for WET extracted-text segments, where the
+    body IS the payload with no HTTP envelope). Other record types are
+    skipped; truncated trailing garbage is ignored (a segment is
+    best-effort, like real crawl data)."""
+    want_type = warc_type.encode("ascii")
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
     records = []
@@ -94,7 +97,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         # records are separated by two CRLFs
         while data[pos : pos + 2] == b"\r\n":
             pos += 2
-        if headers.get(b"warc-type") != b"response":
+        if headers.get(b"warc-type") != want_type:
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
@@ -102,9 +105,13 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             ts = dt.datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
         except ValueError:
             ts = None
-        # body = HTTP response: status line + headers, blank line, payload
-        http_end = body.find(b"\r\n\r\n")
-        payload = body[http_end + 4 :] if http_end >= 0 else body
+        if want_type == b"response":
+            # body = HTTP response: status line + headers, blank, payload
+            http_end = body.find(b"\r\n\r\n")
+            payload = body[http_end + 4 :] if http_end >= 0 else body
+        else:
+            # conversion (WET) and other types: the body IS the payload
+            payload = body
         records.append({"url": url, "warc_ts": ts, "html": payload})
     return records
 
