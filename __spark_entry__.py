@@ -1472,6 +1472,59 @@ def q_fix_encoding(spark, sf_dir):
     )
 
 
+def q_url_templates(spark, sf_dir):
+    """URL path-template mining over five synthetic families per host:
+    /product/{n} (every 5th doc), a 32-hex md5 segment → /s/{hex},
+    /cat/{n}/item{n}, the static /about, and a query-carrying /p/{n}
+    whose ?sid= must NOT leak into the template. Top-5 per host through
+    grouped_topk; the oracle replays the same three regexp_replace
+    generalizations with the 'g' flag and a rank window."""
+    from crawl_spark.operators.urlfilter import url_templates
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (i % 7).cast("string"), F.lit(".example"),
+        F.when(i % 5 == 0, F.concat(F.lit("/product/"), i.cast("string")))
+        .when(i % 5 == 1, F.concat(F.lit("/s/"), F.md5(i.cast("string"))))
+        .when(
+            i % 5 == 2,
+            F.concat(
+                F.lit("/cat/"), (i % 13).cast("string"),
+                F.lit("/item"), i.cast("string"),
+            ),
+        )
+        .when(i % 5 == 3, F.lit("/about"))
+        .otherwise(
+            F.concat(
+                F.lit("/p/"), (i % 97).cast("string"),
+                F.lit("?sid="), F.md5(i.cast("string")),
+            )
+        ),
+    )
+    return url_templates(d.select(url.alias("url")), k=5, min_count=2)
+
+
+def q_param_stats(spark, sf_dir):
+    """Query-param cardinality mining: ?sid= (md5 — all-distinct,
+    id_like), &page= (5 values, facet), &tok=QkE= on every 4th doc
+    (base64 padding '=' must stay inside the ONE distinct value) and a
+    bare &flag key on every 11th (no '=', value '')."""
+    from crawl_spark.operators.urlfilter import param_stats
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (i % 7).cast("string"),
+        F.lit(".example/p/"), (i % 50).cast("string"),
+        F.lit("?sid="), F.md5(i.cast("string")),
+        F.lit("&page="), (i % 5).cast("string"),
+        F.when(i % 11 == 0, F.lit("&flag")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("&tok=QkE=")).otherwise(F.lit("")),
+    )
+    return param_stats(d.select(url.alias("url")), min_occ=5)
+
+
 def q_trap_detect(spark, sf_dir):
     """Crawl-trap detection over synthesized URLs: doc_id%8 picks the
     host, whose pattern (host index %4) is one of — 0: calendar trap
@@ -2119,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "video_demux": q_video_demux,
         "trap_detect": q_trap_detect,
+        "url_templates": q_url_templates,
+        "param_stats": q_param_stats,
         "domain_reputation": q_domain_reputation,
         "ccnet_dedup": q_ccnet_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -3957,6 +4012,78 @@ SELECT doc_id,
        CAST(ns AS BIGINT) AS n_samples
 FROM f
 ORDER BY doc_id, frame_idx
+""",
+        "url_templates": r"""
+WITH d AS (SELECT
+  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+  CASE WHEN doc_id % 5 = 0 THEN '/product/' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 5 = 1 THEN '/s/' || md5(CAST(doc_id AS VARCHAR))
+       WHEN doc_id % 5 = 2 THEN '/cat/' || CAST(doc_id % 13 AS VARCHAR)
+            || '/item' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 5 = 3 THEN '/about'
+       ELSE '/p/' || CAST(doc_id % 97 AS VARCHAR) || '?sid=' || md5(CAST(doc_id AS VARCHAR))
+  END AS url
+  FROM documents),
+u AS (SELECT
+  regexp_replace(regexp_extract(lower(url),
+    '^[a-z][a-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '\.$', '') AS host,
+  split_part(split_part(regexp_replace(lower(url),
+    '^[a-z][a-z0-9+.\-]*://[^/?#]*', ''), '#', 1), '?', 1) AS path
+  FROM d),
+t AS (SELECT host, path,
+  regexp_replace(regexp_replace(regexp_replace(path,
+    '\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b', '{uuid}', 'g'),
+    '\b[0-9a-f]{8,}\b', '{hex}', 'g'),
+    '[0-9]+', '{n}', 'g') AS template
+  FROM u WHERE host <> ''),
+g1 AS (SELECT host, template, md5(path) AS pm, count(*) AS cnt,
+       min(path) AS ex
+       FROM t GROUP BY 1, 2, 3),
+g2 AS (SELECT host, template, CAST(sum(cnt) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_paths, min(ex) AS example
+       FROM g1 GROUP BY 1, 2
+       HAVING sum(cnt) >= 2),
+r AS (SELECT host, template, n_urls, n_paths, example,
+       row_number() OVER (PARTITION BY host ORDER BY n_urls DESC, template) AS rank
+       FROM g2)
+SELECT host, template, n_urls, n_paths, example, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+""",
+        "param_stats": r"""
+WITH d AS (SELECT
+  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+  || CAST(doc_id % 50 AS VARCHAR)
+  || '?sid=' || md5(CAST(doc_id AS VARCHAR))
+  || '&page=' || CAST(doc_id % 5 AS VARCHAR)
+  || CASE WHEN doc_id % 11 = 0 THEN '&flag' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN '&tok=QkE=' ELSE '' END AS url
+  FROM documents),
+u AS (SELECT
+  regexp_replace(regexp_extract(lower(url),
+    '^[a-z][a-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '\.$', '') AS host,
+  split_part(regexp_replace(lower(url),
+    '^[a-z][a-z0-9+.\-]*://[^/?#]*', ''), '#', 1) AS no_frag
+  FROM d),
+q AS (SELECT host,
+  CASE WHEN position('?' in no_frag) > 0
+       THEN substr(no_frag, position('?' in no_frag) + 1) ELSE '' END AS qs
+  FROM u WHERE host <> ''),
+p AS (SELECT host, unnest(string_split(qs, '&')) AS pair FROM q),
+kv AS (SELECT host,
+  split_part(pair, '=', 1) AS key,
+  CASE WHEN position('=' in pair) > 0
+       THEN substr(pair, position('=' in pair) + 1) ELSE '' END AS val
+  FROM p WHERE pair <> ''),
+g1 AS (SELECT host, key, md5(val) AS vm, count(*) AS cnt
+       FROM kv GROUP BY 1, 2, 3),
+g2 AS (SELECT host, key, CAST(sum(cnt) AS BIGINT) AS n_occ,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(max(cnt) AS BIGINT) AS max_per_val
+       FROM g1 GROUP BY 1, 2)
+SELECT host, key, n_occ, n_vals, max_per_val,
+  round(CAST(n_vals AS DOUBLE) / n_occ, 6) AS distinct_ratio,
+  (n_occ >= 5 AND round(CAST(n_vals AS DOUBLE) / n_occ, 6) >= 0.9) AS id_like
+FROM g2
 """,
         "trap_detect": r"""
 WITH d AS (SELECT

@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "lsh_recall",
     # round-5 continuation: WET sink (the WARC/WET round-trip's write half)
     "wet_export",
+    # round-5 continuation: URL-structure mining (dedup/strip rule discovery)
+    "url_templates",
+    "param_stats",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -378,3 +378,163 @@ def meta_robots_flags(
         (has("noindex") | none).alias("noindex"),
         (has("nofollow") | none).alias("nofollow"),
     )
+
+
+# URL-structure mining: the crawl-ops reports that tell an operator
+# WHICH dedup/strip/budget rules to configure (Heritrix/Nutch teams
+# hand-curate these; mining them from the frontier is the scalable way).
+
+# id-shaped tokens, most specific first: UUID, then long hex runs, then
+# any digit run. Java-regex ∩ RE2 common dialect (no lookaround); \b is
+# supported by both. Paths are lowercased before matching.
+_UUID_RE = (
+    r"\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b"
+)
+_HEX_RE = r"\b[0-9a-f]{8,}\b"
+_NUM_RE = r"[0-9]+"
+
+
+def path_template(path: F.Column) -> F.Column:
+    """Generalize a URL path to its template: UUIDs → ``{uuid}``, hex
+    runs of 8+ → ``{hex}``, digit runs → ``{n}`` (in that order — a
+    pure digit run of 8+ reads as ``{hex}``, which is fine: both mean
+    "an opaque id lived here").
+
+    SQL twin (DuckDB): the same three ``regexp_replace(..., 'g')``
+    calls (DuckDB replaces only the first match without the ``'g'``
+    flag; Spark's regexp_replace is always global)."""
+    t = F.regexp_replace(path, _UUID_RE, "{uuid}")
+    t = F.regexp_replace(t, _HEX_RE, "{hex}")
+    return F.regexp_replace(t, _NUM_RE, "{n}")
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-host URL path-template report: generalize every path with
+    :func:`path_template`, then emit each host's top-``k`` templates by
+    URL count — the pattern inventory that drives crawl-budget rules
+    ("/product/{n} is 80% of the host"), dedup-rule discovery and trap
+    triage (one template with unbounded ``{hex}`` variants = a session
+    trap; cf. ``trap_detect``, which flags the host — this names the
+    pattern).
+
+    Emits ``(host, template, n_urls, n_paths, example, rank)`` —
+    ``n_paths`` = distinct concrete paths under the template,
+    ``example`` = lexicographically-first concrete path (deterministic),
+    ``rank`` 1-based by (n_urls desc, template asc) within the host,
+    rows with ``n_urls < min_count`` dropped before ranking.
+
+    Scale shape: ONE partial-aggregated groupBy on (host, template,
+    path-digest) — the exchange carries the short path string once so
+    the report can show a concrete example (drop the column upstream
+    for a digest-only shuffle) — a second dimension-sized groupBy on
+    (host, template), then per-host ranking through ``grouped_topk``
+    (a mega-host's template list never funnels one window task). No
+    per-row Python anywhere.
+    """
+    from .topk import grouped_topk
+
+    u = F.col(url_col)
+    path_q = F.regexp_replace(
+        F.lower(u), r"^[a-z][a-z0-9+.\-]*://[^/?#]*", ""
+    )
+    path = F.substring_index(F.substring_index(path_q, "#", 1), "?", 1)
+    per_url = df.select(
+        host_expr(u).alias("host"),
+        path_template(path).alias("template"),
+        F.md5(path).alias("__pmd5"),
+        path.alias("__path"),
+    ).filter(F.col("host") != "")
+    per_path = per_url.groupBy("host", "template", "__pmd5").agg(
+        F.count("*").alias("cnt"), F.min("__path").alias("ex")
+    )
+    per_tpl = (
+        per_path.groupBy("host", "template")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_urls"),
+            F.count("*").cast("long").alias("n_paths"),
+            F.min("ex").alias("example"),
+        )
+        .filter(F.col("n_urls") >= min_count)
+        .withColumn("__neg", -F.col("n_urls"))
+    )
+    ranked = grouped_topk(
+        per_tpl, ["host"], ["__neg", "template"], k,
+        rank_col="rank", keep_rank=True,
+    )
+    return ranked.select(
+        "host", "template", "n_urls", "n_paths", "example",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def param_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    min_occ: int = 5,
+    id_ratio: float = 0.9,
+) -> DataFrame:
+    """Per-(host, query-param-key) value-cardinality profile — the
+    mining step behind ``strip_tracking_params``' hand-curated list:
+    a key whose values are (nearly) all distinct across occurrences is
+    id-shaped (session id, click token, cache buster) and belongs in
+    the host's strip/dedup rules; a low-cardinality key is a real
+    content facet (page=2, lang=fr) and must be kept.
+
+    Emits ``(host, key, n_occ, n_vals, max_per_val, distinct_ratio,
+    id_like)``: ``n_occ`` = key occurrences across the host's URLs,
+    ``n_vals`` = distinct values, ``max_per_val`` = the hottest single
+    value's count, ``distinct_ratio`` = n_vals/n_occ (6 dp),
+    ``id_like`` = ``n_occ >= min_occ AND distinct_ratio >= id_ratio``.
+
+    Scale shape: fragment → query split and the pair explode are pure
+    JVM projections; ONE partial-aggregated groupBy on (host, key,
+    value-digest) — values shuffle as 16-byte md5, never as strings —
+    then a dimension-sized groupBy on (host, key). Keys without '='
+    count with value '' (their presence is the signal); empty pair
+    segments (``a=1&&b=2``) are dropped.
+    """
+    u = F.col(url_col)
+    path_q = F.regexp_replace(
+        F.lower(u), r"^[a-z][a-z0-9+.\-]*://[^/?#]*", ""
+    )
+    no_frag = F.substring_index(path_q, "#", 1)
+    qs = F.when(
+        F.instr(no_frag, "?") > 0, F.substring_index(no_frag, "?", -1)
+    ).otherwise(F.lit(""))
+    pairs = df.select(
+        host_expr(u).alias("host"),
+        F.explode(F.split(qs, "&")).alias("pair"),
+    ).filter((F.col("host") != "") & (F.col("pair") != ""))
+    key = F.substring_index(F.col("pair"), "=", 1)
+    # value = everything after the FIRST '=' (a base64 value's padding
+    # '=' must stay inside the value — substring_index(…, -1) would
+    # split on the LAST '=' and truncate it)
+    val = F.when(
+        F.instr(F.col("pair"), "=") > 0,
+        F.col("pair").substr(
+            F.length(key) + F.lit(2), F.length(F.col("pair"))
+        ),
+    ).otherwise(F.lit(""))
+    per_val = (
+        pairs.select("host", key.alias("key"), F.md5(val).alias("__vmd5"))
+        .groupBy("host", "key", "__vmd5")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_key = per_val.groupBy("host", "key").agg(
+        F.sum("cnt").cast("long").alias("n_occ"),
+        F.count("*").cast("long").alias("n_vals"),
+        F.max("cnt").cast("long").alias("max_per_val"),
+    )
+    ratio = F.round(F.col("n_vals") / F.col("n_occ"), 6)
+    return per_key.select(
+        "host", "key", "n_occ", "n_vals", "max_per_val",
+        ratio.alias("distinct_ratio"),
+        (
+            (F.col("n_occ") >= min_occ) & (ratio >= id_ratio)
+        ).alias("id_like"),
+    )

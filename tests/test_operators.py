@@ -3290,3 +3290,64 @@ def test_compression_ratio_matches_python_twin(spark):
         want = compression_ratio_str(t)
         assert got[i] == (want if want else (None, None, None)), i
     assert got[0][2] < got[1][2]  # repetition compresses far better
+
+
+def test_url_templates_hand_computed(spark):
+    from crawl_spark.operators.urlfilter import url_templates
+
+    rows = []
+    # host A: /product/{n} dominates (20 urls), /cat/{n}/{n} second (5)
+    rows += [f"https://a.example/product/{i}" for i in range(20)]
+    rows += [f"https://a.example/cat/{i}/{i+1}" for i in range(5)]
+    # hex run (12 chars) and a UUID both template away
+    rows += [
+        "https://a.example/s/0123456789ab",
+        "https://a.example/s/ba9876543210",
+        "https://a.example/u/123e4567-e89b-12d3-a456-426614174000",
+        "https://a.example/u/00000000-0000-4000-8000-000000000000",
+    ]
+    # a singleton template (dropped at min_count=2)
+    rows += ["https://a.example/about"]
+    # query/fragment never leak into the template
+    rows += ["https://b.example/p/7?x=1#frag", "https://b.example/p/8"]
+    df = spark.createDataFrame([(u,) for u in rows], "url string")
+    got = url_templates(df, k=3, min_count=2).collect()
+    a = {r.template: r for r in got if r.host == "a.example"}
+    assert a["/product/{n}"].n_urls == 20 and a["/product/{n}"].rank == 1
+    assert a["/product/{n}"].n_paths == 20
+    assert a["/product/{n}"].example == "/product/0"
+    assert a["/cat/{n}/{n}"].n_urls == 5
+    assert a["/s/{hex}"].n_urls == 2
+    # k=3 keeps the top 3 only; /u/{uuid} (2) ties with /s/{hex} (2) —
+    # template asc breaks the tie, so /s/{hex} wins rank 3
+    assert len(a) == 3 and "/u/{uuid}" not in a
+    assert "/about" not in a  # singleton dropped
+    b = {r.template: r for r in got if r.host == "b.example"}
+    assert list(b) == ["/p/{n}"] and b["/p/{n}"].n_urls == 2
+
+
+def test_param_stats_id_like_detection(spark):
+    from crawl_spark.operators.urlfilter import param_stats
+
+    rows = []
+    # sid: 10 occurrences, all-distinct values -> id_like
+    rows += [f"https://a.example/p?sid=s{i}&page={i % 2}" for i in range(10)]
+    # bare key (no '='), counted with value ''
+    rows += ["https://a.example/p?flag", "https://a.example/p?flag"]
+    # base64 value: padding '=' stays in the value (ONE distinct value)
+    rows += ["https://a.example/p?tok=QQ==", "https://a.example/p?tok=QQ=="]
+    # empty pair segments dropped; fragment '?' is not a query
+    rows += ["https://a.example/p?a=1&&a=1", "https://a.example/p#x?b=2"]
+    df = spark.createDataFrame([(u,) for u in rows], "url string")
+    got = {(r.host, r.key): r for r in param_stats(df, min_occ=5).collect()}
+    sid = got[("a.example", "sid")]
+    assert (sid.n_occ, sid.n_vals, sid.max_per_val) == (10, 10, 1)
+    assert sid.distinct_ratio == 1.0 and sid.id_like
+    page = got[("a.example", "page")]
+    assert (page.n_occ, page.n_vals) == (10, 2) and not page.id_like
+    flag = got[("a.example", "flag")]
+    assert (flag.n_occ, flag.n_vals) == (2, 1) and not flag.id_like
+    tok = got[("a.example", "tok")]
+    assert (tok.n_occ, tok.n_vals) == (2, 1)  # '=' padding not split on
+    assert got[("a.example", "a")].n_occ == 2  # '&&' empty segment gone
+    assert ("a.example", "b") not in got  # fragment '?' is no query
