@@ -570,17 +570,12 @@ def q_shuffle_order(spark, sf_dir):
     )
 
 
-def q_pagerank(spark, sf_dir):
-    """PageRank over a deterministic synthetic link graph: two affine
-    edge families per doc over hosts 0..100, a hub edge to host 0 from
-    every 5th doc, and sink edges to hosts 200..204 (dst-only nodes, so
-    the dangling-mass redistribution term is genuinely value-checked
-    against the oracle, not vacuously zero)."""
-    from crawl_spark.operators.graph import pagerank
-
-    d = _t(spark, sf_dir, "documents")
+def _link_graph(d):
+    """The shared synthetic link graph (see q_pagerank's docstring):
+    two affine families over hosts 0..100, hub edges to host 0, sink
+    edges to dst-only hosts 200..204 (real dangling mass)."""
     i = F.col("doc_id")
-    e = (
+    return (
         d.select((i % 101).alias("src"), ((i * 31 + 7) % 101).alias("dst"))
         .union(d.select((i % 101).alias("src"), ((i * 13 + 3) % 101).alias("dst")))
         .union(
@@ -594,7 +589,39 @@ def q_pagerank(spark, sf_dir):
             )
         )
     )
-    return pagerank(e, iters=5)
+
+
+_LINK_GRAPH_SQL = """
+SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
+UNION ALL SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
+UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
+UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def q_trustrank(spark, sf_dir):
+    """TrustRank over the shared synthetic link graph with trusted
+    seeds {0,1,2}: personalized teleport + dangling mass both return to
+    the seeds (the sink hosts 200..204 make the dangling·t term real),
+    and any host unreachable from the seed set scores exactly 0."""
+    from crawl_spark.operators.graph import trustrank
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    seeds = d.filter(i % 101 < 3).select((i % 101).alias("node"))
+    return trustrank(_link_graph(d), seeds, iters=5)
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph: two affine
+    edge families per doc over hosts 0..100, a hub edge to host 0 from
+    every 5th doc, and sink edges to hosts 200..204 (dst-only nodes, so
+    the dangling-mass redistribution term is genuinely value-checked
+    against the oracle, not vacuously zero)."""
+    from crawl_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    return pagerank(_link_graph(d), iters=5)
 
 
 def q_hits(spark, sf_dir):
@@ -2141,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": q_lm_buckets,
         "token_entropy": q_token_entropy,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "hits": q_hits,
         "host_graph": q_host_graph,
         "connected_components": q_connected_components,
@@ -2334,6 +2362,7 @@ def oracle_sql() -> dict[str, str]:
         connected_components_oracle_sql,
         hits_oracle_sql,
         pagerank_oracle_sql,
+        trustrank_oracle_sql,
     )
 
     score_cols = ", ".join(
@@ -3171,11 +3200,10 @@ SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
 FROM s
 """,
-        "pagerank": pagerank_oracle_sql(
-            """SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
-UNION ALL SELECT doc_id % 101, (doc_id * 13 + 3) % 101 FROM documents
-UNION ALL SELECT doc_id % 101, 0 FROM documents WHERE doc_id % 5 = 0
-UNION ALL SELECT doc_id % 101, doc_id % 5 + 200 FROM documents WHERE doc_id % 11 = 0""",
+        "pagerank": pagerank_oracle_sql(_LINK_GRAPH_SQL, iters=5),
+        "trustrank": trustrank_oracle_sql(
+            _LINK_GRAPH_SQL,
+            "SELECT doc_id % 101 AS node FROM documents WHERE doc_id % 101 < 3",
             iters=5,
         ),
         # pr_priority = the pagerank oracle wrapped in the same literal

@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     # round-5 continuation: URL-structure mining (dedup/strip rule discovery)
     "url_templates",
     "param_stats",
+    # round-5 continuation: link-spam demotion
+    "trustrank",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

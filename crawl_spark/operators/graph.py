@@ -869,3 +869,177 @@ def pagerank_oracle_sql(
         f"{parts_sql}\n"
         f"SELECT node, round(rank, 6) AS rank FROM r{iters}"
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    bucket_path: str | None = None,
+    n_buckets: int = 32,
+    bucket_table: str = "trustrank_edges",
+) -> DataFrame:
+    """Seed-personalized PageRank — TrustRank (Gyöngyi, Garcia-Molina
+    & Pedersen, "Combating Web Spam with TrustRank", VLDB'04, public
+    method): trust flows from a hand-vetted seed set through links, so
+    pages unreachable from any trusted page score exactly 0.0 and
+    link-spam islands are demoted regardless of their internal link
+    mass (which plain :func:`pagerank` rewards).
+
+        r_{t+1}(v) = (1-d)·t(v) + d·(Σ_{u→v} r_t(u)/deg(u)
+                                      + dangling_t·t(v))
+
+    with t the uniform distribution over the seed nodes (teleport AND
+    dangling mass both return to the seeds — the standard personalized
+    completion, so Σ r = 1 every step) and r_0 = t. Returns
+    ``(node, trust)``, 6 dp. Seeds not present in the graph are
+    ignored; an empty effective seed set raises.
+
+    Same scale layout as :func:`pagerank` (one iteration = one
+    edges ⋈ ranks join + one groupBy(dst); edges bucket-by-src when
+    ``bucket_path`` is given and are scanned in place per round; only
+    the O(nodes) rank table moves). The teleport vector rides the rank
+    frame as a column, exactly like ``deg`` — the per-iteration join
+    count stays at one.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    if bucket_path is not None:
+        spark = e.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
+        (
+            e.write.bucketBy(n_buckets, "src")
+            .sortBy("src")
+            .option("path", bucket_path)
+            .mode("overwrite")
+            .saveAsTable(bucket_table)
+        )
+        e = spark.table(bucket_table)
+    else:
+        e = e.localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sd = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "trustrank: no seed is a node of the graph — trust has "
+            "nowhere to start (check id spaces / seed_col)"
+        )
+    deg = out_degrees(e).localCheckpoint(eager=True)
+
+    tp0 = 1.0 / n_seeds
+    ranks = (
+        nodes.join(sd.withColumn("__s", F.lit(1)), "node", "left")
+        .join(deg, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__s").isNotNull(), F.lit(tp0))
+            .otherwise(F.lit(0.0))
+            .alias("tp"),
+            "deg",
+        )
+        .withColumn("rank", F.col("tp"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(iters):
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            e.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("s"))
+        )
+        ranks = (
+            ranks.select("node", "tp", "deg")
+            .join(contrib, "node", "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                "tp",
+                "deg",
+                (
+                    F.lit(1.0 - damping) * F.col("tp")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") * F.col("tp")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return ranks.select("node", F.round("rank", 6).alias("trust"))
+
+
+def trustrank_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB twin of :func:`trustrank` — the personalized power
+    iteration unrolled one CTE per step, same literals and association
+    as the Spark expression (``(1-d)*t + d*(s + dm*t)``)."""
+    d = repr(damping)
+    parts = [
+        f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_cte}))",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"sd AS (SELECT DISTINCT node FROM ({seeds_cte})"
+        " WHERE node IN (SELECT node FROM nodes))",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg"
+        " FROM edges GROUP BY src)",
+        "tp AS (SELECT nodes.node,"
+        " CASE WHEN sd.node IS NULL THEN 0.0"
+        " ELSE 1.0 / (SELECT n FROM ns) END AS t"
+        " FROM nodes LEFT JOIN sd ON sd.node = nodes.node)",
+        "r0 AS (SELECT node, t AS rank FROM tp)",
+    ]
+    for t in range(iters):
+        prev, cur = f"r{t}", f"r{t + 1}"
+        parts.append(
+            f"""{cur} AS (
+  SELECT tp.node,
+         (1.0 - {d}) * tp.t
+         + {d} * (coalesce(c.s, 0.0) + dm.m * tp.t) AS rank
+  FROM tp
+  CROSS JOIN (SELECT coalesce(sum(r.rank), 0.0) AS m
+              FROM {prev} r LEFT JOIN deg USING (node)
+              WHERE deg.node IS NULL) dm
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+             FROM edges e
+             JOIN {prev} r ON r.node = e.src
+             JOIN deg ON deg.node = e.src
+             GROUP BY e.dst) c ON c.node = tp.node
+)"""
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"SELECT node, round(rank, 6) AS trust FROM r{iters}"
+    )

@@ -3351,3 +3351,47 @@ def test_param_stats_id_like_detection(spark):
     assert (tok.n_occ, tok.n_vals) == (2, 1)  # '=' padding not split on
     assert got[("a.example", "a")].n_occ == 2  # '&&' empty segment gone
     assert ("a.example", "b") not in got  # fragment '?' is no query
+
+
+def test_trustrank_matches_python_iteration(spark):
+    from crawl_spark.operators.graph import trustrank
+
+    # trusted core 0->1->2->0 (+2->3), spam island 10<->11 with heavy
+    # internal linkage, 3 dangling (no out-edges), seed = {0}
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (10, 11), (11, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,), (99,)], "node long")  # 99 not in graph
+    got = {r.node: r.trust for r in trustrank(e, s, iters=5).collect()}
+
+    # pure-Python twin, same association
+    nodes = sorted({x for t in edges for x in t})
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, set()).add(b)
+    tp = {v: (1.0 if v == 0 else 0.0) for v in nodes}
+    r = dict(tp)
+    d = 0.85
+    for _ in range(5):
+        dm = sum(r[v] for v in nodes if v not in out)
+        s_in = {v: 0.0 for v in nodes}
+        for a, nbrs in out.items():
+            for b in nbrs:
+                s_in[b] += r[a] / len(nbrs)
+        r = {v: (1.0 - d) * tp[v] + d * (s_in[v] + dm * tp[v]) for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - round(r[v], 6)) <= 1e-6, (v, got[v], r[v])
+    # spam island is unreachable from the seed: exactly zero trust
+    assert got[10] == 0.0 and got[11] == 0.0
+    # trust is conserved (rounded): teleport + dangling both return to seeds
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_trustrank_empty_seed_raises(spark):
+    import pytest as _pytest
+
+    from crawl_spark.operators.graph import trustrank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(42,)], "node long")  # not a graph node
+    with _pytest.raises(ValueError, match="no seed"):
+        trustrank(e, s)
