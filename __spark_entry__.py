@@ -702,6 +702,20 @@ def q_cc_star(spark, sf_dir):
     return connected_components_star(p)
 
 
+def q_score_quantiles(spark, sf_dir):
+    """Per-language exact quantile calibration over the documents
+    table's n_chars (the length-gate tuning read: 'cut below each
+    language's p10') — Spark exact `percentile` vs DuckDB
+    `quantile_cont`, bit-identical (n-1)p interpolation on doubles."""
+    from crawl_spark.operators.textops import score_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return score_quantiles(
+        d.select("lang", F.col("n_chars").cast("double").alias("score")),
+        probs=(0.1, 0.25, 0.5, 0.75, 0.9),
+    )
+
+
 def q_wet_export(spark, sf_dir):
     """WET conversion-record formatting (the sink half of the WARC/WET
     round trip, `sources/wet.py`): each document renders its full
@@ -2175,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": q_cc_star,
         "sitemap": q_sitemap,
         "wet_export": q_wet_export,
+        "score_quantiles": q_score_quantiles,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
         "latest_capture": q_latest_capture,
@@ -2241,6 +2256,7 @@ from crawl_spark.operators.textops import (  # noqa: E402
     PII_EMAIL_RE as _PII_EMAIL,
     PII_IPV4_RE as _PII_IPV4,
     PII_PHONE_RE as _PII_PHONE,
+    score_quantiles_oracle_sql,
 )
 
 # 2-token re-lining (the \1 backref is RE2 rewrite syntax; the Spark twin
@@ -3323,6 +3339,10 @@ UNION ALL SELECT doc_id, doc_id + 13 FROM documents WHERE doc_id % 29 = 0"""
         ),
         "cc_star": connected_components_oracle_sql(
             "SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 40 <> 39"
+        ),
+        "score_quantiles": score_quantiles_oracle_sql(
+            "SELECT lang, CAST(n_chars AS DOUBLE) AS score FROM documents",
+            probs=(0.1, 0.25, 0.5, 0.75, 0.9),
         ),
         "wet_export": """
 WITH pages AS (

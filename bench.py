@@ -125,8 +125,9 @@ BENCH_QUERIES = [
     # round-5 continuation: URL-structure mining (dedup/strip rule discovery)
     "url_templates",
     "param_stats",
-    # round-5 continuation: link-spam demotion
+    # round-5 continuation: link-spam demotion + gate calibration
     "trustrank",
+    "score_quantiles",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -1027,3 +1027,72 @@ def gopher_quality(
             & (stop_hits >= F.lit(min_stopword_hits))
         ).alias("keep"),
     )
+
+
+def score_quantiles(
+    df: DataFrame,
+    score_col: str = "score",
+    strata: tuple[str, ...] = ("lang",),
+    probs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Per-stratum EXACT quantiles of a score column — the calibration
+    step behind every per-language gate threshold (FineWeb/CCNet tune
+    quality and perplexity cutoffs per language, not globally: the same
+    absolute score means different things in different strata). Feed it
+    ``quality_score``/``lm_score``/``compression_ratio`` output, read
+    off the per-stratum cutoff, put it in the gate.
+
+    Emits ``(*strata, p, q)`` — one row per (stratum, probability),
+    ``q`` the linearly-interpolated type-7 quantile at ``p``, 6 dp.
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the (n-1)·p interpolation bit-for-bit on doubles (probed), so the
+    oracle hash-matches.
+
+    Scale contract: exact ``percentile`` BUFFERS each group's values in
+    the aggregation — strata are dimension-sized but group value counts
+    are corpus-scale, so at 100 TB run this over a stratified sample
+    (:func:`~crawl_spark.operators.sampling.hash_sample` composes: a
+    10^6-row-per-stratum sample puts quantile error at ~1e-3) or swap
+    in ``approx_percentile`` where cross-engine exactness isn't needed.
+    The output side is always dimension-sized: |strata| × |probs| rows.
+    """
+    plist = [float(p) for p in probs]
+    if not plist:
+        raise ValueError("score_quantiles: probs must be non-empty")
+    scols = [F.col(s) for s in strata]
+    agg = df.groupBy(*scols).agg(
+        F.percentile(F.col(score_col).cast("double"), F.lit(plist)).alias("__q")
+    )
+    parr = F.array(*[F.lit(p) for p in plist])
+    return agg.select(
+        *strata, F.posexplode("__q").alias("__i", "q")
+    ).select(
+        *strata,
+        F.element_at(parr, F.col("__i") + 1).alias("p"),
+        F.round("q", 6).alias("q"),
+    )
+
+
+def score_quantiles_oracle_sql(
+    inner_sql: str,
+    score_col: str = "score",
+    strata: tuple[str, ...] = ("lang",),
+    probs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> str:
+    """DuckDB twin of :func:`score_quantiles` over ``inner_sql`` (a
+    SELECT producing the strata + score columns): ``quantile_cont`` on
+    the DOUBLE-cast score, probabilities as explicit DOUBLE literals
+    (a bare 0.1 list literal is DECIMAL in DuckDB — the cast keeps the
+    p column's type and values engine-identical)."""
+    sc = ", ".join(strata)
+    plist = [float(p) for p in probs]
+    pvals = ", ".join(f"CAST({p!r} AS DOUBLE)" for p in plist)
+    qprobs = ", ".join(repr(p) for p in plist)
+    return f"""
+WITH x AS ({inner_sql}),
+g AS (SELECT {sc}, quantile_cont(CAST({score_col} AS DOUBLE), [{qprobs}]) AS qs
+      FROM x GROUP BY {sc}),
+i AS (SELECT unnest(generate_series(1, {len(plist)})) AS i)
+SELECT {sc}, ([{pvals}])[i] AS p, round(qs[i], 6) AS q
+FROM g CROSS JOIN i
+"""

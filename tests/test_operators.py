@@ -3395,3 +3395,27 @@ def test_trustrank_empty_seed_raises(spark):
     s = spark.createDataFrame([(42,)], "node long")  # not a graph node
     with _pytest.raises(ValueError, match="no seed"):
         trustrank(e, s)
+
+
+def test_score_quantiles_matches_numpy(spark):
+    import numpy as np
+
+    from crawl_spark.operators.textops import score_quantiles
+
+    rows = [("en", float(v)) for v in [1, 3, 5, 7, 9, 11, 200]] + [
+        ("fr", float(v)) for v in [0.5, 0.75, 2.5]
+    ] + [("de", 4.0)]  # single-value stratum: every quantile is 4.0
+    df = spark.createDataFrame(rows, "lang string, score double")
+    got = {
+        (r.lang, r.p): r.q
+        for r in score_quantiles(df, probs=(0.1, 0.5, 0.9)).collect()
+    }
+    for lang, vals in [
+        ("en", [1, 3, 5, 7, 9, 11, 200]),
+        ("fr", [0.5, 0.75, 2.5]),
+        ("de", [4.0]),
+    ]:
+        for p in (0.1, 0.5, 0.9):
+            want = round(float(np.quantile(np.array(vals, dtype=float), p)), 6)
+            assert got[(lang, p)] == want, (lang, p, got[(lang, p)], want)
+    assert len(got) == 9
