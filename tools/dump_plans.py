@@ -652,6 +652,77 @@ def main() -> None:
         ranked_topk(wc, ["__negc", "word"], 250_000, pos_col="__rank"),
     )
 
+    # 31. URL template mining: digest-keyed partial aggs + grouped_topk
+    from crawl_spark.operators.urlfilter import param_stats, url_templates
+
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+            F.lit("?sid="), F.md5(F.col("doc_id").cast("string")),
+        ).alias("url")
+    )
+    cap(
+        "URL template mining (partial-agg digests + grouped_topk, no "
+        "per-host window funnel)",
+        "Round-5 continuation operator (operators/urlfilter.py). What "
+        "the plan must show: the level-1 HashAggregate on (host, "
+        "template, path-md5) partial-aggregates BEFORE its Exchange, "
+        "the level-2 aggregate is dimension-sized, and the per-host "
+        "ranking is grouped_topk's partition-local prune — there is NO "
+        "Window.partitionBy(host) over the raw URL rows, so a "
+        "10^8-URL host never funnels one task.",
+        url_templates(urls, k=5, min_count=2),
+    )
+
+    # 32. Query-param cardinality: values shuffle as md5 digests only
+    cap(
+        "Query-param cardinality mining (values exchange as 16-byte md5)",
+        "Round-5 continuation operator. What the plan must show: the "
+        "pair explode and key/value splits are JVM projections in "
+        "whole-stage codegen; the only O(rows) Exchange keys on "
+        "(host, key, md5(value)) — value STRINGS never shuffle — and "
+        "the per-key aggregate is partial-agg'd then dimension-sized.",
+        param_stats(urls, min_occ=5),
+    )
+
+    # 33. Quantile calibration: one Exchange, explode after the agg
+    from crawl_spark.operators.textops import score_quantiles
+
+    cap(
+        "Per-stratum quantile calibration (dimension-sized percentile agg)",
+        "Round-5 continuation operator. What the plan must show: ONE "
+        "hashpartitioning Exchange on the strata for the exact "
+        "percentile ObjectHashAggregate (the documented buffers-the-"
+        "group contract — calibrate over a stratified sample at "
+        "100 TB), and the posexplode runs on the dimension-sized "
+        "aggregate output, never on corpus rows.",
+        score_quantiles(
+            docs.select("lang", F.col("n_chars").cast("double").alias("score")),
+            probs=(0.1, 0.5, 0.9),
+        ),
+    )
+
+    # 34. WET record formatting: pure projection, no Exchange anywhere
+    from crawl_spark.sources.wet import wet_records
+
+    cap(
+        "WET conversion-record formatting (zero-Exchange projection)",
+        "Round-5 continuation sink (sources/wet.py): the record string "
+        "the sharded writer ships, built entirely JVM-side. What the "
+        "plan must show: scan → filter → project with NO Exchange and "
+        "no Python — concat/date_format/octet_length in whole-stage "
+        "codegen. (write_wet then adds exactly ONE shuffle: the "
+        "groupBy(shard) feeding the one-file-per-task writer.)",
+        wet_records(
+            docs.select(
+                F.concat(F.lit("https://x/"), F.col("doc_id").cast("string")).alias("url"),
+                F.timestamp_seconds(F.lit(1600000000) + F.col("doc_id")).alias("warc_ts"),
+                "text",
+            )
+        ),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
