@@ -739,6 +739,50 @@ def q_wet_export(spark, sf_dir):
     return wet_records(pages)
 
 
+def q_wat_export(spark, sf_dir):
+    """WAT metadata-record formatting (the link/head sink of the
+    WARC/WAT/WET triple, `sources/wat.py`): each page renders its JSON
+    envelope (escaped title, escaped link array, fixed key order) and
+    WARC/1.0 metadata framing entirely JVM-side. Titles carry quote +
+    TAB + backslash and anchors carry text substrings + LF + quote, so
+    every branch of the five-step `json_escape` chain is exercised; the
+    oracle replays the same replace chain and record concat in DuckDB
+    and hash-checks the bytes. Every third page has a NULL title
+    (renders "Head":{}), link counts cycle 0..3 (0 renders [])."""
+    from crawl_spark.sources.wat import wat_records
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n = (i % 4).cast("int")
+    link_j = lambda j: F.struct(  # noqa: E731
+        F.concat(
+            F.lit("https://w"), ((i + j) % 20).cast("string"),
+            F.lit(".example/p/"), (i * 13 + j).cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.substring(F.col("text"), j * 7 + 1, 12),
+            F.lit('\n"x'),
+        ).alias("text"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://w"), (i % 20).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + i * 3600).alias("warc_ts"),
+        F.when(
+            i % 3 != 0,
+            F.concat(
+                F.lit('P "'), i.cast("string"), F.lit('"\t\\end'),
+            ),
+        ).alias("title"),
+        F.slice(
+            F.transform(F.sequence(F.lit(1), F.lit(3)), link_j), 1, n
+        ).alias("links"),
+    )
+    return wat_records(pages)
+
+
 def q_sitemap(spark, sf_dir):
     """Sitemap parsing over synthetic payloads: most docs render a
     <urlset> with a fully-populated entry (whitespace-padded loc,
@@ -2189,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": q_cc_star,
         "sitemap": q_sitemap,
         "wet_export": q_wet_export,
+        "wat_export": q_wat_export,
         "score_quantiles": q_score_quantiles,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
@@ -3363,6 +3408,75 @@ rec AS (
     AS record
   FROM pages
   WHERE text IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT url, record, CAST(octet_length(encode(record)) AS BIGINT) AS n_bytes
+FROM rec
+""",
+        "wat_export": """
+WITH pages AS (
+  SELECT doc_id,
+         'https://w' || (doc_id % 20) || '.example/p/' || doc_id AS url,
+         epoch_ms((CAST(1600000000 AS BIGINT) + doc_id * 3600) * 1000) AS warc_ts,
+         CASE WHEN doc_id % 3 <> 0 THEN
+           'P "' || doc_id || '"' || chr(9) || chr(92) || 'end'
+         END AS title,
+         CAST(doc_id % 4 AS INT) AS n,
+         text
+  FROM documents
+),
+links AS (
+  SELECT doc_id,
+    CASE WHEN n >= 1 THEN
+      array_to_string(
+        list_transform(range(1, n + 1), j ->
+          '{"url":"' ||
+          replace(replace(replace(replace(replace(
+            'https://w' || ((doc_id + j) % 20) || '.example/p/' || (doc_id * 13 + j),
+            chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+            chr(13), chr(92)||'r'), chr(10), chr(92)||'n'),
+            chr(9), chr(92)||'t')
+          || '","text":"' ||
+          replace(replace(replace(replace(replace(
+            substr(text, CAST(j AS INT) * 7 + 1, 12) || chr(10) || '"x',
+            chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+            chr(13), chr(92)||'r'), chr(10), chr(92)||'n'),
+            chr(9), chr(92)||'t')
+          || '"}'
+        ), ',')
+    ELSE '' END AS link_json
+  FROM pages
+),
+pay AS (
+  SELECT p.url, p.warc_ts,
+    '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"' ||
+    replace(replace(replace(replace(replace(p.url,
+      chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+      chr(13), chr(92)||'r'), chr(10), chr(92)||'n'),
+      chr(9), chr(92)||'t')
+    || '","WARC-Date":"' || strftime(p.warc_ts, '%Y-%m-%dT%H:%M:%SZ')
+    || '"},"Payload-Metadata":{"HTML-Metadata":{"Head":{'
+    || CASE WHEN p.title IS NOT NULL THEN
+         '"Title":"' ||
+         replace(replace(replace(replace(replace(p.title,
+           chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+           chr(13), chr(92)||'r'), chr(10), chr(92)||'n'),
+           chr(9), chr(92)||'t')
+         || '"'
+       ELSE '' END
+    || '},"Links":[' || l.link_json || ']}}}}' AS payload
+  FROM pages p JOIN links l USING (doc_id)
+),
+rec AS (
+  SELECT url,
+    'WARC/1.0' || chr(13) || chr(10)
+    || 'WARC-Type: metadata' || chr(13) || chr(10)
+    || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+    || 'WARC-Date: ' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10)
+    || 'Content-Type: application/json' || chr(13) || chr(10)
+    || 'Content-Length: ' || octet_length(encode(payload)) || chr(13) || chr(10)
+    || chr(13) || chr(10) || payload || chr(13) || chr(10) || chr(13) || chr(10)
+    AS record
+  FROM pay
 )
 SELECT url, record, CAST(octet_length(encode(record)) AS BIGINT) AS n_bytes
 FROM rec

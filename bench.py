@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "lsh_recall",
     # round-5 continuation: WET sink (the WARC/WET round-trip's write half)
     "wet_export",
+    # round-5 continuation: WAT sink (link/head metadata records — the
+    # third Common Crawl artifact; JSON assembled JVM-side)
+    "wat_export",
     # round-5 continuation: URL-structure mining (dedup/strip rule discovery)
     "url_templates",
     "param_stats",

@@ -143,24 +143,47 @@ def write_wet(
     """
     if n_shards < 1:
         raise ValueError("write_wet: n_shards must be >= 1")
+    recs = wet_records(df, url_col, ts_col, text_col)
+    return write_segments(
+        recs, path, "wet-", ".warc.wet", n_shards, compress, WET_MANIFEST
+    )
+
+
+def write_segments(
+    recs: DataFrame,
+    path: str,
+    file_prefix: str,
+    suffix_base: str,
+    n_shards: int,
+    compress: bool,
+    manifest_name: str,
+) -> dict:
+    """Shared segment writer for the WARC-family sinks (WET/WAT): shard
+    the formatted ``(url, record)`` frame by the md5 rule, write each
+    shard as ONE file of UTF-8 records (one gzip member per record when
+    ``compress``, ``mtime=0``), stage + rename atomically, return the
+    manifest dict. One shuffle (groupBy shard); manifest bounded by
+    ``n_shards``."""
+    if n_shards < 1:
+        raise ValueError("write_segments: n_shards must be >= 1")
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         import shutil
 
         shutil.rmtree(tmp)
     os.makedirs(tmp)
-    recs = wet_records(df, url_col, ts_col, text_col).select(
+    recs = recs.select(
         "url",
         "record",
         shard_expr("url", n_shards).alias("shard"),
         F.md5(F.col("url").cast("string")).alias("__ord"),
     )
-    suffix = ".warc.wet.gz" if compress else ".warc.wet"
+    suffix = suffix_base + (".gz" if compress else "")
 
     def one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values(["__ord", "url"], kind="mergesort")
-        name = "wet-%05d%s" % (shard, suffix)
+        name = "%s%05d%s" % (file_prefix, shard, suffix)
         out = os.path.join(tmp, name)
         raw_bytes = 0
         with open(out, "wb") as f:
@@ -200,7 +223,7 @@ def write_wet(
             for r in stats
         },
     }
-    with open(os.path.join(tmp, WET_MANIFEST), "w") as f:
+    with open(os.path.join(tmp, manifest_name), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     if os.path.exists(path):
         import shutil
