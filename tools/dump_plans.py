@@ -723,6 +723,35 @@ def main() -> None:
         ),
     )
 
+    # 35. WAT record formatting: the twice-referenced payload must stay
+    # single-evaluated (its own Project), still zero-Exchange, no Python
+    from crawl_spark.sources.wat import wat_records
+
+    cap(
+        "WAT metadata-record formatting (payload single-evaluated)",
+        "Round-5 continuation sink (sources/wat.py): the JSON envelope "
+        "+ WARC framing, built JVM-side. What the plan must show: scan "
+        "→ filter → TWO stacked Projects with NO Exchange and no "
+        "Python — the first materializes the payload column (transform/"
+        "replace/concat chain), the second references it twice (body + "
+        "Content-Length); CollapseProject must NOT have merged them, or "
+        "the link-array transform would evaluate twice per row (the "
+        "repo's no-CSE-for-nested-HOF rule).",
+        wat_records(
+            docs.select(
+                F.concat(F.lit("https://x/"), F.col("doc_id").cast("string")).alias("url"),
+                F.timestamp_seconds(F.lit(1600000000) + F.col("doc_id")).alias("warc_ts"),
+                F.substring("text", 1, 20).alias("title"),
+                F.array(
+                    F.struct(
+                        F.lit("https://x/l").alias("url"),
+                        F.substring("text", 5, 12).alias("text"),
+                    )
+                ).alias("links"),
+            )
+        ),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
