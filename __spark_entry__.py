@@ -751,7 +751,14 @@ def q_wat_export(spark, sf_dir):
     (renders "Head":{}), link counts cycle 0..3 (0 renders [])."""
     from crawl_spark.sources.wat import wat_records
 
-    d = _t(spark, sf_dir, "documents")
+    return wat_records(_wat_pages(_t(spark, sf_dir, "documents")))
+
+
+def _wat_pages(d):
+    """Synthesized WAT input shared by `q_wat_export`/`q_wat_links`:
+    urls/timestamps from doc_id, titles carrying quote+TAB+backslash
+    (every third NULL), link counts cycling 0..3 with anchors from text
+    substrings + LF + quote — every escape branch exercised."""
     i = F.col("doc_id")
     n = (i % 4).cast("int")
     link_j = lambda j: F.struct(  # noqa: E731
@@ -764,7 +771,7 @@ def q_wat_export(spark, sf_dir):
             F.lit('\n"x'),
         ).alias("text"),
     )
-    pages = d.select(
+    return d.select(
         F.concat(
             F.lit("https://w"), (i % 20).cast("string"),
             F.lit(".example/p/"), i.cast("string"),
@@ -780,7 +787,25 @@ def q_wat_export(spark, sf_dir):
             F.transform(F.sequence(F.lit(1), F.lit(3)), link_j), 1, n
         ).alias("links"),
     )
-    return wat_records(pages)
+
+
+def q_wat_links(spark, sf_dir):
+    """The WAT consumer inverse (`sources/wat.py` `wat_links`): build
+    the escaped JSON payload (`wat_payload`), then recover the typed
+    (src, dst, anchor) edge list with JVM `from_json` + one explode.
+    The oracle does NOT parse JSON — it emits the expected links
+    directly from the same synthesis rule, so a hash match proves the
+    escape chain and Jackson's unescape are exact inverses over real
+    corpus text (quotes, TAB, LF, backslash all in play)."""
+    from crawl_spark.sources.wat import wat_links, wat_payload
+
+    pages = _wat_pages(_t(spark, sf_dir, "documents"))
+    pay = pages.select(
+        wat_payload(
+            F.col("url"), F.col("warc_ts"), F.col("title"), F.col("links")
+        ).alias("payload")
+    )
+    return wat_links(pay)
 
 
 def q_sitemap(spark, sf_dir):
@@ -2234,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap": q_sitemap,
         "wet_export": q_wet_export,
         "wat_export": q_wat_export,
+        "wat_links": q_wat_links,
         "score_quantiles": q_score_quantiles,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
@@ -3411,6 +3437,13 @@ rec AS (
 )
 SELECT url, record, CAST(octet_length(encode(record)) AS BIGINT) AS n_bytes
 FROM rec
+""",
+        "wat_links": """
+SELECT 'https://w' || (doc_id % 20) || '.example/p/' || doc_id AS src,
+       'https://w' || ((doc_id + j) % 20) || '.example/p/' || (doc_id * 13 + j) AS dst,
+       substr(text, CAST(j AS INT) * 7 + 1, 12) || chr(10) || '"x' AS anchor
+FROM documents, range(1, 4) t(j)
+WHERE j <= doc_id % 4
 """,
         "wat_export": """
 WITH pages AS (

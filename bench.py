@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     # round-5 continuation: WAT sink (link/head metadata records — the
     # third Common Crawl artifact; JSON assembled JVM-side)
     "wat_export",
+    "wat_links",
     # round-5 continuation: URL-structure mining (dedup/strip rule discovery)
     "url_templates",
     "param_stats",

@@ -300,6 +300,92 @@ _WAT_READ_SCHEMA = T.StructType(
     ]
 )
 
+# the payload's JSON shape, for JVM-side from_json on the consumer side
+WAT_ENVELOPE_TYPE = T.StructType(
+    [
+        T.StructField(
+            "Envelope",
+            T.StructType(
+                [
+                    T.StructField(
+                        "WARC-Header-Metadata",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "WARC-Target-URI", T.StringType()
+                                ),
+                                T.StructField("WARC-Date", T.StringType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField(
+                        "Payload-Metadata",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "HTML-Metadata",
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "Head",
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "Title",
+                                                            T.StringType(),
+                                                        )
+                                                    ]
+                                                ),
+                                            ),
+                                            T.StructField(
+                                                "Links", LINK_TYPE
+                                            ),
+                                        ]
+                                    ),
+                                )
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def wat_links(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """WAT payload JSON → the typed link frame ``(src, dst, anchor)``
+    — the edge list `graph.pagerank`/`trustrank`/`anchor_text_topk`
+    consume, recovered from shipped WAT segments WITHOUT re-parsing
+    HTML and without a byte of Python: ``from_json`` + one ``explode``
+    (a Generate, not an Exchange), all JVM-side.
+
+    The parse is the exact inverse of :func:`wat_payload`'s escape
+    chain (Jackson unescapes what `json_escape` escaped), so a
+    build → ship → read → explode round trip reproduces the original
+    hrefs/anchors byte-for-byte — that inverse IS the oracle-checked
+    contract (`wat_links` in ``__spark_entry__``). Pages with no links
+    (or a corrupt payload, which from_json nulls) contribute no rows.
+    The envelope struct is named in its own projection and consumed by
+    one Generate, so the JSON parses once per row."""
+    env = df.select(
+        F.from_json(F.col(payload_col), WAT_ENVELOPE_TYPE).alias("__env")
+    ).select(
+        F.col("__env")["Envelope"]["WARC-Header-Metadata"][
+            "WARC-Target-URI"
+        ].alias("src"),
+        F.col("__env")["Envelope"]["Payload-Metadata"]["HTML-Metadata"][
+            "Links"
+        ].alias("__links"),
+    )
+    return env.select(
+        "src", F.explode("__links").alias("__l")
+    ).select(
+        "src",
+        F.col("__l")["url"].alias("dst"),
+        F.col("__l")["text"].alias("anchor"),
+    )
+
 
 def read_wat(spark: SparkSession, path: str) -> DataFrame:
     """WAT segments under ``path`` → ``(url, warc_ts, payload)`` with

@@ -12,6 +12,8 @@ from crawl_spark.sources.wat import (
     WAT_MANIFEST,
     read_wat,
     wat_from_html,
+    wat_links,
+    wat_payload,
     wat_records,
     write_wat,
 )
@@ -148,6 +150,59 @@ def test_wat_from_html_extraction(spark):
         {"url": "http://base.example/rel", "text": "go here"},
         {"url": "http://other.example/x", "text": "abs bold"},
     ]
+
+
+def test_wat_links_inverse(spark):
+    """build → parse recovers (src, dst, anchor) byte-for-byte through
+    the escape chain; no-link pages contribute nothing; a corrupt
+    payload nulls out instead of crashing."""
+    from pyspark.sql import functions as F
+
+    nasty = 'a"b\\c\td\ne\rf'
+    df = _pages(
+        spark,
+        [
+            ("http://h/1", _TS, None, [("http://h/x", nasty)]),
+            ("http://h/2", _TS, "t", []),
+        ],
+    )
+    pay = df.select(
+        wat_payload(
+            F.col("url"), F.col("warc_ts"), F.col("title"), F.col("links")
+        ).alias("payload")
+    )
+    rows = wat_links(pay).collect()
+    assert [(r["src"], r["dst"], r["anchor"]) for r in rows] == [
+        ("http://h/1", "http://h/x", nasty)
+    ]
+    corrupt = spark.createDataFrame([("{oops",)], "payload string")
+    assert wat_links(corrupt).count() == 0
+
+
+def test_wat_escape_roundtrip_property(spark):
+    """Hypothesis: for arbitrary text (escape-relevant chars weighted
+    in), payload is strict JSON and title/anchor round-trip exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list('"\\\t\n\r') + list("ab £é{}[]:,"))
+    texts = st.text(alphabet=alphabet, max_size=24)
+
+    @settings(max_examples=30, deadline=None)
+    @given(title=texts, anchor=texts)
+    def check(title, anchor):
+        df = _pages(
+            spark, [("http://h/p", _TS, title, [("http://h/l", anchor)])]
+        )
+        rec = wat_records(df).collect()[0]["record"]
+        payload = rec.split("\r\n\r\n")[1]
+        html = json.loads(payload)["Envelope"]["Payload-Metadata"][
+            "HTML-Metadata"
+        ]
+        assert html["Head"]["Title"] == title
+        assert html["Links"][0]["text"] == anchor
+
+    check()
 
 
 def test_wat_write_read_roundtrip_and_determinism(spark, tmp_path):
