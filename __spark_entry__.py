@@ -808,6 +808,147 @@ def q_wat_links(spark, sf_dir):
     return wat_links(pay)
 
 
+def _cdx_pages(d):
+    """Synthesized capture table shared by `q_cdx_index`/`q_cdx_lookup`:
+    urls exercise every SURT branch — leading `www.` (stripped) on every
+    third, non-default `:8080` port (kept) on every fifth, mixed-case
+    paths (lowercased), trailing-slash cycle, and query params in
+    unsorted mixed-case order (lowercase + ASCII-sort) with a no-query
+    cycle; mime/status cycle; digest/length from the real text column."""
+    i = F.col("doc_id")
+    q = (
+        F.when(i % 6 == 0, F.lit(""))
+        .when(
+            i % 2 == 0,
+            F.concat(F.lit("?b="), (i % 9).cast("string"), F.lit("&A=1")),
+        )
+        .otherwise(F.concat(F.lit("?a="), (i % 5).cast("string")))
+    )
+    return d.select(
+        F.concat(
+            F.when(i % 3 == 0, F.lit("https://www.w")).otherwise(
+                F.lit("https://w")
+            ),
+            (i % 7).cast("string"),
+            F.lit(".example.com"),
+            F.when(i % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/Sec"),
+            (i % 11).cast("string"),
+            F.lit("/P"),
+            i.cast("string"),
+            F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            q,
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + i * 3600).alias("warc_ts"),
+        F.when(i % 2 == 0, F.lit("text/html"))
+        .otherwise(F.lit("application/json"))
+        .alias("mime"),
+        F.when(i % 7 == 0, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        F.col("text").alias("html"),
+    )
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX/CDXJ URL-index construction (`sources/cdx.py`, the fourth
+    Common-Crawl artifact family): SURT key (scheme strip, www-strip,
+    host-reverse, port keep, path lowercase, query lowercase+sort),
+    14-digit timestamp, and the fixed-key-order JSON payload
+    (md5 digest + octet length of the capture body) — all one JVM
+    projection over the scan. The oracle replays the identical string
+    algebra in DuckDB (strpos/substr/list_reverse/list_sort) and
+    hash-checks the bytes, proving the SURT transform cross-engine."""
+    from crawl_spark.sources.cdx import cdx_records
+
+    return cdx_records(_cdx_pages(_t(spark, sf_dir, "documents")))
+
+
+def q_cdx_lookup(spark, sf_dir):
+    """CDX prefix range-lookup (`sources/cdx.py` `cdx_lookup`): all
+    captures under one SURT subtree via `startswith` — on a
+    parquet-backed index Catalyst pushes StringStartsWith to the scan
+    (pytest-asserted in tests/test_cdx.py; PLANS.md). Oracle twin:
+    `surt LIKE prefix || '%'`."""
+    from crawl_spark.sources.cdx import cdx_lookup, cdx_records
+
+    recs = cdx_records(_cdx_pages(_t(spark, sf_dir, "documents")))
+    return cdx_lookup(recs, "com,example,w3)/")
+
+
+# DuckDB replay of the full CDX build over the _cdx_pages synthesis:
+# the SAME string algebra as sources/cdx.py surt_key (strpos/substr ↔
+# instr/substring, list_reverse/list_sort ↔ reverse/array_sort), the
+# payload with || in fixed key order (the synthesized url/mime carry no
+# JSON-escapable bytes; the escape chain itself is oracle-proven by
+# wat_export). Produces (surt, ts14, line).
+_CDX_ORACLE = """
+WITH pages AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'https://www.w' ELSE 'https://w' END)
+      || (doc_id % 7) || '.example.com'
+      || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+      || '/Sec' || (doc_id % 11) || '/P' || doc_id
+      || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      || (CASE WHEN doc_id % 6 = 0 THEN ''
+               WHEN doc_id % 2 = 0 THEN '?b=' || (doc_id % 9) || '&A=1'
+               ELSE '?a=' || (doc_id % 5) END) AS url,
+    epoch_ms((CAST(1600000000 AS BIGINT) + doc_id * 3600) * 1000) AS warc_ts,
+    CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+         ELSE 'application/json' END AS mime,
+    CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+    text AS html
+  FROM documents
+),
+p1 AS (
+  SELECT *, regexp_replace(url, '^https?://', '') AS rest FROM pages
+),
+p2 AS (
+  SELECT *,
+    CASE WHEN strpos(rest, '/') > 0
+         THEN substr(rest, 1, strpos(rest, '/') - 1) ELSE rest END
+      AS hostport,
+    CASE WHEN strpos(rest, '/') > 0
+         THEN substr(rest, strpos(rest, '/')) ELSE '/' END AS pathq
+  FROM p1
+),
+p3 AS (
+  SELECT *,
+    CASE WHEN strpos(pathq, '?') > 0
+         THEN substr(pathq, 1, strpos(pathq, '?') - 1) ELSE pathq END
+      AS pth,
+    CASE WHEN strpos(pathq, '?') > 0
+         THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS qry,
+    CASE WHEN strpos(hostport, ':') > 0
+         THEN substr(hostport, 1, strpos(hostport, ':') - 1)
+         ELSE hostport END AS host,
+    CASE WHEN strpos(hostport, ':') > 0
+         THEN substr(hostport, strpos(hostport, ':')) ELSE '' END AS port
+  FROM p2
+),
+p4 AS (
+  SELECT url, warc_ts, mime, status, html,
+    array_to_string(
+      list_reverse(string_split(regexp_replace(host, '^www[.]', ''), '.')),
+      ',')
+      || port || ')'
+      || (CASE WHEN lower(pth) = '/' THEN '' ELSE lower(pth) END)
+      || (CASE WHEN qry <> '' THEN
+            '?' || array_to_string(
+                     list_sort(string_split(lower(qry), '&')), '&')
+          ELSE '' END) AS surt,
+    strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14
+  FROM p3
+),
+idx AS (
+  SELECT surt, ts14,
+    surt || ' ' || ts14 || ' ' ||
+    '{"url":"' || url || '","mime":"' || mime || '","status":"' || status
+      || '","digest":"' || md5(html) || '","length":"'
+      || octet_length(encode(html)) || '"}' AS line
+  FROM p4
+)
+"""
+
+
 def q_sitemap(spark, sf_dir):
     """Sitemap parsing over synthetic payloads: most docs render a
     <urlset> with a fully-populated entry (whitespace-padded loc,
@@ -2260,6 +2401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export": q_wet_export,
         "wat_export": q_wat_export,
         "wat_links": q_wat_links,
+        "cdx_index": q_cdx_index,
+        "cdx_lookup": q_cdx_lookup,
         "score_quantiles": q_score_quantiles,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
@@ -3444,6 +3587,13 @@ SELECT 'https://w' || (doc_id % 20) || '.example/p/' || doc_id AS src,
        substr(text, CAST(j AS INT) * 7 + 1, 12) || chr(10) || '"x' AS anchor
 FROM documents, range(1, 4) t(j)
 WHERE j <= doc_id % 4
+""",
+        "cdx_index": _CDX_ORACLE + """
+SELECT surt, ts14, line FROM idx
+""",
+        "cdx_lookup": _CDX_ORACLE + """
+SELECT surt, ts14, line FROM idx
+WHERE surt LIKE 'com,example,w3)/%'
 """,
         "wat_export": """
 WITH pages AS (

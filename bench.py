@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     # round-5 continuation: link-spam demotion + gate calibration
     "trustrank",
     "score_quantiles",
+    # round-5 continuation: CDX/CDXJ URL index (the fourth Common Crawl
+    # artifact family — SURT keys + sorted queryable index)
+    "cdx_index",
+    "cdx_lookup",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

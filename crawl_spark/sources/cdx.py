@@ -1,0 +1,404 @@
+"""CDX/CDXJ URL index: the fourth public Common-Crawl artifact family
+(alongside `warc.py` in, `wet.py` / `wat.py` out). A CDX index is what
+makes a 100 TB crawl *queryable without scanning it*: one sorted line
+per capture, keyed by SURT (Sort-friendly URI Reordering Transform),
+plus a tiny secondary index (``cluster.idx``) mapping key ranges to
+(file, byte-offset) so a lookup touches one gzip block out of
+petabytes. The reference's sink (`response_utils.go:6-22`) writes raw
+responses; this module is the index layer a downstream consumer uses
+to find them.
+
+Line format (CDXJ, fixed field order)::
+
+    <surt> <ts14> {"url":"<esc>","mime":"<esc>","status":"<s>",
+    "digest":"<md5hex>","length":"<n>"}
+
+SURT contract (pinned; defined over canonical URLs from
+`functions/urlnorm.py` — lowercase scheme/host, no fragment, default
+ports dropped, path >= "/"):
+
+1. strip the scheme (``^https?://``);
+2. host: strip one leading ``www.``, split on ``.``, reverse, join
+   with ``,`` (pywb-style);
+3. a remaining (non-default) port stays appended as ``:<port>`` after
+   the reversed host;
+4. ``)`` then the path lowercased; a bare root path ``/`` renders as
+   the empty string;
+5. a non-empty query renders as ``?`` + its ``&``-separated params
+   lowercased and ASCII-sorted (param order is presentation, not
+   identity). An empty query (trailing ``?``) is treated as no query.
+
+Out of contract (documented, not silently wrong): userinfo and
+bracketed IPv6 hosts (the canonicalizer never emits userinfo; IPv6
+literals would split on ``:``), and %-encoding normalization (the
+canonical form preserves the query byte-for-byte, so equal captures
+index identically).
+
+Every transform is a JVM column expression built from the SAME string
+algebra the DuckDB oracle replays (``instr``/``substring_index``/
+``split``/``reverse``/``array_sort`` ↔ ``strpos``/``substr``/
+``string_split``/``list_reverse``/``list_sort``) — hash-checked
+bit-for-bit by the ``cdx_index`` contract query. JSON escaping reuses
+`wat.json_escape` (five-step replace chain); the digest is md5 hex
+(the repo's cross-engine hash rule — CC uses sha1-b32, a cosmetic
+difference documented here rather than hidden).
+
+Plan shape at 100 TB:
+
+- building the index is one projection over the capture scan (no
+  shuffle until the sink's range partitioning);
+- `write_cdx` is ONE range shuffle (`repartitionByRange` on
+  (surt, ts14) — sampled boundaries, the same mechanism a sorted
+  1000-executor write uses) + a per-partition sorted gzip writer
+  (`mapInPandas`, Arrow-batched; partition id = shard id, so the
+  file set concatenates globally sorted);
+- the writer emits one ``cluster.idx`` row per ``block_size``-line
+  gzip member as its *output rows* — the secondary index falls out of
+  the same job, bounded at rows/block_size (CC ships ~1.5M lines for
+  the whole crawl at block 3000);
+- `cdx_lookup` on a parquet-backed index is a ``startswith`` filter —
+  Catalyst pushes it as ``StringStartsWith`` to the scan (PLANS.md);
+  `cdx_lookup_files` proves the file-level path: prune candidate
+  shards driver-side on cluster.idx (tiny), read ONLY those gzip
+  members.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .wat import json_escape
+
+CDX_MANIFEST = "_cdx_manifest.json"
+CLUSTER_IDX = "cluster.idx"
+
+_IDX_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("comp_len", T.LongType()),
+        T.StructField("n_lines", T.LongType()),
+    ]
+)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT key of a canonical URL as one JVM expression (module
+    contract above). DuckDB twin: the same ``strpos``-based algebra —
+    see `__spark_entry__.oracle_sql()['cdx_index']`."""
+    rest = F.regexp_replace(url, "^https?://", "")
+    hostport = F.substring_index(rest, "/", 1)
+    # canonical path is always >= "/"; guard anyway (no '/' -> root).
+    pathq = F.when(
+        F.instr(rest, "/") > 0,
+        F.substring(rest, F.length(hostport) + 1, F.length(rest)),
+    ).otherwise(F.lit("/"))
+    path = F.substring_index(pathq, "?", 1)
+    query = F.when(
+        F.instr(pathq, "?") > 0,
+        F.substring(pathq, F.length(path) + 2, F.length(pathq)),
+    ).otherwise(F.lit(""))
+    host = F.substring_index(hostport, ":", 1)
+    port = F.when(
+        F.instr(hostport, ":") > 0,
+        F.substring(hostport, F.length(host) + 1, F.length(hostport)),
+    ).otherwise(F.lit(""))
+    host_nw = F.regexp_replace(host, "^www[.]", "")
+    rev = F.array_join(F.reverse(F.split(host_nw, "[.]")), ",")
+    key_path = F.when(F.lower(path) == "/", F.lit("")).otherwise(
+        F.lower(path)
+    )
+    key_query = F.when(
+        query != "",
+        F.concat(
+            F.lit("?"),
+            F.array_join(F.array_sort(F.split(F.lower(query), "&")), "&"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(rev, port, F.lit(")"), key_path, key_query)
+
+
+def cdx_payload(
+    url: Column, mime: Column, status: Column, digest: Column, length: Column
+) -> Column:
+    """The CDXJ JSON payload — fixed key order by construction (concat,
+    never a dict), same determinism contract as `wat.wat_payload`."""
+    return F.concat(
+        F.lit('{"url":"'),
+        json_escape(url),
+        F.lit('","mime":"'),
+        json_escape(mime),
+        F.lit('","status":"'),
+        status.cast("string"),
+        F.lit('","digest":"'),
+        digest,
+        F.lit('","length":"'),
+        length.cast("string"),
+        F.lit('"}'),
+    )
+
+
+def cdx_records(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    mime_col: str = "mime",
+    status_col: str = "status",
+    content_col: str = "html",
+) -> DataFrame:
+    """One CDXJ record per capture → ``(surt, ts14, line)``.
+
+    digest/length are computed from ``content_col`` (md5 hex / UTF-8
+    octet length). Rows missing url or timestamp are dropped (an index
+    line is anchored to a capture). One projection over the scan —
+    Catalyst prunes the capture table to exactly the five input
+    columns; no shuffle.
+    """
+    c = F.col(content_col)
+    staged = df.filter(
+        F.col(url_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
+        cdx_payload(
+            F.col(url_col),
+            F.col(mime_col),
+            F.col(status_col),
+            F.md5(c.cast("string")),
+            F.octet_length(c),
+        ).alias("__payload"),
+    )
+    return staged.select(
+        "surt",
+        "ts14",
+        F.concat(
+            F.col("surt"), F.lit(" "), F.col("ts14"), F.lit(" "),
+            F.col("__payload"),
+        ).alias("line"),
+    )
+
+
+def cdx_lookup(index: DataFrame, prefix: str) -> DataFrame:
+    """All index rows whose SURT key starts with ``prefix`` — the CDX
+    range query (a host, a host)/path subtree, …). On a parquet-backed
+    index this is a pushed ``StringStartsWith`` scan filter plus
+    min/max row-group pruning on the sorted key — no shuffle, no full
+    scan (PLANS.md). Oracle twin: ``surt LIKE prefix || '%'``."""
+    return index.filter(F.col("surt").startswith(prefix))
+
+
+_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("length", T.StringType()),
+    ]
+)
+
+
+def cdx_parse(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """The consumer inverse: parse CDXJ lines back to typed columns
+    ``(surt, ts14, url, mime, status, digest, length)``. Splits on the
+    two framing spaces JVM-side (SURT keys and ts14 are space-free by
+    construction; the JSON payload is everything after the second
+    space) and hands the payload to Jackson ``from_json`` — the same
+    escape-inverse proof shape as `wat.wat_links`."""
+    line = F.col(line_col)
+    surt = F.substring_index(line, " ", 1)
+    ts14 = F.substring_index(F.substring_index(line, " ", 2), " ", -1)
+    payload = F.substring(
+        line, F.length(surt) + F.length(ts14) + 3, F.length(line)
+    )
+    parsed = lines.select(
+        surt.alias("surt"),
+        ts14.alias("ts14"),
+        F.from_json(payload, _PAYLOAD_SCHEMA).alias("p"),
+    )
+    return parsed.select(
+        "surt",
+        "ts14",
+        F.col("p.url").alias("url"),
+        F.col("p.mime").alias("mime"),
+        F.col("p.status").alias("status"),
+        F.col("p.digest").alias("digest"),
+        F.col("p.length").cast("long").alias("length"),
+    )
+
+
+def write_cdx(
+    recs: DataFrame,
+    path: str,
+    n_shards: int = 4,
+    block_size: int = 3000,
+) -> dict:
+    """Write a globally sorted, gzip-blocked CDX file set + cluster.idx
+    + manifest. Returns the manifest dict.
+
+    ``recs`` is `cdx_records` output. ONE range shuffle
+    (``repartitionByRange`` on (surt, ts14) — partition *i* holds keys
+    strictly below partition *i+1*, so ``cdx-00000.gz < cdx-00001.gz``
+    and the concatenation is globally sorted) + a per-partition
+    ``mapInPandas`` writer. Each file is a sequence of independent
+    gzip members of ``block_size`` lines (mtime=0) — a reader can
+    range-fetch and inflate ONE block; the writer's *output rows* are
+    exactly the cluster.idx rows (first key of each block, filename,
+    compressed offset/length, line count), so the secondary index
+    costs nothing extra. cluster.idx is bounded at rows/block_size and
+    written driver-side in key order (CC's own cluster.idx is one
+    ~1.5M-line file; at larger scale write it with a single-partition
+    sorted text job instead). Stage + rename atomically, same contract
+    as `wet.write_segments`.
+    """
+    if n_shards < 1:
+        raise ValueError("write_cdx: n_shards must be >= 1")
+    if block_size < 1:
+        raise ValueError("write_cdx: block_size must be >= 1")
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    staged = (
+        recs.select("surt", "ts14", "line")
+        .repartitionByRange(n_shards, "surt", "ts14")
+        .sortWithinPartitions("surt", "ts14")
+    )
+
+    def write_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = "cdx-%05d.gz" % pid
+        out_path = os.path.join(tmp, name)
+        idx_rows: list = []
+        pending: list = []
+        offset = 0
+        fh = None
+
+        def flush() -> None:
+            nonlocal offset, pending
+            if not pending:
+                return
+            data = gzip.compress(
+                ("\n".join(pending) + "\n").encode("utf-8"), mtime=0
+            )
+            fh.write(data)
+            first = pending[0]
+            key = first[: first.index(" ", first.index(" ") + 1)]
+            idx_rows.append(
+                (key, name, offset, len(data), len(pending))
+            )
+            offset += len(data)
+            pending = []
+
+        for pdf in batches:
+            if fh is None and len(pdf):
+                fh = open(out_path, "wb")
+            for ln in pdf["line"]:
+                pending.append(ln)
+                if len(pending) >= block_size:
+                    flush()
+        if fh is not None:
+            flush()
+            fh.close()
+        yield pd.DataFrame(
+            idx_rows,
+            columns=["key", "filename", "offset", "comp_len", "n_lines"],
+        )
+
+    idx = [
+        (r["key"], r["filename"], r["offset"], r["comp_len"], r["n_lines"])
+        for r in staged.mapInPandas(write_shard, _IDX_SCHEMA)
+        .collect()
+    ]
+    idx.sort(key=lambda t: (t[1], t[2]))  # file order == key order
+    with open(os.path.join(tmp, CLUSTER_IDX), "w", encoding="utf-8") as f:
+        for key, name, off, clen, n in idx:
+            f.write("%s\t%s\t%d\t%d\t%d\n" % (key, name, off, clen, n))
+    files = sorted({t[1] for t in idx})
+    manifest = {
+        "format": "cdxj",
+        "files": files,
+        "n_blocks": len(idx),
+        "n_lines": int(sum(t[4] for t in idx)),
+        "block_size": block_size,
+    }
+    with open(os.path.join(tmp, CDX_MANIFEST), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, sort_keys=True)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return manifest
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read a `write_cdx` file set back as typed rows (`cdx_parse`).
+    Gzip members concatenate transparently (Hadoop's codec inflates
+    multi-member streams), so this is a plain text scan of the shard
+    files — split-parallel across files."""
+    with open(os.path.join(path, CDX_MANIFEST), encoding="utf-8") as f:
+        manifest = json.load(f)
+    paths = [os.path.join(path, name) for name in manifest["files"]]
+    return cdx_parse(spark.read.text(paths).withColumnRenamed("value", "line"))
+
+
+def _read_cluster_idx(path: str) -> list:
+    rows = []
+    with open(os.path.join(path, CLUSTER_IDX), encoding="utf-8") as f:
+        for ln in f:
+            key, name, off, clen, n = ln.rstrip("\n").split("\t")
+            rows.append((key, name, int(off), int(clen), int(n)))
+    return rows
+
+
+def cdx_lookup_files(
+    spark: SparkSession, path: str, prefix: str
+) -> DataFrame:
+    """Prefix lookup through cluster.idx: prune to candidate *blocks*
+    driver-side (the idx is tiny and sorted — a block can hold keys in
+    [its first key, next block's first key)), inflate ONLY those gzip
+    members, filter exactly. This is the petabyte read path: one HTTP
+    range fetch per candidate block instead of a 300-file scan.
+    Returns the same typed rows as `read_cdx` (test-asserted equal to
+    the full-scan filter)."""
+    if not prefix:
+        raise ValueError(
+            "cdx_lookup_files: empty prefix selects every block — use "
+            "read_cdx for a full scan"
+        )
+    idx = _read_cluster_idx(path)
+    cand: list = []
+    for i, (key, name, off, clen, n) in enumerate(idx):
+        nxt = idx[i + 1][0] if i + 1 < len(idx) else None
+        # block may contain keys in [key, nxt): overlaps the prefix
+        # range iff first key is not already past the prefix and the
+        # next block does not start before it.
+        if key[: len(prefix)] <= prefix and (nxt is None or nxt >= prefix):
+            cand.append((name, off, clen))
+    lines: list = []
+    for name, off, clen in cand:
+        with open(os.path.join(path, name), "rb") as f:
+            f.seek(off)
+            blob = f.read(clen)
+        for ln in gzip.decompress(blob).decode("utf-8").splitlines():
+            if ln.startswith(prefix):
+                lines.append((ln,))
+    df = spark.createDataFrame(lines, T.StructType(
+        [T.StructField("line", T.StringType())]
+    ))
+    return cdx_parse(df)

@@ -1,0 +1,189 @@
+"""CDX/CDXJ index: SURT goldens, sink layout (global sortedness, gzip
+block offsets, cluster.idx), lookup parity, parse round-trip."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl_spark.sources.cdx import (
+    CDX_MANIFEST,
+    CLUSTER_IDX,
+    cdx_lookup,
+    cdx_lookup_files,
+    cdx_parse,
+    cdx_records,
+    read_cdx,
+    surt_key,
+    write_cdx,
+)
+
+# hand-computed goldens for every branch of the SURT contract
+SURT_GOLDEN = [
+    # www-strip + path lowercase + query lowercase-sort
+    ("https://www.news.example.com/Sec1/P5?b=2&a=1",
+     "com,example,news)/sec1/p5?a=1&b=2"),
+    # bare root path renders empty
+    ("https://example.com/", "com,example)"),
+    # non-default port survives after the reversed host
+    ("http://w3.example.com:8080/A/", "com,example,w3:8080)/a/"),
+    # single-label host, no query
+    ("https://localhost/x", "localhost)/x"),
+    # param values lowercased, ASCII sort is on the whole param string
+    ("https://a.b/p?Z=9&a=1&B=2", "b,a)/p?a=1&b=2&z=9"),
+    # trailing '?' (empty query) == no query
+    ("https://a.b/p?", "b,a)/p"),
+    # 'www' only strips as a leading label
+    ("https://www2.a.b/p", "b,a,www2)/p"),
+    ("https://wwwx.example.com/", "com,example,wwwx)"),
+]
+
+
+def _pages(spark, n=300):
+    i = F.col("id")
+    q = (
+        F.when(i % 6 == 0, F.lit(""))
+        .when(
+            i % 2 == 0,
+            F.concat(F.lit("?b="), (i % 9).cast("string"), F.lit("&A=1")),
+        )
+        .otherwise(F.concat(F.lit("?a="), (i % 5).cast("string")))
+    )
+    return spark.range(n).select(
+        F.concat(
+            F.when(i % 3 == 0, F.lit("https://www.w")).otherwise(
+                F.lit("https://w")
+            ),
+            (i % 7).cast("string"),
+            F.lit(".example.com"),
+            F.when(i % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/Sec"),
+            (i % 11).cast("string"),
+            F.lit("/P"),
+            i.cast("string"),
+            F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            q,
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + i * 3600).alias("warc_ts"),
+        F.when(i % 2 == 0, F.lit("text/html"))
+        .otherwise(F.lit("application/json"))
+        .alias("mime"),
+        F.when(i % 7 == 0, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        F.concat(F.lit("body "), i.cast("string")).alias("html"),
+    )
+
+
+def test_surt_golden(spark):
+    df = spark.createDataFrame([(u,) for u, _ in SURT_GOLDEN], "url string")
+    got = [r[0] for r in df.select(surt_key(F.col("url"))).collect()]
+    for (url, want), g in zip(SURT_GOLDEN, got):
+        assert g == want, (url, want, g)
+
+
+def test_cdx_records_shape_and_drops(spark):
+    pages = _pages(spark, 50).unionByName(
+        spark.createDataFrame(
+            [(None, None, "text/html", 200, "x")],
+            "url string, warc_ts timestamp, mime string, status int, "
+            "html string",
+        )
+    )
+    recs = cdx_records(pages)
+    rows = recs.collect()
+    assert len(rows) == 50  # null url/ts dropped
+    for r in rows:
+        assert r["line"] == "%s %s %s" % (
+            r["surt"],
+            r["ts14"],
+            r["line"].split(" ", 2)[2],
+        )
+        assert len(r["ts14"]) == 14 and r["ts14"].isdigit()
+
+
+def test_write_cdx_globally_sorted_with_valid_cluster_idx(spark, tmp_path):
+    out = str(tmp_path / "cdx")
+    recs = cdx_records(_pages(spark))
+    man = write_cdx(recs, out, n_shards=3, block_size=16)
+    assert man["n_lines"] == 300
+    assert sorted(os.listdir(out)) == sorted(
+        man["files"] + [CDX_MANIFEST, CLUSTER_IDX]
+    )
+    # concatenation of shard files in name order is globally sorted
+    lines = []
+    for fn in man["files"]:
+        with open(os.path.join(out, fn), "rb") as f:
+            lines += gzip.decompress(f.read()).decode("utf-8").splitlines()
+    assert len(lines) == 300
+    assert lines == sorted(lines)
+    # every cluster.idx row points at a real gzip member whose first
+    # line carries the recorded key and whose line count matches
+    with open(os.path.join(out, CLUSTER_IDX), encoding="utf-8") as f:
+        idx = [ln.rstrip("\n").split("\t") for ln in f]
+    assert sum(int(r[4]) for r in idx) == 300
+    keys = [r[0] for r in idx]
+    assert keys == sorted(keys)
+    for key, name, off, clen, n in idx:
+        with open(os.path.join(out, name), "rb") as f:
+            f.seek(int(off))
+            blob = f.read(int(clen))
+        block = gzip.decompress(blob).decode("utf-8").splitlines()
+        assert len(block) == int(n) <= 16
+        assert block[0].startswith(key + " ")
+        first = block[0]
+        assert key == first[: first.index(" ", first.index(" ") + 1)]
+
+
+def test_cdx_lookup_files_matches_full_scan(spark, tmp_path):
+    out = str(tmp_path / "cdx")
+    recs = cdx_records(_pages(spark))
+    write_cdx(recs, out, n_shards=3, block_size=16)
+    full = read_cdx(spark, out)
+    assert full.count() == 300
+    for prefix in ["com,example,w3)/", "com,example,w0:8080)/",
+                   "com,example,w1)/sec", "org,nowhere)/"]:
+        via_idx = sorted(
+            (r["surt"], r["ts14"], r["url"])
+            for r in cdx_lookup_files(spark, out, prefix).collect()
+        )
+        via_scan = sorted(
+            (r["surt"], r["ts14"], r["url"])
+            for r in full.filter(F.col("surt").startswith(prefix)).collect()
+        )
+        assert via_idx == via_scan
+    assert len(
+        cdx_lookup_files(spark, out, "com,example,w3)/").collect()
+    ) > 0
+    with pytest.raises(ValueError):
+        cdx_lookup_files(spark, out, "")
+
+
+def test_cdx_parse_round_trip(spark):
+    pages = _pages(spark, 80)
+    recs = cdx_records(pages)
+    back = cdx_parse(recs.select("line"))
+    orig = sorted(
+        (r["url"], r["mime"], str(r["status"]))
+        for r in pages.collect()
+    )
+    got = sorted(
+        (r["url"], r["mime"], r["status"]) for r in back.collect()
+    )
+    assert got == orig
+    # digest/length parse back as real values
+    one = back.filter(F.col("url").endswith("/P7?a=2")).collect()
+    assert len(one) == 1
+    import hashlib
+
+    assert one[0]["digest"] == hashlib.md5(b"body 7").hexdigest()
+    assert one[0]["length"] == len(b"body 7")
+
+
+def test_cdx_lookup_is_pushed_down(spark, tmp_path):
+    """On a parquet-backed index the prefix filter must reach the scan
+    as StringStartsWith (the no-full-scan contract)."""
+    out = str(tmp_path / "idx.parquet")
+    cdx_records(_pages(spark)).write.parquet(out)
+    idx = spark.read.parquet(out)
+    plan = cdx_lookup(idx, "com,example,w3)/")._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan, plan
