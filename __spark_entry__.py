@@ -949,6 +949,73 @@ idx AS (
 """
 
 
+def _cdx_typed(spark, sf_dir):
+    """Recapture-shaped typed index for the CDX query-side reductions:
+    50 distinct urls each captured ~n/50 times at 10-minute steps (so
+    day-prefix buckets really collapse), 37 distinct payloads shared
+    across urls (so digests really repeat) — run through the full
+    cdx_records → cdx_parse chain so the contract also re-proves the
+    line round trip."""
+    from crawl_spark.sources.cdx import cdx_parse, cdx_records
+
+    i = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://w"),
+            (i % 5).cast("string"),
+            F.lit(".example.com/item/"),
+            (i % 50).cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + i * 600).alias("warc_ts"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.concat(F.lit("c"), (i % 37).cast("string")).alias("html"),
+    )
+    return cdx_parse(cdx_records(pages).select("line"))
+
+
+def q_cdx_collapse(spark, sf_dir):
+    """CDX-server `collapse=timestamp:8` (`sources/cdx.py`
+    `cdx_collapse`): one capture per url per day, the earliest, via ONE
+    partial-agg min(struct) groupBy — never a per-urlkey window (a hot
+    urlkey holds years of captures at archive scale). Oracle: DuckDB
+    row_number over (surt, day) ordered by the full tuple."""
+    from crawl_spark.sources.cdx import cdx_collapse
+
+    return cdx_collapse(_cdx_typed(spark, sf_dir), digits=8)
+
+
+def q_cdx_revisit(spark, sf_dir):
+    """Url-agnostic revisit marking (`sources/cdx.py`
+    `revisit_records`, the Heritrix/Common-Crawl dedup-at-write rule):
+    first capture per payload digest is the original, later captures
+    become revisit pointers (orig_surt/orig_ts14) — one O(distinct
+    digests) partial agg + one digest equi-join, AQE-skew-safe."""
+    from crawl_spark.sources.cdx import revisit_records
+
+    return revisit_records(_cdx_typed(spark, sf_dir))
+
+
+# Typed-index twin of _cdx_typed: surt computed directly (the full SURT
+# algebra is already oracle-proven by cdx_index; these urls are
+# lowercase, no www/port/query, so surt is a direct rewrite).
+_CDX_TYPED_ORACLE = """
+WITH idx AS (
+  SELECT
+    'com,example,w' || (doc_id % 5) || ')/item/' || (doc_id % 50) AS surt,
+    strftime(epoch_ms((CAST(1600000000 AS BIGINT) + doc_id * 600) * 1000),
+             '%Y%m%d%H%M%S') AS ts14,
+    'https://w' || (doc_id % 5) || '.example.com/item/' || (doc_id % 50)
+      AS url,
+    'text/html' AS mime,
+    '200' AS status,
+    md5('c' || (doc_id % 37)) AS digest,
+    CAST(octet_length(encode('c' || (doc_id % 37))) AS BIGINT) AS length
+  FROM documents
+)
+"""
+
+
 def q_sitemap(spark, sf_dir):
     """Sitemap parsing over synthetic payloads: most docs render a
     <urlset> with a fully-populated entry (whitespace-padded loc,
@@ -2403,6 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_links": q_wat_links,
         "cdx_index": q_cdx_index,
         "cdx_lookup": q_cdx_lookup,
+        "cdx_collapse": q_cdx_collapse,
+        "cdx_revisit": q_cdx_revisit,
         "score_quantiles": q_score_quantiles,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
@@ -3594,6 +3663,29 @@ SELECT surt, ts14, line FROM idx
         "cdx_lookup": _CDX_ORACLE + """
 SELECT surt, ts14, line FROM idx
 WHERE surt LIKE 'com,example,w3)/%'
+""",
+        "cdx_collapse": _CDX_TYPED_ORACLE + """
+SELECT surt, ts14, url, mime, status, digest, length FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY surt, substr(ts14, 1, 8)
+      ORDER BY ts14, url, mime, status, digest, length) AS rn
+  FROM idx) WHERE rn = 1
+""",
+        "cdx_revisit": _CDX_TYPED_ORACLE + """,
+firsts AS (
+  SELECT digest, ts14 AS o_ts14, surt AS o_surt, url AS o_url FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY digest ORDER BY ts14, surt, url) AS rn
+    FROM idx) WHERE rn = 1
+)
+SELECT i.surt, i.ts14, i.url, i.mime, i.status, i.digest, i.length,
+  NOT (i.ts14 = f.o_ts14 AND i.surt = f.o_surt AND i.url = f.o_url)
+    AS revisit,
+  CASE WHEN i.ts14 = f.o_ts14 AND i.surt = f.o_surt AND i.url = f.o_url
+       THEN NULL ELSE f.o_surt END AS orig_surt,
+  CASE WHEN i.ts14 = f.o_ts14 AND i.surt = f.o_surt AND i.url = f.o_url
+       THEN NULL ELSE f.o_ts14 END AS orig_ts14
+FROM idx i JOIN firsts f USING (digest)
 """,
         "wat_export": """
 WITH pages AS (

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     # artifact family — SURT keys + sorted queryable index)
     "cdx_index",
     "cdx_lookup",
+    "cdx_collapse",
+    "cdx_revisit",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

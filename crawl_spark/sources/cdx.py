@@ -196,6 +196,75 @@ def cdx_lookup(index: DataFrame, prefix: str) -> DataFrame:
     return index.filter(F.col("surt").startswith(prefix))
 
 
+def cdx_collapse(index: DataFrame, digits: int = 8) -> DataFrame:
+    """CDX-server ``collapse=timestamp:<digits>`` semantics (the public
+    pywb/OpenWayback query API): keep ONE capture per (surt,
+    ts14-prefix) bucket — the first in index order, i.e. the smallest
+    ts14, with the remaining columns as a deterministic total-order
+    tiebreak. ``digits=8`` is "one per url per day", ``digits=6`` per
+    month, ``digits=14`` a no-op.
+
+    Shape: ONE partial-agg shuffle via ``min(struct(...))`` groupBy —
+    the repo's first-occurrence pattern (cf. `dedup.token-block`),
+    never a per-key window: at 10^11 captures a hot urlkey holds years
+    of captures, but partial aggregation folds them map-side to one
+    row per (key, bucket) per input partition before the exchange.
+
+    ``index`` is typed rows (`cdx_parse`/`read_cdx` output) or any
+    frame with ``surt``/``ts14`` string columns; all other columns ride
+    through the struct unchanged.
+    """
+    if not 1 <= digits <= 14:
+        raise ValueError("cdx_collapse: digits must be in [1, 14]")
+    rest = [c for c in index.columns if c not in ("surt", "ts14")]
+    pick = F.min(
+        F.struct(F.col("ts14"), *[F.col(c) for c in rest])
+    ).alias("__first")
+    out = index.groupBy(
+        F.col("surt"), F.substring("ts14", 1, digits).alias("__bucket")
+    ).agg(pick)
+    return out.select(
+        "surt",
+        F.col("__first.ts14").alias("ts14"),
+        *[F.col("__first." + c).alias(c) for c in rest],
+    )
+
+
+def revisit_records(index: DataFrame) -> DataFrame:
+    """Url-agnostic duplicate-capture marking — the Heritrix revisit
+    rule Common Crawl applies at write time: the FIRST capture of each
+    payload ``digest`` (smallest (ts14, surt, url)) is the *original*;
+    every later capture of the same bytes becomes a ``revisit`` record
+    pointing at it (``orig_surt``/``orig_ts14``, NULL on originals).
+    Downstream, originals alone carry payload bytes — revisits are
+    pointers, which is what keeps a 100 TB archive from storing the
+    same page body thousands of times.
+
+    Shape: one partial-agg ``groupBy(digest)`` builds the O(distinct
+    digests) originals table, one equi-join on digest stamps the flag.
+    A hot digest (empty bodies, error pages) folds map-side in the agg
+    and fans out 1:1 in the join; AQE's skew-join split handles the
+    join side. Identical full rows (same digest+ts14+surt+url) are
+    indistinguishable captures and all mark as originals — documented,
+    not defended.
+    """
+    first = index.groupBy("digest").agg(
+        F.min(F.struct("ts14", "surt", "url")).alias("__o")
+    )
+    joined = index.join(first, "digest")
+    is_orig = (
+        (F.col("ts14") == F.col("__o.ts14"))
+        & (F.col("surt") == F.col("__o.surt"))
+        & (F.col("url") == F.col("__o.url"))
+    )
+    return joined.select(
+        *index.columns,
+        (~is_orig).alias("revisit"),
+        F.when(~is_orig, F.col("__o.surt")).alias("orig_surt"),
+        F.when(~is_orig, F.col("__o.ts14")).alias("orig_ts14"),
+    )
+
+
 _PAYLOAD_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),

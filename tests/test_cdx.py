@@ -10,11 +10,13 @@ from pyspark.sql import functions as F
 from crawl_spark.sources.cdx import (
     CDX_MANIFEST,
     CLUSTER_IDX,
+    cdx_collapse,
     cdx_lookup,
     cdx_lookup_files,
     cdx_parse,
     cdx_records,
     read_cdx,
+    revisit_records,
     surt_key,
     write_cdx,
 )
@@ -177,6 +179,82 @@ def test_cdx_parse_round_trip(spark):
 
     assert one[0]["digest"] == hashlib.md5(b"body 7").hexdigest()
     assert one[0]["length"] == len(b"body 7")
+
+
+def _typed_index(spark, n=400):
+    """Recapture-shaped typed index: 50 urls each captured ~n/50 times
+    at 10-minute steps, 37 distinct payloads shared across urls."""
+    pages = spark.range(n).select(
+        F.concat(
+            F.lit("https://w"),
+            (F.col("id") % 5).cast("string"),
+            F.lit(".example.com/item/"),
+            (F.col("id") % 50).cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + F.col("id") * 600).alias(
+            "warc_ts"
+        ),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.concat(F.lit("c"), (F.col("id") % 37).cast("string")).alias("html"),
+    )
+    return cdx_parse(cdx_records(pages).select("line"))
+
+
+def test_cdx_collapse_one_per_bucket_keeps_earliest(spark):
+    idx = _typed_index(spark)
+    out = cdx_collapse(idx, digits=8)
+    rows = idx.collect()
+    # python twin: first (ts14, url, mime, status, digest, length)
+    # per (surt, day)
+    want = {}
+    for r in rows:
+        key = (r["surt"], r["ts14"][:8])
+        tup = (r["ts14"], r["url"], r["mime"], r["status"], r["digest"],
+               r["length"])
+        if key not in want or tup < want[key]:
+            want[key] = tup
+    got = {
+        (r["surt"], r["ts14"][:8]): (
+            r["ts14"], r["url"], r["mime"], r["status"], r["digest"],
+            r["length"],
+        )
+        for r in out.collect()
+    }
+    assert got == want
+    assert out.count() < idx.count()  # recaptures actually collapsed
+    with pytest.raises(ValueError):
+        cdx_collapse(idx, digits=0)
+
+
+def test_cdx_collapse_digits14_is_identity(spark):
+    idx = _typed_index(spark, 120)
+    assert sorted(map(tuple, cdx_collapse(idx, 14).collect())) == sorted(
+        map(tuple, idx.collect())
+    )
+
+
+def test_revisit_records_point_at_earliest_capture(spark):
+    idx = _typed_index(spark)
+    out = revisit_records(idx).collect()
+    by_digest = {}
+    for r in idx.collect():
+        t = (r["ts14"], r["surt"], r["url"])
+        if r["digest"] not in by_digest or t < by_digest[r["digest"]]:
+            by_digest[r["digest"]] = t
+    n_orig = 0
+    for r in out:
+        o = by_digest[r["digest"]]
+        if (r["ts14"], r["surt"], r["url"]) == o:
+            assert not r["revisit"]
+            assert r["orig_surt"] is None and r["orig_ts14"] is None
+            n_orig += 1
+        else:
+            assert r["revisit"]
+            assert (r["orig_ts14"], r["orig_surt"]) == (o[0], o[1])
+            assert r["orig_ts14"] <= r["ts14"]
+    assert n_orig == len(by_digest) == 37
+    assert len(out) == idx.count()
 
 
 def test_cdx_lookup_is_pushed_down(spark, tmp_path):

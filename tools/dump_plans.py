@@ -752,6 +752,54 @@ def main() -> None:
         ),
     )
 
+    # 36. CDX index build: one projection over the scan, no Exchange
+    from crawl_spark.sources.cdx import cdx_lookup, cdx_records
+
+    cdx_pages = docs.select(
+        F.concat(
+            F.lit("https://www.w"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/Sec/P"),
+            F.col("doc_id").cast("string"),
+            F.lit("?b=2&A=1"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.col("text").alias("html"),
+    )
+    cap(
+        "CDX/CDXJ index construction (zero-Exchange SURT projection)",
+        "Round-5 continuation source/sink (sources/cdx.py): SURT key + "
+        "ts14 + CDXJ payload per capture. What the plan must show: "
+        "scan → filter → project with NO Exchange and no Python — the "
+        "whole SURT transform (regexp strip, host reverse via split/"
+        "reverse/array_join, query array_sort) plus md5/octet_length "
+        "stays in whole-stage codegen. (write_cdx then adds exactly "
+        "ONE shuffle: the repartitionByRange(surt, ts14) feeding the "
+        "sorted per-partition gzip writer.)",
+        cdx_records(cdx_pages),
+    )
+
+    # 37. CDX prefix lookup on a parquet-backed index: the filter must
+    # reach the scan as StringStartsWith (no full scan, no shuffle)
+    idx_path = os.path.join(tempfile.mkdtemp(prefix="plans_cdx_"), "idx")
+    cdx_records(cdx_pages).write.parquet(idx_path)
+    cap(
+        "CDX prefix range-lookup (pushed StringStartsWith scan filter)",
+        "Round-5 continuation (sources/cdx.py cdx_lookup): all captures "
+        "under one SURT subtree. What the plan must show: a bare "
+        "parquet scan with `PushedFilters: [..., StringStartsWith(surt,"
+        "...)]` and NO Exchange — the prefix predicate prunes row "
+        "groups via min/max stats on the sorted key, so a host lookup "
+        "touches a sliver of a petabyte index. (cdx_lookup_files goes "
+        "further driver-side: cluster.idx prunes to single gzip "
+        "members; that path is file IO, not a Spark plan.)",
+        cdx_lookup(spark.read.parquet(idx_path), "com,example,w3)/"),
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
