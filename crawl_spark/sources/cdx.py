@@ -76,6 +76,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .wat import json_escape
+from .wet import publish_dir, stage_dir
 
 CDX_MANIFEST = "_cdx_manifest.json"
 CLUSTER_IDX = "cluster.idx"
@@ -163,7 +164,20 @@ def cdx_records(
     Catalyst prunes the capture table to exactly the five input
     columns; no shuffle.
     """
-    c = F.col(content_col)
+    # Null/adversarial robustness: url and timestamp anchor the line
+    # (rows missing either are dropped below); everything else is
+    # defaulted so `line` can never null-propagate to NULL — mime is a
+    # raw response header, so control bytes (which would make the CDXJ
+    # payload invalid JSON; json_escape covers only the 5 JSON-mandated
+    # escapes) are stripped and a missing value becomes pywb's "unk";
+    # a missing status becomes "0"; a missing body digests/measures as
+    # the empty payload (Common Crawl's convention).
+    c = F.coalesce(F.col(content_col).cast("string"), F.lit(""))
+    mime = F.coalesce(
+        F.regexp_replace(F.col(mime_col), "[\\x00-\\x1f]", ""),
+        F.lit("unk"),
+    )
+    status = F.coalesce(F.col(status_col).cast("string"), F.lit("0"))
     staged = df.filter(
         F.col(url_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
@@ -171,9 +185,9 @@ def cdx_records(
         F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
         cdx_payload(
             F.col(url_col),
-            F.col(mime_col),
-            F.col(status_col),
-            F.md5(c.cast("string")),
+            mime,
+            status,
+            F.md5(c),
             F.octet_length(c),
         ).alias("__payload"),
     )
@@ -202,7 +216,9 @@ def cdx_collapse(index: DataFrame, digits: int = 8) -> DataFrame:
     ts14-prefix) bucket — the first in index order, i.e. the smallest
     ts14, with the remaining columns as a deterministic total-order
     tiebreak. ``digits=8`` is "one per url per day", ``digits=6`` per
-    month, ``digits=14`` a no-op.
+    month; ``digits=14`` still folds captures sharing an exact
+    (surt, ts14) pair (same-second recaptures keep one row — the
+    CDX-server behaves the same way at full-timestamp collapse).
 
     Shape: ONE partial-agg shuffle via ``min(struct(...))`` groupBy —
     the repo's first-occurrence pattern (cf. `dedup.token-block`),
@@ -246,22 +262,29 @@ def revisit_records(index: DataFrame) -> DataFrame:
     and fans out 1:1 in the join; AQE's skew-join split handles the
     join side. Identical full rows (same digest+ts14+surt+url) are
     indistinguishable captures and all mark as originals — documented,
-    not defended.
+    not defended. Rows with a NULL digest (e.g. `cdx_parse` of a
+    corrupt line) cannot be dedup'd: they pass through unmarked
+    (revisit=false, NULL origin) via the left join rather than being
+    silently dropped by NULL-key join semantics.
     """
-    first = index.groupBy("digest").agg(
-        F.min(F.struct("ts14", "surt", "url")).alias("__o")
+    first = (
+        index.filter(F.col("digest").isNotNull())
+        .groupBy("digest")
+        .agg(F.min(F.struct("ts14", "surt", "url")).alias("__o"))
     )
-    joined = index.join(first, "digest")
-    is_orig = (
-        (F.col("ts14") == F.col("__o.ts14"))
-        & (F.col("surt") == F.col("__o.surt"))
-        & (F.col("url") == F.col("__o.url"))
+    joined = index.join(first, "digest", "left")
+    is_rev = F.when(F.col("__o").isNull(), F.lit(False)).otherwise(
+        ~(
+            (F.col("ts14") == F.col("__o.ts14"))
+            & (F.col("surt") == F.col("__o.surt"))
+            & (F.col("url") == F.col("__o.url"))
+        )
     )
     return joined.select(
         *index.columns,
-        (~is_orig).alias("revisit"),
-        F.when(~is_orig, F.col("__o.surt")).alias("orig_surt"),
-        F.when(~is_orig, F.col("__o.ts14")).alias("orig_ts14"),
+        is_rev.alias("revisit"),
+        F.when(is_rev, F.col("__o.surt")).alias("orig_surt"),
+        F.when(is_rev, F.col("__o.ts14")).alias("orig_ts14"),
     )
 
 
@@ -329,16 +352,13 @@ def write_cdx(
     sorted text job instead). Stage + rename atomically, same contract
     as `wet.write_segments`.
     """
-    if n_shards < 1:
-        raise ValueError("write_cdx: n_shards must be >= 1")
+    if not 1 <= n_shards <= 99999:
+        # shard names are fixed-width cdx-%05d.gz: width keeps the
+        # lexicographic file order equal to the numeric (= key) order
+        raise ValueError("write_cdx: n_shards must be in [1, 99999]")
     if block_size < 1:
         raise ValueError("write_cdx: block_size must be >= 1")
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        import shutil
-
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
+    tmp = stage_dir(path)
 
     staged = (
         recs.select("surt", "ts14", "line")
@@ -393,7 +413,9 @@ def write_cdx(
         for r in staged.mapInPandas(write_shard, _IDX_SCHEMA)
         .collect()
     ]
-    idx.sort(key=lambda t: (t[1], t[2]))  # file order == key order
+    # numeric shard id then offset == key order (fixed-width names make
+    # the lexicographic manifest order agree; sort numerically anyway)
+    idx.sort(key=lambda t: (int(t[1][4:-3]), t[2]))
     with open(os.path.join(tmp, CLUSTER_IDX), "w", encoding="utf-8") as f:
         for key, name, off, clen, n in idx:
             f.write("%s\t%s\t%d\t%d\t%d\n" % (key, name, off, clen, n))
@@ -407,11 +429,7 @@ def write_cdx(
     }
     with open(os.path.join(tmp, CDX_MANIFEST), "w", encoding="utf-8") as f:
         json.dump(manifest, f, sort_keys=True)
-    if os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    publish_dir(tmp, path)
     return manifest
 
 

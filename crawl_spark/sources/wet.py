@@ -40,6 +40,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import shutil
 from typing import Iterator
 
 import pandas as pd
@@ -53,6 +54,26 @@ from .warc import parse_warc_bytes
 WET_MANIFEST = "_wet_manifest.json"
 
 _CRLF = "\r\n"
+
+
+def stage_dir(path: str) -> str:
+    """Create a fresh ``<path>.tmp`` staging directory — the first half
+    of the atomic-publish protocol every WARC-family sink (WET/WAT/CDX)
+    shares: write everything into the staging dir, then `publish_dir`
+    renames it over the target in one filesystem operation."""
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    return tmp
+
+
+def publish_dir(tmp: str, path: str) -> None:
+    """Atomically publish a `stage_dir` staging directory over ``path``
+    (remove any previous output, then one rename)."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def wet_record(
@@ -166,12 +187,7 @@ def write_segments(
     ``n_shards``."""
     if n_shards < 1:
         raise ValueError("write_segments: n_shards must be >= 1")
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        import shutil
-
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
+    tmp = stage_dir(path)
     recs = recs.select(
         "url",
         "record",
@@ -225,11 +241,7 @@ def write_segments(
     }
     with open(os.path.join(tmp, manifest_name), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    if os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    publish_dir(tmp, path)
     return manifest
 
 

@@ -181,6 +181,54 @@ def test_cdx_parse_round_trip(spark):
     assert one[0]["length"] == len(b"body 7")
 
 
+def test_cdx_records_null_and_control_byte_robustness(spark):
+    """mime/status/body may be missing or hostile (raw response
+    headers): the line must never null out, control bytes must not
+    produce invalid JSON, and the payload must still parse back."""
+    import hashlib
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.b/p1", "2020-09-13 12:26:40", None, None, None),
+            ("https://a.b/p2", "2020-09-13 12:26:41",
+             "text/\x0bhtml\x00", 200, "x"),
+        ],
+        "url string, warc_ts string, mime string, status int, html string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    back = cdx_parse(cdx_records(pages).select("line")).collect()
+    assert len(back) == 2
+    r1 = next(r for r in back if r["url"].endswith("/p1"))
+    assert r1["mime"] == "unk" and r1["status"] == "0"
+    assert r1["digest"] == hashlib.md5(b"").hexdigest() and r1["length"] == 0
+    r2 = next(r for r in back if r["url"].endswith("/p2"))
+    assert r2["mime"] == "text/html"  # control bytes stripped
+
+
+def test_revisit_null_digest_passes_through_unmarked(spark):
+    idx = _typed_index(spark, 60).unionByName(
+        spark.createDataFrame(
+            [("x)/p", "20200101000000", "https://x/p", "unk", "0",
+              None, 0)],
+            "surt string, ts14 string, url string, mime string, "
+            "status string, digest string, length long",
+        )
+    )
+    out = revisit_records(idx)
+    assert out.count() == 61
+    nulls = out.filter(F.col("digest").isNull()).collect()
+    assert len(nulls) == 1
+    assert nulls[0]["revisit"] is False
+    assert nulls[0]["orig_surt"] is None and nulls[0]["orig_ts14"] is None
+
+
+def test_write_cdx_rejects_overflowing_shard_count(spark, tmp_path):
+    with pytest.raises(ValueError):
+        write_cdx(
+            cdx_records(_pages(spark, 5)), str(tmp_path / "o"),
+            n_shards=100000,
+        )
+
+
 def _typed_index(spark, n=400):
     """Recapture-shaped typed index: 50 urls each captured ~n/50 times
     at 10-minute steps, 37 distinct payloads shared across urls."""
