@@ -305,6 +305,45 @@ def test_revisit_records_point_at_earliest_capture(spark):
     assert len(out) == idx.count()
 
 
+def test_warc_to_cdx_full_circle(spark, tmp_path):
+    """WARC in → CDX index out → cluster.idx lookup finds the capture
+    with the digest/length of the archived bytes — the archive-side
+    circle (WET/WAT carry content; CDX makes it findable)."""
+    import datetime as dt
+    import hashlib
+
+    from crawl_spark.sources.warc import read_warc, write_warc
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    recs = [
+        {
+            "url": "http://w%d.example/Page/%d" % (i % 2, i),
+            "warc_ts": dt.datetime(2026, 2, 1, 0, 0, i),
+            "html": ("<html><body>doc %d</body></html>" % i).encode("utf-8"),
+        }
+        for i in range(6)
+    ]
+    write_warc(str(d / "seg.warc.gz"), recs, compress=True)
+    pages = read_warc(spark, str(d)).select(
+        "url",
+        "warc_ts",
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.col("html").cast("string").alias("html"),
+    )
+    out = str(tmp_path / "cdx")
+    man = write_cdx(cdx_records(pages), out, n_shards=2, block_size=4)
+    assert man["n_lines"] == 6
+    hit = cdx_lookup_files(spark, out, "example,w1)/page/3").collect()
+    assert len(hit) == 1
+    body = b"<html><body>doc 3</body></html>"
+    assert hit[0]["url"] == "http://w1.example/Page/3"
+    assert hit[0]["digest"] == hashlib.md5(body).hexdigest()
+    assert hit[0]["length"] == len(body)
+    assert hit[0]["ts14"] == "20260201000003"
+
+
 def test_cdx_lookup_is_pushed_down(spark, tmp_path):
     """On a parquet-backed index the prefix filter must reach the scan
     as StringStartsWith (the no-full-scan contract)."""
