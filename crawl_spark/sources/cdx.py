@@ -433,6 +433,25 @@ def write_cdx(
     return manifest
 
 
+def write_cdx_table(
+    index: DataFrame, path: str, n_shards: int = 4
+) -> None:
+    """The parquet twin of `write_cdx` (DEPLOY.md "Storage layout"):
+    typed index rows as a range-sorted parquet table — the analytics
+    read path, where a `cdx_lookup` prefix filter pushes to the scan
+    as ``StringStartsWith`` and the within-file (surt, ts14) sort makes
+    min/max row-group pruning effective (a host lookup reads a sliver).
+    Same ONE range shuffle as `write_cdx`; columnar instead of
+    gzip-blocked lines. Use `spark.read.parquet(path)` + `cdx_lookup`
+    to query it."""
+    (
+        index.repartitionByRange(n_shards, "surt", "ts14")
+        .sortWithinPartitions("surt", "ts14")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     """Read a `write_cdx` file set back as typed rows (`cdx_parse`).
     Gzip members concatenate transparently (Hadoop's codec inflates

@@ -19,6 +19,7 @@ from crawl_spark.sources.cdx import (
     revisit_records,
     surt_key,
     write_cdx,
+    write_cdx_table,
 )
 
 # hand-computed goldens for every branch of the SURT contract
@@ -345,10 +346,18 @@ def test_warc_to_cdx_full_circle(spark, tmp_path):
 
 
 def test_cdx_lookup_is_pushed_down(spark, tmp_path):
-    """On a parquet-backed index the prefix filter must reach the scan
-    as StringStartsWith (the no-full-scan contract)."""
+    """On the parquet twin (`write_cdx_table`) the prefix filter must
+    reach the scan as StringStartsWith (the no-full-scan contract),
+    and the lookup must agree with the gzip-file path."""
     out = str(tmp_path / "idx.parquet")
-    cdx_records(_pages(spark)).write.parquet(out)
+    typed = _typed_index(spark, 200)
+    write_cdx_table(typed, out, n_shards=3)
     idx = spark.read.parquet(out)
+    assert idx.count() == 200
     plan = cdx_lookup(idx, "com,example,w3)/")._jdf.queryExecution().executedPlan().toString()
     assert "StartsWith" in plan, plan
+    got = sorted(map(tuple, cdx_lookup(idx, "com,example,w3)/").collect()))
+    want = sorted(
+        map(tuple, typed.filter(F.col("surt").startswith("com,example,w3)/")).collect())
+    )
+    assert got == want and len(got) > 0
