@@ -129,11 +129,18 @@ def surt_key(url: Column) -> Column:
 
 
 def cdx_payload(
-    url: Column, mime: Column, status: Column, digest: Column, length: Column
+    url: Column,
+    mime: Column,
+    status: Column,
+    digest: Column,
+    length: Column,
+    pointer: tuple[Column, Column, Column] | None = None,
 ) -> Column:
     """The CDXJ JSON payload — fixed key order by construction (concat,
-    never a dict), same determinism contract as `wat.wat_payload`."""
-    return F.concat(
+    never a dict), same determinism contract as `wat.wat_payload`.
+    ``pointer=(filename, offset, rlength)`` appends the WARC
+    record-pointer fields (see `cdx_records`)."""
+    parts = [
         F.lit('{"url":"'),
         json_escape(url),
         F.lit('","mime":"'),
@@ -144,8 +151,18 @@ def cdx_payload(
         digest,
         F.lit('","length":"'),
         length.cast("string"),
-        F.lit('"}'),
-    )
+    ]
+    if pointer is not None:
+        fname, off, rlen = pointer
+        parts += [
+            F.lit('","offset":"'),
+            off.cast("string"),
+            F.lit('","rlength":"'),
+            rlen.cast("string"),
+            F.lit('","filename":"'),
+            json_escape(fname),
+        ]
+    return F.concat(*parts, F.lit('"}'))
 
 
 def cdx_records(
@@ -155,14 +172,24 @@ def cdx_records(
     mime_col: str = "mime",
     status_col: str = "status",
     content_col: str = "html",
+    pointer_cols: tuple[str, str, str] | None = None,
 ) -> DataFrame:
     """One CDXJ record per capture → ``(surt, ts14, line)``.
 
     digest/length are computed from ``content_col`` (md5 hex / UTF-8
     octet length). Rows missing url or timestamp are dropped (an index
     line is anchored to a capture). One projection over the scan —
-    Catalyst prunes the capture table to exactly the five input
-    columns; no shuffle.
+    Catalyst prunes the capture table to exactly the input columns; no
+    shuffle.
+
+    ``pointer_cols=(filename, offset, length)`` (the
+    `warc.read_warc_with_offsets` triple) appends the record-pointer
+    fields real CC CDXJ carries — ``"offset"``/``"rlength"``/
+    ``"filename"`` — so a consumer can `warc.fetch_warc_record` the
+    capture straight off the index line. (CC names the record length
+    ``length``; this module already uses ``length`` for payload octets,
+    so the pointer field is ``rlength`` — a documented, not hidden,
+    divergence like md5-vs-sha1b32.)
     """
     # Null/adversarial robustness: url and timestamp anchor the line
     # (rows missing either are dropped below); everything else is
@@ -178,18 +205,23 @@ def cdx_records(
         F.lit("unk"),
     )
     status = F.coalesce(F.col(status_col).cast("string"), F.lit("0"))
+    pointer = None
+    if pointer_cols is not None:
+        fn_col, off_col, len_col = pointer_cols
+        pointer = (
+            F.coalesce(F.col(fn_col), F.lit("")),
+            F.coalesce(F.col(off_col), F.lit(-1)),
+            F.coalesce(F.col(len_col), F.lit(-1)),
+        )
+    payload = cdx_payload(
+        F.col(url_col), mime, status, F.md5(c), F.octet_length(c), pointer
+    )
     staged = df.filter(
         F.col(url_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
         surt_key(F.col(url_col)).alias("surt"),
         F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
-        cdx_payload(
-            F.col(url_col),
-            mime,
-            status,
-            F.md5(c),
-            F.octet_length(c),
-        ).alias("__payload"),
+        payload.alias("__payload"),
     )
     return staged.select(
         "surt",
@@ -295,17 +327,25 @@ _PAYLOAD_SCHEMA = T.StructType(
         T.StructField("status", T.StringType()),
         T.StructField("digest", T.StringType()),
         T.StructField("length", T.StringType()),
+        T.StructField("offset", T.StringType()),
+        T.StructField("rlength", T.StringType()),
+        T.StructField("filename", T.StringType()),
     ]
 )
 
 
-def cdx_parse(lines: DataFrame, line_col: str = "line") -> DataFrame:
+def cdx_parse(
+    lines: DataFrame, line_col: str = "line", with_pointers: bool = False
+) -> DataFrame:
     """The consumer inverse: parse CDXJ lines back to typed columns
     ``(surt, ts14, url, mime, status, digest, length)``. Splits on the
     two framing spaces JVM-side (SURT keys and ts14 are space-free by
     construction; the JSON payload is everything after the second
     space) and hands the payload to Jackson ``from_json`` — the same
-    escape-inverse proof shape as `wat.wat_links`."""
+    escape-inverse proof shape as `wat.wat_links`. ``with_pointers``
+    adds the WARC record-pointer columns (offset/rlength/filename —
+    NULL on lines indexed without them); the default output schema is
+    unchanged so existing consumers/oracles are unaffected."""
     line = F.col(line_col)
     surt = F.substring_index(line, " ", 1)
     ts14 = F.substring_index(F.substring_index(line, " ", 2), " ", -1)
@@ -317,15 +357,22 @@ def cdx_parse(lines: DataFrame, line_col: str = "line") -> DataFrame:
         ts14.alias("ts14"),
         F.from_json(payload, _PAYLOAD_SCHEMA).alias("p"),
     )
-    return parsed.select(
-        "surt",
-        "ts14",
+    cols = [
+        F.col("surt"),
+        F.col("ts14"),
         F.col("p.url").alias("url"),
         F.col("p.mime").alias("mime"),
         F.col("p.status").alias("status"),
         F.col("p.digest").alias("digest"),
         F.col("p.length").cast("long").alias("length"),
-    )
+    ]
+    if with_pointers:
+        cols += [
+            F.col("p.offset").cast("long").alias("offset"),
+            F.col("p.rlength").cast("long").alias("rlength"),
+            F.col("p.filename").alias("filename"),
+        ]
+    return parsed.select(*cols)
 
 
 def write_cdx(
@@ -452,7 +499,9 @@ def write_cdx_table(
     )
 
 
-def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+def read_cdx(
+    spark: SparkSession, path: str, with_pointers: bool = False
+) -> DataFrame:
     """Read a `write_cdx` file set back as typed rows (`cdx_parse`).
     Gzip members concatenate transparently (Hadoop's codec inflates
     multi-member streams), so this is a plain text scan of the shard
@@ -460,7 +509,10 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     with open(os.path.join(path, CDX_MANIFEST), encoding="utf-8") as f:
         manifest = json.load(f)
     paths = [os.path.join(path, name) for name in manifest["files"]]
-    return cdx_parse(spark.read.text(paths).withColumnRenamed("value", "line"))
+    return cdx_parse(
+        spark.read.text(paths).withColumnRenamed("value", "line"),
+        with_pointers=with_pointers,
+    )
 
 
 def _read_cluster_idx(path: str) -> list:
@@ -473,7 +525,7 @@ def _read_cluster_idx(path: str) -> list:
 
 
 def cdx_lookup_files(
-    spark: SparkSession, path: str, prefix: str
+    spark: SparkSession, path: str, prefix: str, with_pointers: bool = False
 ) -> DataFrame:
     """Prefix lookup through cluster.idx: prune to candidate *blocks*
     driver-side (the idx is tiny and sorted — a block can hold keys in
@@ -507,4 +559,4 @@ def cdx_lookup_files(
     df = spark.createDataFrame(lines, T.StructType(
         [T.StructField("line", T.StringType())]
     ))
-    return cdx_parse(df)
+    return cdx_parse(df, with_pointers=with_pointers)

@@ -43,35 +43,18 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a gzip stream of one or more concatenated members."""
-    out = []
-    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-    rest = data
-    while rest:
-        out.append(d.decompress(rest))
-        rest = d.unused_data
-        if rest:
-            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        else:
-            break
-    return b"".join(out)
-
-
-def parse_warc_bytes(data: bytes, warc_type: str = "response") -> list[dict]:
-    """Parse WARC bytes → list of record dicts (url, warc_ts, html) for
-    records of ``warc_type`` (default ``response`` — the fetch-capture
-    records; ``conversion`` for WET extracted-text segments, where the
-    body IS the payload with no HTTP envelope). Other record types are
-    skipped; truncated trailing garbage is ignored (a segment is
-    best-effort, like real crawl data)."""
-    want_type = warc_type.encode("ascii")
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
-    records = []
+def _walk_records(
+    data: bytes, want_type: bytes
+) -> Iterator[tuple[int, int, dict]]:
+    """Walk raw (uncompressed) WARC bytes → (offset, length, rec) per
+    record of ``want_type``; offset/length locate the record block
+    (header through trailing CRLFs) within ``data``. Truncated trailing
+    garbage is ignored (a segment is best-effort, like real crawl
+    data); non-record bytes resync to the next ``WARC/1.`` marker."""
     pos = 0
     n = len(data)
     while pos < n:
+        start = pos
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
             break
@@ -112,8 +95,71 @@ def parse_warc_bytes(data: bytes, warc_type: str = "response") -> list[dict]:
         else:
             # conversion (WET) and other types: the body IS the payload
             payload = body
-        records.append({"url": url, "warc_ts": ts, "html": payload})
-    return records
+        yield start, pos - start, {"url": url, "warc_ts": ts, "html": payload}
+
+
+def parse_warc_records(
+    data: bytes, warc_type: str = "response"
+) -> Iterator[tuple[int, int, dict]]:
+    """Parse WARC bytes → (offset, length, rec) per record of
+    ``warc_type``. offset/length are FILE coordinates a reader can
+    range-fetch and re-parse: for Common-Crawl-layout gzip (one member
+    per record) they locate the compressed member; for whole-stream
+    gzip every record reports the one member holding it (documented —
+    that layout has no per-record random access); for plain bytes they
+    locate the record block. This is the pointer triple real CDX lines
+    carry (``filename``/``offset``/``length``)."""
+    want_type = warc_type.encode("ascii")
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(data)
+        while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                raw = d.decompress(data[pos:])
+            except zlib.error:
+                break
+            consumed = (n - pos) - len(d.unused_data)
+            if consumed <= 0:
+                break
+            for _, _, rec in _walk_records(raw, want_type):
+                yield pos, consumed, rec
+            pos += consumed
+    else:
+        yield from _walk_records(data, want_type)
+
+
+def parse_warc_bytes(data: bytes, warc_type: str = "response") -> list[dict]:
+    """Parse WARC bytes → list of record dicts (url, warc_ts, html) for
+    records of ``warc_type`` (default ``response`` — the fetch-capture
+    records; ``conversion`` for WET extracted-text segments, where the
+    body IS the payload with no HTTP envelope). Other record types are
+    skipped; truncated trailing garbage is ignored (a segment is
+    best-effort, like real crawl data)."""
+    return [rec for _, _, rec in parse_warc_records(data, warc_type)]
+
+
+def fetch_warc_record(
+    path: str, offset: int, length: int, url: str | None = None
+) -> dict | None:
+    """The CDX random-access read: range-fetch ``length`` bytes at
+    ``offset`` in a WARC file (one seek+read — on object storage this
+    is one ranged GET), inflate/parse just that slice, return the
+    record dict (or the one matching ``url`` when the slice is a
+    multi-record whole-stream member). Returns None when no record
+    matches."""
+    if path.startswith("file:"):
+        path = path[5:]  # binaryFile reports file: URIs
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    recs = parse_warc_bytes(blob)
+    if url is None:
+        return recs[0] if recs else None
+    for rec in recs:
+        if rec["url"] == url:
+            return rec
+    return None
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -141,6 +187,50 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("content").mapInPandas(fn, PAGES_SCHEMA)
+
+
+PAGES_OFFSETS_SCHEMA = T.StructType(
+    list(PAGES_SCHEMA.fields)
+    + [
+        T.StructField("warc_filename", T.StringType()),
+        T.StructField("warc_offset", T.LongType()),
+        T.StructField("warc_length", T.LongType()),
+    ]
+)
+
+
+def read_warc_with_offsets(spark: SparkSession, path: str) -> DataFrame:
+    """`read_warc` plus the record-pointer triple
+    (warc_filename, warc_offset, warc_length) — what a CDX index line
+    needs so a consumer can range-fetch ONE record out of a petabyte
+    archive (`fetch_warc_record`). Same file-granular scan + one
+    mapInPandas parse; filenames are the scan's own `path` column."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                for off, ln, rec in parse_warc_records(bytes(content)):
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "warc_ts": rec["warc_ts"],
+                            "html": rec["html"],
+                            "text": None,
+                            "lang": None,
+                            "warc_filename": fname,
+                            "warc_offset": off,
+                            "warc_length": ln,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAGES_OFFSETS_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        fn, PAGES_OFFSETS_SCHEMA
+    )
 
 
 def write_warc(path: str, records: list[dict], compress: bool = False) -> str:

@@ -345,6 +345,107 @@ def test_warc_to_cdx_full_circle(spark, tmp_path):
     assert hit[0]["ts14"] == "20260201000003"
 
 
+def test_cdx_pointer_random_access_circle(spark, tmp_path):
+    """The complete Common-Crawl access stack: WARC with per-record
+    gzip members → offset-aware read → CDX lines carrying the record
+    pointer → cluster.idx lookup → ONE range fetch returns the exact
+    archived payload."""
+    import datetime as dt
+
+    from crawl_spark.sources.warc import (
+        fetch_warc_record,
+        read_warc_with_offsets,
+        write_warc,
+    )
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    recs = [
+        {
+            "url": "http://w%d.example/p/%d" % (i % 3, i),
+            "warc_ts": dt.datetime(2026, 3, 1, 0, 0, i),
+            "html": ("<html>payload %d</html>" % i).encode("utf-8"),
+        }
+        for i in range(9)
+    ]
+    write_warc(str(d / "a.warc.gz"), recs[:5], compress=True)
+    write_warc(str(d / "b.warc.gz"), recs[5:], compress=True)
+    pages = read_warc_with_offsets(spark, str(d)).select(
+        "url",
+        "warc_ts",
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.col("html").cast("string").alias("html"),
+        "warc_filename",
+        "warc_offset",
+        "warc_length",
+    )
+    out = str(tmp_path / "cdx")
+    write_cdx(
+        cdx_records(
+            pages,
+            pointer_cols=("warc_filename", "warc_offset", "warc_length"),
+        ),
+        out,
+        n_shards=2,
+        block_size=4,
+    )
+    hits = cdx_lookup_files(
+        spark, out, "example,w1)/p/7", with_pointers=True
+    ).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert h["rlength"] > 0 and h["offset"] >= 0 and h["filename"]
+    rec = fetch_warc_record(h["filename"], h["offset"], h["rlength"])
+    assert rec is not None
+    assert rec["url"] == "http://w1.example/p/7"
+    assert rec["html"] == b"<html>payload 7</html>"
+    # pointer-less lines parse with NULL pointers under the same schema
+    plain = cdx_records(pages.drop("warc_filename", "warc_offset",
+                                   "warc_length"))
+    row = cdx_parse(plain.select("line"), with_pointers=True).first()
+    assert row["offset"] is None and row["filename"] is None
+
+
+def test_read_warc_with_offsets_matches_plain_read(spark, tmp_path):
+    """Offsets point at real members: every (offset, length) slice
+    re-parses to exactly its record, and url/ts/html agree with
+    read_warc."""
+    import datetime as dt
+
+    from crawl_spark.sources.warc import (
+        fetch_warc_record,
+        read_warc,
+        read_warc_with_offsets,
+        write_warc,
+    )
+
+    d = tmp_path / "w"
+    d.mkdir()
+    recs = [
+        {
+            "url": "http://h.example/%d" % i,
+            "warc_ts": dt.datetime(2026, 4, 1, 0, 0, i),
+            "html": ("b%d" % i).encode(),
+        }
+        for i in range(7)
+    ]
+    write_warc(str(d / "s.warc.gz"), recs, compress=True)
+    write_warc(str(d / "t.warc"), recs[:3], compress=False)  # plain too
+    plain = {
+        (r["url"], r["warc_ts"]): bytes(r["html"])
+        for r in read_warc(spark, str(d)).collect()
+    }
+    rows = read_warc_with_offsets(spark, str(d)).collect()
+    assert len(rows) == len(plain) + 3  # 3 urls appear in both files
+    for r in rows:
+        assert plain[(r["url"], r["warc_ts"])] == bytes(r["html"])
+        rec = fetch_warc_record(
+            r["warc_filename"], r["warc_offset"], r["warc_length"]
+        )
+        assert rec["url"] == r["url"] and rec["html"] == bytes(r["html"])
+
+
 def test_cdx_lookup_is_pushed_down(spark, tmp_path):
     """On the parquet twin (`write_cdx_table`) the prefix filter must
     reach the scan as StringStartsWith (the no-full-scan contract),
