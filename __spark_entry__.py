@@ -716,6 +716,25 @@ def q_score_quantiles(spark, sf_dir):
     )
 
 
+def q_kll_quantiles(spark, sf_dir):
+    """Mergeable KLL quantile sketch (`operators/sketch.py`) — the
+    100 TB arm of the gate-calibration trade (score_quantiles is exact
+    but buffers group values). At contract scale every stratum fits an
+    uncompacted k=4096 sketch, where the sketch quantile is EXACTLY the
+    rank statistic min{v : rank(v) >= ceil(p*n)} — replayed bit-for-bit
+    by the DuckDB oracle (CEIL(p*n) on IEEE doubles both sides). The
+    compacting regime (the actual scale path) is rank-error-bounded in
+    tests/test_sketch.py."""
+    from crawl_spark.operators.sketch import kll_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return kll_quantiles(
+        d.select("lang", F.col("n_chars").cast("double").alias("score")),
+        probs=(0.0, 0.1, 0.5, 0.9, 1.0),
+        k=4096,
+    )
+
+
 def q_wet_export(spark, sf_dir):
     """WET conversion-record formatting (the sink half of the WARC/WET
     round trip, `sources/wet.py`): each document renders its full
@@ -2473,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_collapse": q_cdx_collapse,
         "cdx_revisit": q_cdx_revisit,
         "score_quantiles": q_score_quantiles,
+        "kll_quantiles": q_kll_quantiles,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
         "latest_capture": q_latest_capture,
@@ -2541,6 +2561,7 @@ from crawl_spark.operators.textops import (  # noqa: E402
     PII_PHONE_RE as _PII_PHONE,
     score_quantiles_oracle_sql,
 )
+from crawl_spark.operators.sketch import kll_quantiles_oracle_sql  # noqa: E402
 
 # 2-token re-lining (the \1 backref is RE2 rewrite syntax; the Spark twin
 # uses $1 — same replacement, dialect-local spelling)
@@ -3626,6 +3647,10 @@ UNION ALL SELECT doc_id, doc_id + 13 FROM documents WHERE doc_id % 29 = 0"""
         "score_quantiles": score_quantiles_oracle_sql(
             "SELECT lang, CAST(n_chars AS DOUBLE) AS score FROM documents",
             probs=(0.1, 0.25, 0.5, 0.75, 0.9),
+        ),
+        "kll_quantiles": kll_quantiles_oracle_sql(
+            "SELECT lang, CAST(n_chars AS DOUBLE) AS score FROM documents",
+            probs=(0.0, 0.1, 0.5, 0.9, 1.0),
         ),
         "wet_export": """
 WITH pages AS (

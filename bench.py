@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "cdx_lookup",
     "cdx_collapse",
     "cdx_revisit",
+    # round-5 continuation: mergeable KLL quantile sketch (the 100 TB
+    # arm of gate calibration; exact-regime oracle, bounded elsewhere)
+    "kll_quantiles",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages
