@@ -732,6 +732,8 @@ def q_kll_quantiles(spark, sf_dir):
         d.select("lang", F.col("n_chars").cast("double").alias("score")),
         probs=(0.0, 0.1, 0.5, 0.9, 1.0),
         k=4096,
+        require_exact=True,  # oracle validity is the exact regime; a
+        # data regen that compacts a stratum fails loudly, not silently
     )
 
 

@@ -112,6 +112,11 @@ class KLL:
         v = v[~np.isnan(v)]
         if len(v) == 0:
             return
+        # normalize -0.0 → +0.0: the canonical fold order compares by
+        # VALUE while the compaction coin hashes BYTES — a mixed-zero
+        # stratum would otherwise leak shuffle-arrival order into the
+        # parity (IEEE: -0.0 + 0.0 == +0.0)
+        v = v + 0.0
         self.vmin = min(self.vmin, float(v.min()))
         self.vmax = max(self.vmax, float(v.max()))
         self.levels[0] = np.concatenate([self.levels[0], v])
@@ -174,16 +179,26 @@ def kll_quantiles(
     strata: tuple[str, ...] = ("lang",),
     probs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
     k: int = 256,
+    require_exact: bool = False,
 ) -> DataFrame:
     """Per-stratum KLL quantiles of ``score_col`` →
     ``(*strata, p, q, n)`` rows, ``q`` rounded to 6 dp (the repo's
     float-hash rule), ``n`` the stratum count. NaN/NULL scores are
     dropped (they carry no rank). See module docstring for the
     determinism and exactness contracts; rank error of the compacting
-    regime is validated against numpy in tests/test_sketch.py."""
+    regime is validated against numpy in tests/test_sketch.py.
+
+    ``require_exact=True`` raises in the merge task if any stratum's
+    merged sketch compacted — for callers (like the oracle-checked
+    contract query) whose correctness depends on the exact regime, so
+    a silent drift into approximation becomes a named failure."""
     plist = [float(p) for p in probs]
     if not plist:
         raise ValueError("kll_quantiles: probs must be non-empty")
+    if len(set(plist)) != len(plist):
+        # the SQL twin's GROUP BY would collapse duplicates; reject
+        # them here so the two row counts can never disagree
+        raise ValueError("kll_quantiles: probs must be distinct")
     sfields = [f for f in df.schema.fields if f.name in strata]
     if len(sfields) != len(strata):
         missing = set(strata) - {f.name for f in df.schema.fields}
@@ -246,6 +261,12 @@ def kll_quantiles(
             other.levels[lvl] = np.asarray(vals, dtype=np.float64)
             sk.merge(other)
         key = [pdf[s].iloc[0] for s in scols]
+        if require_exact and sk.compacted():
+            raise ValueError(
+                "kll_quantiles(require_exact=True): stratum %r compacted "
+                "(count %d exceeds the exact regime for k=%d) — raise k "
+                "or drop the exactness requirement" % (key, sk.n, k)
+            )
         rows = [
             (*key, p, round(sk.quantile(p), 6), sk.n) for p in plist
         ]
@@ -269,6 +290,8 @@ def kll_quantiles_oracle_sql(
     compacting regime has no SQL twin and is bound-checked in pytest."""
     sc = ", ".join(strata)
     plist = [float(p) for p in probs]
+    if len(set(plist)) != len(plist):
+        raise ValueError("kll_quantiles_oracle_sql: probs must be distinct")
     pvals = ", ".join(f"CAST({p!r} AS DOUBLE)" for p in plist)
     return f"""
 WITH x AS ({inner_sql}),
@@ -277,6 +300,7 @@ v AS (
          row_number() OVER (PARTITION BY {sc} ORDER BY CAST({score_col} AS DOUBLE)) AS rn,
          count(*) OVER (PARTITION BY {sc}) AS n
   FROM x WHERE {score_col} IS NOT NULL
+    AND NOT isnan(CAST({score_col} AS DOUBLE))
 ),
 p AS (SELECT unnest([{pvals}]) AS p)
 SELECT {sc}, p.p AS p,

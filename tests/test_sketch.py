@@ -81,10 +81,10 @@ def test_kll_deterministic_and_any_merge_order_bounded():
             assert abs(rank - p * len(s)) <= 0.03 * len(s), (p, q)
 
 
-def test_kll_quantiles_spark_matches_local_sketch(spark):
-    """The Spark two-stage pipeline over ONE partition equals the local
-    sketch fed the same rows in order; multi-partition stays within the
-    rank-error bound; tiny strata are exact per stratum."""
+def test_kll_quantiles_spark_exact_regime_and_bounds(spark):
+    """Exact regime per stratum (k above every stratum size) equals the
+    rank statistic; multi-partition compacting run stays within the
+    rank-error bound."""
     rng = np.random.RandomState(5)
     vals = rng.lognormal(0, 1, 5000)
     langs = np.where(np.arange(5000) % 3 == 0, "en", "de")
@@ -119,6 +119,71 @@ def test_kll_quantiles_spark_matches_local_sketch(spark):
         rank = np.searchsorted(sub, r["q"], side="right")
         assert r["n"] == len(sub)
         assert abs(rank - r["p"] * len(sub)) <= 0.02 * len(sub), r
+
+
+def test_kll_quantiles_spark_equals_local_sketch_when_compacting(spark):
+    """Single-partition pipeline == a local sketch fed the same rows in
+    the same (one-batch) order, INCLUDING the compacting regime: the
+    canonical fold of a single partial's level rows reconstructs that
+    partial bit-for-bit (intermediate caps only loosen), so the
+    documented Spark ≡ local-sketch property is pinned, not assumed."""
+    rng = np.random.RandomState(13)
+    vals = rng.lognormal(0, 1, 5000)
+    df = spark.createDataFrame(
+        [("en", float(v)) for v in vals], "lang string, score double"
+    )
+    got = {
+        r["p"]: (r["q"], r["n"])
+        for r in kll_quantiles(
+            df.coalesce(1), "score", ("lang",), PROBS, k=128
+        ).collect()
+    }
+    sk = KLL(128)
+    # replicate the session's Arrow chunking (maxRecordsPerBatch=128,
+    # crawl_spark/session.py) — add boundaries shift compaction points
+    for i in range(0, len(vals), 128):
+        sk.add(vals[i : i + 128])
+    assert sk.compacted()
+    for p in PROBS:
+        assert got[p] == (round(sk.quantile(p), 6), sk.n), p
+
+
+def test_kll_negative_zero_fold_determinism():
+    """-0.0 normalizes to +0.0 at add time, so value-equal partials are
+    byte-equal and the canonical fold order cannot leak arrival order
+    into the compaction parity."""
+    a, b = KLL(8), KLL(8)
+    filler = np.arange(1.0, 20.0)
+    a.add(np.concatenate([[0.0], filler]))
+    a2 = KLL(8)
+    a2.add(np.concatenate([[-0.0], filler]))
+    b.merge(a2)
+    sk1, sk2 = KLL(8), KLL(8)
+    sk1.merge(a)
+    sk1.merge(b)
+    sk2.merge(b)
+    sk2.merge(a)
+    assert [x.tolist() for x in sk1.levels[1:]] == [
+        x.tolist() for x in sk2.levels[1:]
+    ]
+
+
+def test_kll_quantiles_require_exact_and_duplicate_probs(spark):
+    df = spark.createDataFrame(
+        [("en", float(i)) for i in range(500)], "lang string, score double"
+    )
+    with pytest.raises(ValueError):
+        kll_quantiles(df, "score", ("lang",), (0.5, 0.5))
+    # k=64 << 500 -> compacts -> require_exact raises in the merge task
+    import py4j.protocol
+
+    with pytest.raises(Exception) as ei:
+        kll_quantiles(
+            df, "score", ("lang",), (0.5,), k=64, require_exact=True
+        ).collect()
+    assert "require_exact" in str(ei.value)
+    # without the flag the same call succeeds
+    assert kll_quantiles(df, "score", ("lang",), (0.5,), k=64).count() == 1
 
 
 def test_kll_quantiles_null_scores_and_missing_strata(spark):
