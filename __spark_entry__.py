@@ -737,6 +737,34 @@ def q_kll_quantiles(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Mergeable HyperLogLog distinct-URL counts per host
+    (`operators/hll.py`) — the cross-round cardinality arm: registers
+    are a MAX-mergeable table (delta-log shape), the estimate never
+    touches raw keys again. Every intermediate is integer-exact
+    cross-engine (md5 hex split, length(bin(w)) rank, DECIMAL
+    micro-unit harmonic sum); DuckDB replays the identical pipeline
+    bit for bit. Contract scale sits in the linear-counting branch;
+    the raw-branch parity + error bounds live in tests/test_hll.py."""
+    from crawl_spark.operators.hll import hll_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    urls = d.select(
+        F.concat(F.lit("h"), (i % 3).cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.concat(F.lit("https://p/"), i.cast("string")).alias("url"),
+    ).unionByName(
+        d.select(
+            F.concat(F.lit("d"), (i % 7).cast("string"), F.lit(".example"))
+            .alias("host"),
+            F.concat(F.lit("https://q/"), (i % 97).cast("string"))
+            .alias("url"),
+        )
+    )
+    return hll_distinct(urls, "url", ("host",))
+
+
 def q_wet_export(spark, sf_dir):
     """WET conversion-record formatting (the sink half of the WARC/WET
     round trip, `sources/wet.py`): each document renders its full
@@ -2495,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_revisit": q_cdx_revisit,
         "score_quantiles": q_score_quantiles,
         "kll_quantiles": q_kll_quantiles,
+        "hll_distinct": q_hll_distinct,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
         "latest_capture": q_latest_capture,
@@ -2564,6 +2593,7 @@ from crawl_spark.operators.textops import (  # noqa: E402
     score_quantiles_oracle_sql,
 )
 from crawl_spark.operators.sketch import kll_quantiles_oracle_sql  # noqa: E402
+from crawl_spark.operators.hll import hll_distinct_oracle_sql  # noqa: E402
 
 # 2-token re-lining (the \1 backref is RE2 rewrite syntax; the Spark twin
 # uses $1 — same replacement, dialect-local spelling)
@@ -3653,6 +3683,13 @@ UNION ALL SELECT doc_id, doc_id + 13 FROM documents WHERE doc_id % 29 = 0"""
         "kll_quantiles": kll_quantiles_oracle_sql(
             "SELECT lang, CAST(n_chars AS DOUBLE) AS score FROM documents",
             probs=(0.0, 0.1, 0.5, 0.9, 1.0),
+        ),
+        "hll_distinct": hll_distinct_oracle_sql(
+            """SELECT 'h' || (doc_id % 3) || '.example' AS host,
+       'https://p/' || doc_id AS url FROM documents
+UNION ALL
+SELECT 'd' || (doc_id % 7) || '.example' AS host,
+       'https://q/' || (doc_id % 97) AS url FROM documents"""
         ),
         "wet_export": """
 WITH pages AS (

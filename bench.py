@@ -141,6 +141,10 @@ BENCH_QUERIES = [
     # round-5 continuation: mergeable KLL quantile sketch (the 100 TB
     # arm of gate calibration; exact-regime oracle, bounded elsewhere)
     "kll_quantiles",
+    # round-5 continuation: mergeable HyperLogLog registers (the
+    # cross-round distinct-count arm; register table ≤ |strata|·4096
+    # rows, raw keys never rescanned)
+    "hll_distinct",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages
