@@ -737,6 +737,24 @@ def q_kll_quantiles(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weight-proportional sampling without replacement
+    (`sampling.weighted_sample`, sequential Poisson / Ohlsson 1998):
+    8 docs per language, inclusion ∝ n_chars. The priority is one
+    md5-uniform IEEE division — deliberately NOT the
+    Efraimidis-Spirakis pow/log key, whose last-ulp libm bits differ
+    across engines at a selection boundary — so DuckDB replays the
+    exact selected set, not a close one."""
+    from crawl_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        d.select("doc_id", "lang", F.col("n_chars").cast("double").alias("weight")),
+        8,
+        strata=("lang",),
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """Mergeable HyperLogLog distinct-URL counts per host
     (`operators/hll.py`) — the cross-round cardinality arm: registers
@@ -2524,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_quantiles": q_score_quantiles,
         "kll_quantiles": q_kll_quantiles,
         "hll_distinct": q_hll_distinct,
+        "weighted_sample": q_weighted_sample,
         "recrawl": q_recrawl,
         "anchor_topk": q_anchor_topk,
         "latest_capture": q_latest_capture,
@@ -2594,6 +2613,9 @@ from crawl_spark.operators.textops import (  # noqa: E402
 )
 from crawl_spark.operators.sketch import kll_quantiles_oracle_sql  # noqa: E402
 from crawl_spark.operators.hll import hll_distinct_oracle_sql  # noqa: E402
+from crawl_spark.operators.sampling import (  # noqa: E402
+    weighted_sample_oracle_sql,
+)
 
 # 2-token re-lining (the \1 backref is RE2 rewrite syntax; the Spark twin
 # uses $1 — same replacement, dialect-local spelling)
@@ -3683,6 +3705,12 @@ UNION ALL SELECT doc_id, doc_id + 13 FROM documents WHERE doc_id % 29 = 0"""
         "kll_quantiles": kll_quantiles_oracle_sql(
             "SELECT lang, CAST(n_chars AS DOUBLE) AS score FROM documents",
             probs=(0.0, 0.1, 0.5, 0.9, 1.0),
+        ),
+        "weighted_sample": weighted_sample_oracle_sql(
+            "SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS weight"
+            " FROM documents",
+            8,
+            strata=("lang",),
         ),
         "hll_distinct": hll_distinct_oracle_sql(
             """SELECT 'h' || (doc_id % 3) || '.example' AS host,

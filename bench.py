@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     # cross-round distinct-count arm; register table ≤ |strata|·4096
     # rows, raw keys never rescanned)
     "hll_distinct",
+    # round-5 continuation: πps sampling without replacement
+    # (sequential Poisson; bit-exact selection, bounded top-k)
+    "weighted_sample",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

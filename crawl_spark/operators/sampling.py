@@ -896,3 +896,117 @@ def leak_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    strata: tuple[str, ...] = (),
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement (k per stratum,
+    or k global when ``strata`` is empty) by sequential Poisson
+    sampling (Ohlsson 1998, the πps design behind e.g. price-index
+    surveys): each row gets priority ``u / w`` — ``u`` a deterministic
+    md5 uniform, ``w`` its weight — and the k SMALLEST priorities win.
+    Heavier rows draw proportionally smaller priorities, so inclusion
+    probability ≈ w / Σw without ever materializing Σw (no extra pass,
+    no broadcast of a normalizer).
+
+    Chosen over the Efraimidis-Spirakis exponential key ``u^(1/w)``
+    deliberately: that key needs libm ``pow``/``log``, whose last-ulp
+    bits differ between the JVM and C runtimes — and a selection
+    BOUNDARY must be bit-exact cross-engine, not round(·,6)-close.
+    Here ``u = (md5_52bits + 1) / 2^52`` is exact (power-of-two
+    division of a ≤52-bit integer), and ``u / w`` is one IEEE-754
+    division — correctly rounded to identical bits on every engine, so
+    the DuckDB oracle replays the exact selected set. Ties (only
+    possible via identical (u, w)) break on id.
+
+    Rows with NULL, NaN, or non-positive weight are dropped — they
+    have no well-defined inclusion probability; NaN is gated
+    explicitly because Spark orders NaN ABOVE all numbers (a bare
+    ``w > 0`` would keep it).
+
+    Scale shape: one codegen projection (md5 + two divisions), then
+    the repo's bounded top-k machinery — ``grouped_topk`` per stratum
+    (partition-local prune, no hot-stratum window funnel) or global
+    ``ranked_topk``. The weight column is the only data beyond id +
+    strata that crosses the wire.
+
+    Output: ``(*strata, id, weight, sel_key)`` with ``sel_key`` the
+    priority rounded to 6 dp (the repo's float-hash rule; ranking uses
+    full precision internally).
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample: k must be positive")
+    sc = [f.name for f in df.schema.fields]
+    for c in (weight_col, id_col, *strata):
+        if c not in sc:
+            raise ValueError(f"weighted_sample: column not in df: {c}")
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 52))
+    base = (
+        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        .select(
+            *strata,
+            F.col(id_col),
+            w.alias("__w"),
+            (u / w).alias("__key"),
+        )
+    )
+    if strata:
+        from .topk import grouped_topk
+
+        picked = grouped_topk(base, list(strata), ["__key", id_col], k)
+    else:
+        from .topk import ranked_topk
+
+        picked = ranked_topk(base, ["__key", id_col], k, pos_col="__pos").drop(
+            "__pos"
+        )
+    return picked.select(
+        *strata,
+        F.col(id_col),
+        F.round("__w", 6).alias("weight"),
+        F.round("__key", 6).alias("sel_key"),
+    )
+
+
+def weighted_sample_oracle_sql(
+    inner_sql: str,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    strata: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`: identical md5 uniform,
+    identical single-division priority (bit-exact — no libm), the same
+    (priority, id) order, row_number ≤ k."""
+    part = ("PARTITION BY " + ", ".join(strata)) if strata else ""
+    sel = (", ".join(strata) + ",") if strata else ""
+    return f"""
+WITH x AS ({inner_sql}),
+keyed AS (
+  SELECT {sel} {id_col},
+         CAST({weight_col} AS DOUBLE) AS w,
+         (CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 13)
+               AS BIGINT) + 1 AS DOUBLE) / 4503599627370496.0)
+           / CAST({weight_col} AS DOUBLE) AS key
+  FROM x
+  WHERE {weight_col} IS NOT NULL
+    AND NOT isnan(CAST({weight_col} AS DOUBLE))
+    AND CAST({weight_col} AS DOUBLE) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER ({part} ORDER BY key, {id_col}) AS rn
+  FROM keyed
+)
+SELECT {sel} {id_col}, round(w, 6) AS weight, round(key, 6) AS sel_key
+FROM ranked WHERE rn <= {k}
+"""

@@ -509,6 +509,59 @@ def test_domain_quota_caps_groups_deterministically(spark):
     assert by_src["big"] == expect_big
 
 
+def test_weighted_sample_matches_python_twin(spark):
+    """Sequential-Poisson πps selection replayed in pure Python: same
+    md5 uniform, same single-division priority, same (key, id) order —
+    the selected SET is bit-exact, and NULL/NaN/zero/negative weights
+    are dropped (NaN explicitly: Spark orders NaN above all numbers)."""
+    from crawl_spark.operators.sampling import weighted_sample
+
+    rows = []
+    for i in range(3000):
+        w = [2.0, 9.0, 0.5, 0.0, -1.0, float("nan"), None][i % 7]
+        rows.append((i, "s%d" % (i % 3), w))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, weight double")
+
+    def key(i, w):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        return ((v + 1) / (1 << 52)) / w
+
+    expect = {}
+    for i, s, w in rows:
+        if w is not None and w == w and w > 0:
+            expect.setdefault(s, []).append((key(i, w), i))
+    want = {
+        (s, i)
+        for s, ks in expect.items()
+        for _, i in sorted(ks)[:11]
+    }
+    got = weighted_sample(df, 11, "weight", "doc_id", ("lang",)).collect()
+    assert {(r["lang"], r["doc_id"]) for r in got} == want
+    assert all(r["weight"] > 0 for r in got)
+
+
+def test_weighted_sample_proportionality_and_guards(spark):
+    """Inclusion tracks weight: w=10 items (1/10th of the corpus) take
+    ~52% of the slots at this k (analytic threshold: 5000t + 4500t =
+    500 → heavy share 0.526); k >= eligible keeps everything; k <= 0
+    and missing columns raise."""
+    import pytest
+    from crawl_spark.operators.sampling import weighted_sample
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, 10.0).otherwise(1.0).alias("weight"),
+    )
+    got = weighted_sample(df, 500, strata=()).collect()
+    heavy = sum(1 for r in got if r["weight"] == 10.0)
+    assert len(got) == 500 and 220 <= heavy <= 310  # 263 expected
+    assert weighted_sample(df, 10_000, strata=()).count() == 5000
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample(df, 0, strata=())
+    with pytest.raises(ValueError, match="column not in df"):
+        weighted_sample(df, 5, weight_col="nope", strata=())
+
+
 def test_mix_domains_matches_python_rule(spark):
     """Temperature mixing (share ∝ sqrt(count)) replayed in pure
     Python: same kept set, buckets and thresholds. Python round() is
