@@ -2470,6 +2470,30 @@ def q_error_streaks(spark, sf_dir):
     return error_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_host_policy(spark, sf_dir):
+    """Adaptive per-host politeness controller
+    (`sessions.host_policy`): telemetry window in → next-epoch
+    (delay_ms, concurrency) per host out. Trailing-error streak drives
+    capped exponential backoff, robots crawl-delay and the base floor
+    compose through an explicitly-coalesced GREATEST (Spark's greatest
+    skips nulls), and concurrency scales to measured p95 latency via
+    the exact percentile ≡ quantile_cont pairing — the whole policy
+    row hash-matches DuckDB."""
+    from crawl_spark.operators.sessions import host_policy
+
+    ev = _t(spark, sf_dir, "events")
+    robots = (
+        ev.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 3 == 0)
+        .select(
+            F.col("user_id").alias("entity"),
+            (F.lit(1500) + F.col("user_id") * 10).alias("robots_delay_ms"),
+        )
+    )
+    return host_policy(ev, robots=robots)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fifo_batch": q_fifo_batch,
@@ -2589,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_gap": q_sitemap_gap,
         "sessionize": q_sessionize,
         "error_streaks": q_error_streaks,
+        "host_policy": q_host_policy,
         "asset_filter": q_asset_filter,
         "redirects": q_redirects,
         "ann_recall": q_ann_recall,
@@ -5030,6 +5055,17 @@ FROM r LEFT JOIN term t USING (node)
     from crawl_spark.operators.search import bm25_oracle_sql
 
     sql["bm25"] = bm25_oracle_sql(_BM25_QUERIES, _TOKS, k=10)
+
+    from crawl_spark.operators.sessions import host_policy_oracle_sql
+
+    sql["host_policy"] = host_policy_oracle_sql(
+        "SELECT * FROM events",
+        robots_sql=(
+            "SELECT DISTINCT user_id AS entity,"
+            " 1500 + user_id * 10 AS robots_delay_ms"
+            " FROM events WHERE user_id % 3 = 0"
+        ),
+    )
 
     # asset_filter: the extension regex and the kind mapping are IMPORTED
     # from the operator (one source of truth), the CASE generated from it

@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     # round-5 continuation: πps sampling without replacement
     # (sequential Poisson; bit-exact selection, bounded top-k)
     "weighted_sample",
+    # round-5 continuation: adaptive politeness controller (telemetry
+    # window -> next-epoch per-host delay/concurrency)
+    "host_policy",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -145,3 +145,206 @@ def error_streaks(
         F.coalesce("max_streak", F.lit(0)).cast("long").alias("max_streak"),
         (F.col("__tail_err") == 1).alias("ends_in_streak"),
     )
+
+
+def host_policy(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    latency_col: str = "value",
+    error_value: str = "error",
+    robots: DataFrame | None = None,
+    base_delay_ms: int = 1000,
+    max_backoff_pow: int = 6,
+    max_concurrency: int = 8,
+) -> DataFrame:
+    """Adaptive per-host politeness policy from measured fetch
+    telemetry — the controller that closes the loop between the
+    telemetry analytics (:func:`error_streaks`, latency percentiles)
+    and the engine's politeness scheduler (whose budgets/delays are
+    inputs, `plans/engine.py`): feed a telemetry window in, get the
+    next epoch's per-host (delay, concurrency) recommendation out.
+
+    Per entity: ``(entity, n_events, n_errors, err_rate,
+    trailing_streak, p95_latency, delay_ms, concurrency)`` where
+
+    * ``trailing_streak`` = consecutive errors at the END of the stream
+      (the circuit-breaker state, sharper than :func:`error_streaks`'s
+      boolean: its length drives the backoff exponent);
+    * ``delay_ms`` = max of the robots crawl-delay (if a ``robots``
+      frame ``(entity, robots_delay_ms)`` is given — broadcast,
+      dimension-sized), the crawler's ``base_delay_ms`` floor, and —
+      while failing — exponential backoff
+      ``base_delay_ms · 2^min(trailing_streak, max_backoff_pow)``.
+      All integer math; the robots term is coalesced to 0 explicitly
+      because Spark's ``greatest`` SKIPS nulls rather than propagating
+      them (the repo's null-extremum rule);
+    * ``concurrency`` = 1 while failing or when the error rate
+      exceeds 1/2 (AIMD's multiplicative decrease), else scaled so the
+      host sees roughly one request in flight per second of measured
+      p95 latency: ``min(max_concurrency, max(1, floor(1000 /
+      max(p95_latency, 1))))`` — additive headroom only when the host
+      is fast AND healthy.
+
+    p95 is Spark's exact ``percentile`` ≡ DuckDB ``quantile_cont``
+    (bit-identical (n-1)p interpolation, the `score_quantiles` pairing)
+    so the whole policy row hash-matches cross-engine. Shape: ONE
+    shuffle on entity; the trailing-streak window is per-entity
+    bounded; at 100 TB the percentile's value buffering follows
+    `score_quantiles`' documented sample-first contract.
+    """
+    us = _ts_us(F.col(ts_col))
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        us.alias("__us"),
+        (F.col(type_col) == error_value).cast("int").alias("__err"),
+        F.col(latency_col).cast("double").alias("__lat"),
+    )
+    w_all = Window.partitionBy("entity").orderBy("__us")
+    rn = base.withColumn("__rn", F.row_number().over(w_all))
+    agg = rn.groupBy("entity").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("__err").cast("long").alias("n_errors"),
+        F.max(F.when(F.col("__err") == 0, F.col("__rn"))).alias("__last_ok"),
+        F.percentile(F.col("__lat"), F.lit(0.95)).alias("__p95"),
+    )
+    trailing = (
+        F.col("n_events") - F.coalesce(F.col("__last_ok"), F.lit(0))
+    ).cast("long")
+    out = agg.select(
+        "entity",
+        "n_events",
+        "n_errors",
+        F.round(
+            F.col("n_errors").cast("double") / F.col("n_events").cast("double"),
+            6,
+        ).alias("err_rate"),
+        trailing.alias("trailing_streak"),
+        F.round(F.coalesce(F.col("__p95"), F.lit(1.0)), 6).alias(
+            "p95_latency"
+        ),
+        F.coalesce(F.col("__p95"), F.lit(1.0)).alias("__p95f"),
+    )
+    if robots is not None:
+        out = out.join(
+            F.broadcast(
+                robots.select(
+                    F.col("entity"),
+                    F.col("robots_delay_ms").cast("long").alias("__rdel"),
+                )
+            ),
+            "entity",
+            "left",
+        )
+    else:
+        out = out.withColumn("__rdel", F.lit(None).cast("long"))
+    failing = F.col("trailing_streak") > 0
+    backoff = (
+        F.lit(base_delay_ms)
+        * F.pow(
+            F.lit(2.0),
+            F.least(F.col("trailing_streak"), F.lit(max_backoff_pow)),
+        ).cast("long")
+    ).cast("long")
+    delay = F.greatest(
+        F.coalesce(F.col("__rdel"), F.lit(0)).cast("long"),
+        F.lit(base_delay_ms).cast("long"),
+        F.when(failing, backoff).otherwise(F.lit(0)).cast("long"),
+    )
+    conc = (
+        F.when(failing | (F.col("err_rate") > 0.5), F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(max_concurrency).cast("long"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(
+                        F.lit(1000.0) / F.greatest(F.col("__p95f"), F.lit(1.0))
+                    ),
+                ),
+            )
+        )
+        .cast("int")
+    )
+    return out.select(
+        "entity",
+        "n_events",
+        "n_errors",
+        "err_rate",
+        "trailing_streak",
+        "p95_latency",
+        delay.alias("delay_ms"),
+        conc.alias("concurrency"),
+    )
+
+
+def host_policy_oracle_sql(
+    inner_sql: str,
+    robots_sql: str | None = None,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    latency_col: str = "value",
+    error_value: str = "error",
+    base_delay_ms: int = 1000,
+    max_backoff_pow: int = 6,
+    max_concurrency: int = 8,
+) -> str:
+    """DuckDB twin of :func:`host_policy`: same row_number trailing
+    streak, ``quantile_cont`` p95 (≡ Spark exact percentile), same
+    integer backoff/greatest/floor arithmetic."""
+    robots_cte = (
+        f"rob AS ({robots_sql}),"
+        if robots_sql is not None
+        else "rob AS (SELECT NULL AS entity, NULL AS robots_delay_ms WHERE 1=0),"
+    )
+    return f"""
+WITH x AS ({inner_sql}),
+b AS (
+  SELECT {entity_col} AS entity, epoch_us(CAST({ts_col} AS TIMESTAMP)) AS us,
+         CASE WHEN {type_col} = '{error_value}' THEN 1 ELSE 0 END AS err,
+         CAST({latency_col} AS DOUBLE) AS lat
+  FROM x
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY entity ORDER BY us) AS rnum FROM b
+),
+agg AS (
+  SELECT entity, COUNT(*) AS n_events, SUM(err) AS n_errors,
+         MAX(CASE WHEN err = 0 THEN rnum END) AS last_ok,
+         quantile_cont(lat, 0.95) AS p95
+  FROM rn GROUP BY entity
+),
+{robots_cte}
+pol AS (
+  SELECT a.entity, a.n_events, a.n_errors,
+         round(CAST(a.n_errors AS DOUBLE) / CAST(a.n_events AS DOUBLE), 6)
+           AS err_rate,
+         a.n_events - COALESCE(a.last_ok, 0) AS trail,
+         COALESCE(a.p95, 1.0) AS p95f,
+         COALESCE(r.robots_delay_ms, 0) AS rdel
+  FROM agg a LEFT JOIN rob r ON a.entity = r.entity
+)
+SELECT entity,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       err_rate,
+       CAST(trail AS BIGINT) AS trailing_streak,
+       round(p95f, 6) AS p95_latency,
+       CAST(GREATEST(
+         CAST(rdel AS BIGINT),
+         CAST({base_delay_ms} AS BIGINT),
+         CASE WHEN trail > 0
+              THEN {base_delay_ms} * CAST(POWER(2.0,
+                     LEAST(trail, {max_backoff_pow})) AS BIGINT)
+              ELSE 0 END
+       ) AS BIGINT) AS delay_ms,
+       CAST(CASE WHEN trail > 0 OR err_rate > 0.5 THEN 1
+            ELSE LEAST(CAST({max_concurrency} AS BIGINT),
+                       GREATEST(CAST(1 AS BIGINT),
+                                CAST(FLOOR(1000.0 / GREATEST(p95f, 1.0))
+                                     AS BIGINT)))
+            END AS INTEGER) AS concurrency
+FROM pol
+"""

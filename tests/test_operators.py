@@ -3102,6 +3102,57 @@ def test_error_streaks_hand_computed(spark):
     }
 
 
+def test_host_policy_hand_computed(spark):
+    """Every policy branch by hand: failing host → exponential backoff
+    + concurrency 1, robots delay dominating the max, error rate > 1/2
+    on a healthy host → concurrency 1, fast healthy host → latency-
+    scaled concurrency at the cap, slow healthy host → concurrency 1
+    via the floor, all-errors host → trailing = n_events."""
+    from datetime import datetime as DT
+
+    from crawl_spark.operators.sessions import host_policy
+
+    def ts(s):
+        return DT(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # entity 1: ok then 3 trailing errors -> backoff 1000*2^3=8000
+        (1, ts(0), "view", 100.0), (1, ts(1), "error", 100.0),
+        (1, ts(2), "error", 100.0), (1, ts(3), "error", 100.0),
+        # entity 2: healthy + fast (p95=50ms) -> conc = min(8, 1000/50)=8
+        (2, ts(0), "view", 50.0), (2, ts(1), "view", 50.0),
+        # entity 3: healthy but 2/3 errors (not trailing) -> conc 1
+        (3, ts(0), "error", 10.0), (3, ts(1), "error", 10.0),
+        (3, ts(2), "view", 10.0),
+        # entity 4: healthy + slow (p95=4000ms) -> conc floor(.25)->1
+        (4, ts(0), "view", 4000.0), (4, ts(1), "view", 4000.0),
+        # entity 5: ALL errors -> trailing = n_events, capped backoff
+        (5, ts(0), "error", 5.0), (5, ts(1), "error", 5.0),
+        (5, ts(2), "error", 5.0), (5, ts(3), "error", 5.0),
+        (5, ts(4), "error", 5.0), (5, ts(5), "error", 5.0),
+        (5, ts(6), "error", 5.0), (5, ts(7), "error", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    robots = spark.createDataFrame(
+        [(2, 9000)], "entity long, robots_delay_ms long"
+    )
+    got = {
+        r["entity"]: r.asDict()
+        for r in host_policy(df, robots=robots).collect()
+    }
+    assert got[1]["trailing_streak"] == 3 and got[1]["delay_ms"] == 8000
+    assert got[1]["concurrency"] == 1
+    assert got[2]["delay_ms"] == 9000  # robots dominates the 1000 floor
+    assert got[2]["concurrency"] == 8 and got[2]["err_rate"] == 0.0
+    assert got[3]["trailing_streak"] == 0 and got[3]["concurrency"] == 1
+    assert got[3]["delay_ms"] == 1000  # err_rate gate alone, no backoff
+    assert got[4]["concurrency"] == 1 and got[4]["p95_latency"] == 4000.0
+    assert got[5]["trailing_streak"] == 8
+    assert got[5]["delay_ms"] == 1000 * 2**6  # backoff capped at 2^6
+
+
 def test_classify_asset_urls_rules(spark):
     from crawl_spark.operators.urlfilter import classify_asset_urls
 
