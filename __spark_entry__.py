@@ -2470,6 +2470,47 @@ def q_error_streaks(spark, sf_dir):
     return error_streaks(_t(spark, sf_dir, "events"))
 
 
+_ROBOTS_WILDCARD_RULES = [
+    ("h0.example", "/dir0", 0),
+    ("h0.example", "/dir0/page1", 1),
+    ("h0.example", "/*.php$", 0),
+    ("h0.example", "/dir1/page3$", 0),
+    ("h0.example", "/dir2/page5.php", 1),  # equal specificity fights *.php
+    ("h1.example", "/", 0),
+    ("h1.example", "/dir2*", 1),
+]
+
+
+def q_robots_wildcard(spark, sf_dir):
+    """RFC 9309 wildcard robots matching (`urlfilter.robots_verdicts`):
+    '*' spans octets, trailing '$' anchors, longest pattern wins with
+    Allow beating Disallow on ties — the googlebot/robots.cc
+    precedence contract, the stricter matcher beyond the engine's
+    pinned prefix semantics. Rules fold to one broadcast array per
+    host; the URL side never shuffles. Matching is LIKE compiled with
+    pure string ops on both engines, so the oracle replays verdicts
+    exactly (incl. the anchored and literal-metachar branches)."""
+    from crawl_spark.operators.urlfilter import robots_verdicts
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    urls = d.select(
+        F.concat(F.lit("h"), (i % 2).cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.concat(
+            F.lit("/dir"), (i % 5).cast("string"),
+            F.lit("/page"), (i % 11).cast("string"),
+            F.when(i % 3 == 0, F.lit(".php"))
+            .when(i % 3 == 1, F.lit("/"))
+            .otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_WILDCARD_RULES, "host string, pattern string, allow int"
+    )
+    return robots_verdicts(urls, rules)
+
+
 def q_host_policy(spark, sf_dir):
     """Adaptive per-host politeness controller
     (`sessions.host_policy`): telemetry window in → next-epoch
@@ -2614,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "error_streaks": q_error_streaks,
         "host_policy": q_host_policy,
+        "robots_wildcard": q_robots_wildcard,
         "asset_filter": q_asset_filter,
         "redirects": q_redirects,
         "ann_recall": q_ann_recall,
@@ -5055,6 +5097,22 @@ FROM r LEFT JOIN term t USING (node)
     from crawl_spark.operators.search import bm25_oracle_sql
 
     sql["bm25"] = bm25_oracle_sql(_BM25_QUERIES, _TOKS, k=10)
+
+    from crawl_spark.operators.urlfilter import robots_verdicts_oracle_sql
+
+    _rw_rules = " UNION ALL ".join(
+        f"SELECT '{h}' AS host, '{p}' AS pattern, {a} AS allow"
+        for h, p, a in _ROBOTS_WILDCARD_RULES
+    )
+    sql["robots_wildcard"] = robots_verdicts_oracle_sql(
+        """SELECT 'h' || (doc_id % 2) || '.example' AS host,
+       '/dir' || (doc_id % 5) || '/page' || (doc_id % 11)
+       || CASE WHEN doc_id % 3 = 0 THEN '.php'
+               WHEN doc_id % 3 = 1 THEN '/'
+               ELSE '' END AS path
+FROM documents""",
+        _rw_rules,
+    )
 
     from crawl_spark.operators.sessions import host_policy_oracle_sql
 

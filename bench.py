@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     # round-5 continuation: adaptive politeness controller (telemetry
     # window -> next-epoch per-host delay/concurrency)
     "host_policy",
+    # round-5 continuation: RFC 9309 wildcard robots matching
+    # (longest-match precedence, broadcast rule arrays, no URL shuffle)
+    "robots_wildcard",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

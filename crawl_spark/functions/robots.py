@@ -14,8 +14,9 @@ essentials) for the subset the engine enforces:
   multiple consecutive UA lines share one group;
 - ``Disallow``: path prefixes (empty value = allow all — dropped);
   the engine's prefix-match semantics, so no ``$``/``*`` wildcard
-  expansion (wildcard rules are kept literally; a stricter matcher can
-  post-process);
+  expansion (wildcard rules are kept literally; the stricter RFC 9309
+  wildcard matcher is `operators/urlfilter.robots_verdicts`, fed by
+  :func:`robots_rules_table` which also carries ``Allow:`` rules);
 - ``Crawl-delay``: seconds as float (non-standard but widely used —
   and the engine's budget input);
 - comments (``#``), blank lines, unknown directives, and BOM are
@@ -46,15 +47,20 @@ ROBOTS_SCHEMA = T.StructType(
 def parse_robots_txt(body: str | bytes | None, agent: str = "crawl-spark") -> dict:
     """Parse one robots.txt body for ``agent``.
 
-    Returns {"disallow": [prefixes...], "crawl_delay": float_or_0,
-    "sitemaps": [urls...]}. Per REP, ``Sitemap:`` lines are GLOBAL —
+    Returns {"disallow": [prefixes...], "allow": [prefixes...],
+    "crawl_delay": float_or_0, "sitemaps": [urls...]}. ``allow``
+    carries the group's ``Allow:`` rules — the engine's prefix matcher
+    ignores them (its pinned semantics are disallow-only), but the
+    RFC 9309 wildcard matcher (`operators/urlfilter.robots_verdicts`
+    via :func:`robots_rules_table`) needs them for longest-match
+    precedence. Per REP, ``Sitemap:`` lines are GLOBAL —
     collected from every line regardless of which user-agent group they
     appear in, and (matching Google's parser) they do NOT terminate a
     user-agent run: consecutive UA lines separated only by a Sitemap
     line still form one group.
     """
     if body is None:
-        return {"disallow": [], "crawl_delay": 0.0, "sitemaps": []}
+        return {"disallow": [], "allow": [], "crawl_delay": 0.0, "sitemaps": []}
     if isinstance(body, bytes):
         body = body.decode("utf-8", "replace")
     body = body.lstrip("﻿")
@@ -109,16 +115,24 @@ def parse_robots_txt(body: str | bytes | None, agent: str = "crawl-spark") -> di
                 best_len, best_rules = match_len, rules
 
     disallow: list[str] = []
+    allow: list[str] = []
     delay = 0.0
     for field, value in best_rules:
         if field == "disallow" and value:
             disallow.append(value)
+        elif field == "allow" and value:
+            allow.append(value)
         elif field == "crawl-delay":
             try:
                 delay = float(value)
             except ValueError:
                 pass
-    return {"disallow": disallow, "crawl_delay": delay, "sitemaps": sitemaps}
+    return {
+        "disallow": disallow,
+        "allow": allow,
+        "crawl_delay": delay,
+        "sitemaps": sitemaps,
+    }
 
 
 def robots_table(
@@ -173,3 +187,40 @@ def sitemap_urls_table(
     return df.select(host_col, body_col).mapInPandas(
         fn, "host string, sitemap_url string"
     )
+
+
+def robots_rules_table(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str = "crawl-spark",
+) -> DataFrame:
+    """(host, robots.txt body) rows → the exploded RFC 9309 rule table
+    ``(host, pattern string, allow int)`` with BOTH ``Allow:`` and
+    ``Disallow:`` rules of the selected group — the input
+    `operators/urlfilter.robots_verdicts` matches with wildcard
+    longest-match precedence. ``robots_table`` stays the engine's
+    (pinned, disallow-prefix) politeness input; this is the stricter
+    matcher's feed. Dimension-sized by construction (rules per host)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, pats, allows = [], [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                parsed = parse_robots_txt(body, agent)
+                for pat in parsed["disallow"]:
+                    hosts.append(host); pats.append(pat); allows.append(0)
+                for pat in parsed["allow"]:
+                    hosts.append(host); pats.append(pat); allows.append(1)
+            yield pd.DataFrame(
+                {"host": hosts, "pattern": pats, "allow": allows}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("pattern", T.StringType()),
+            T.StructField("allow", T.IntegerType()),
+        ]
+    )
+    return df.select(host_col, body_col).mapInPandas(fn, schema)

@@ -538,3 +538,151 @@ def param_stats(
             (F.col("n_occ") >= min_occ) & (ratio >= id_ratio)
         ).alias("id_like"),
     )
+
+
+def robots_verdicts(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    rules_host_col: str = "host",
+    pattern_col: str = "pattern",
+    allow_col: str = "allow",
+) -> DataFrame:
+    """RFC 9309 robots verdicts with FULL wildcard semantics — the
+    stricter matcher the engine's pinned prefix semantics deliberately
+    leave out (`functions/robots.py` module docstring): ``*`` matches
+    any octet sequence, a trailing ``$`` anchors end-of-path, and among
+    ALL matching rules the LONGEST pattern wins, an ``Allow`` beating a
+    ``Disallow`` of equal length; no match → allowed. This is the
+    googlebot/robots.cc precedence contract (cf. RFC 9309 §2.2.2
+    "most specific match").
+
+    ``urls`` is the corpus side ``(host, path)`` (path = URL path plus
+    optional '?query', the REP match target); ``rules`` is
+    `functions/robots.robots_rules_table` output ``(host, pattern,
+    allow)`` — dimension-sized. Emits ``(host, path, allowed boolean,
+    matched_pattern string)`` (matched_pattern NULL when no rule
+    matched; among equal-(length, allow) winners the lexically LEAST
+    pattern, so the report column is deterministic).
+
+    Scale shape: rules fold to ONE array per host (a groupBy over the
+    dimension table), broadcast-joined onto the corpus — the URL side
+    NEVER shuffles, gets no window, and evaluates its rule set as a
+    JVM higher-order filter + fold. Wildcard matching is SQL ``LIKE``
+    (pattern compiled from the robots pattern with pure string ops —
+    no regex dialect in play); the common no-wildcard case short-
+    circuits to ``startswith`` so the per-row LIKE compile only runs
+    for rules that actually carry ``*``/``$``.
+    """
+    p = F.col(pattern_col).cast("string")
+    esc = F.replace(p, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    anchored = p.endswith(F.lit("$"))
+    body = F.when(
+        anchored, F.substring(esc, 1, F.length(esc) - 1)
+    ).otherwise(esc)
+    like_pat = F.concat(
+        F.replace(body, F.lit("*"), F.lit("%")),
+        F.when(anchored, F.lit("")).otherwise(F.lit("%")),
+    )
+    wild = p.contains("*") | anchored
+    rule_structs = rules.select(
+        F.col(rules_host_col).alias("__rhost"),
+        F.struct(
+            F.length(p).cast("int").alias("plen"),
+            F.col(allow_col).cast("int").alias("allow"),
+            wild.alias("wild"),
+            p.alias("pat"),
+            like_pat.alias("like_pat"),
+        ).alias("__rule"),
+    ).groupBy("__rhost").agg(F.collect_list("__rule").alias("__rset"))
+
+    joined = urls.select(F.col(host_col), F.col(path_col)).join(
+        F.broadcast(rule_structs),
+        F.col(host_col) == F.col("__rhost"),
+        "left",
+    )
+    # r/acc lambda params carry all per-element state; the only outer
+    # ref is the plain path column (an attribute read, not a pipeline —
+    # the HOF re-eval trap needs a computed outer expression)
+    matches = F.expr(
+        f"filter(__rset, r -> CASE WHEN r.wild"
+        f" THEN {path_col} LIKE r.like_pat ESCAPE '\\\\'"
+        f" ELSE startswith({path_col}, r.pat) END)"
+    )
+    best = F.expr(
+        "aggregate(__matches, CAST(NULL AS STRUCT<plen: INT, allow: INT,"
+        " pat: STRING>),"
+        " (acc, r) -> CASE WHEN acc IS NULL"
+        "   OR r.plen > acc.plen"
+        "   OR (r.plen = acc.plen AND r.allow > acc.allow)"
+        "   OR (r.plen = acc.plen AND r.allow = acc.allow"
+        "       AND r.pat < acc.pat)"
+        "  THEN named_struct('plen', r.plen, 'allow', r.allow,"
+        "                    'pat', r.pat)"
+        "  ELSE acc END)"
+    )
+    return (
+        joined.withColumn("__matches", matches)
+        .withColumn("__best", best)
+        .select(
+            F.col(host_col),
+            F.col(path_col),
+            (
+                F.col("__best").isNull() | (F.col("__best.allow") == 1)
+            ).alias("allowed"),
+            F.col("__best.pat").alias("matched_pattern"),
+        )
+    )
+
+
+def robots_verdicts_oracle_sql(
+    urls_sql: str,
+    rules_sql: str,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> str:
+    """DuckDB twin of :func:`robots_verdicts`: identical LIKE-pattern
+    compilation (same replace chain, same ESCAPE char), a join +
+    row_number formulation of the same (plen, allow, pat) precedence,
+    no-match rows allowed via the left join."""
+    return f"""
+WITH u AS ({urls_sql}),
+rr AS ({rules_sql}),
+pr AS (
+  SELECT host, pattern, allow, length(pattern) AS plen,
+         (pattern LIKE '%*%') OR ends_with(pattern, '$') AS wild,
+         CASE WHEN ends_with(pattern, '$')
+              THEN replace(substr(
+                     replace(replace(replace(pattern, '\\', '\\\\'),
+                             '%', '\\%'), '_', '\\_'),
+                     1,
+                     length(replace(replace(replace(pattern, '\\', '\\\\'),
+                             '%', '\\%'), '_', '\\_')) - 1),
+                   '*', '%')
+              ELSE replace(
+                     replace(replace(replace(pattern, '\\', '\\\\'),
+                             '%', '\\%'), '_', '\\_'),
+                     '*', '%') || '%' END AS like_pat
+  FROM rr
+),
+cand AS (
+  SELECT u.{host_col} AS host, u.{path_col} AS path,
+         r.plen, r.allow, r.pattern,
+         row_number() OVER (
+           PARTITION BY u.{host_col}, u.{path_col}
+           ORDER BY r.plen DESC, r.allow DESC, r.pattern
+         ) AS rn
+  FROM u JOIN pr r ON u.{host_col} = r.host
+    AND (CASE WHEN r.wild THEN u.{path_col} LIKE r.like_pat ESCAPE '\\'
+              ELSE starts_with(u.{path_col}, r.pattern) END)
+),
+best AS (SELECT * FROM cand WHERE rn = 1)
+SELECT u.{host_col} AS {host_col}, u.{path_col} AS {path_col},
+       (b.allow IS NULL OR b.allow = 1) AS allowed,
+       b.pattern AS matched_pattern
+FROM u LEFT JOIN best b
+  ON u.{host_col} = b.host AND u.{path_col} = b.path
+"""

@@ -39,10 +39,10 @@ def test_group_selection_most_specific_wins():
 
 def test_parse_edge_cases():
     assert parse_robots_txt(None) == {
-        "disallow": [], "crawl_delay": 0.0, "sitemaps": [],
+        "disallow": [], "allow": [], "crawl_delay": 0.0, "sitemaps": [],
     }
     assert parse_robots_txt("") == {
-        "disallow": [], "crawl_delay": 0.0, "sitemaps": [],
+        "disallow": [], "allow": [], "crawl_delay": 0.0, "sitemaps": [],
     }
     # bytes bodies, BOM, case-insensitive fields, empty Disallow = allow
     body = b"\xef\xbb\xbfUSER-AGENT: *\nDISALLOW:\ndisallow: /x\nCRAWL-DELAY: zzz\n"
@@ -171,3 +171,144 @@ sitemap: https://a.example/sitemap-2.xml.gz
         ("a.example", "https://a.example/sitemap.xml"),
         ("c.example", "https://c.example/s.xml"),
     ]
+
+
+def test_robots_rules_table_explodes_allow_and_disallow(spark):
+    from crawl_spark.functions.robots import robots_rules_table
+
+    body = (
+        "User-agent: crawl-spark\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public*\n"
+        "Disallow: /*.php$\n"
+        "Allow:\n"  # empty Allow = no-op, dropped
+        "\nUser-agent: *\nDisallow: /everything\n"
+    )
+    df = spark.createDataFrame([("h.example", body)], "host string, body string")
+    got = sorted(
+        (r["host"], r["pattern"], r["allow"])
+        for r in robots_rules_table(df).collect()
+    )
+    assert got == [
+        ("h.example", "/*.php$", 0),
+        ("h.example", "/private/", 0),
+        ("h.example", "/private/public*", 1),
+    ]
+
+
+def test_robots_verdicts_rfc9309_precedence(spark):
+    """The googlebot/robots.cc matching contract end to end: * spans
+    octets, trailing $ anchors, longest pattern wins, Allow beats
+    Disallow on equal length, LIKE metachars (% _) in patterns and
+    paths stay literal, no-rule hosts and no-match paths are allowed."""
+    from crawl_spark.functions.robots import robots_rules_table
+    from crawl_spark.operators.urlfilter import robots_verdicts
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /fish\n"
+        "Allow: /fish/salmon\n"
+        "Disallow: /*.php\n"
+        "Disallow: /page$\n"
+        "Disallow: /p_t%x\n"
+        "Disallow: /a*b$\n"
+        "Allow: /dup\n"
+        "Disallow: /dup\n"  # equal length: Allow wins
+    )
+    rules = robots_rules_table(
+        spark.createDataFrame([("a.example", body)], "host string, body string")
+    )
+    cases = {
+        "/fish/cod": (False, "/fish"),
+        "/fish/salmon/x": (True, "/fish/salmon"),
+        "/dir/x.php": (False, "/*.php"),
+        "/dir/x.phpX": (False, "/*.php"),  # unanchored rule = prefix
+        "/page": (False, "/page$"),
+        "/pageX": (True, None),  # anchored rule must not prefix-match
+        "/p_t%x-more": (False, "/p_t%x"),  # literal _ and %
+        "/pXt%x": (True, None),  # '_' must NOT wildcard-match 'X'
+        "/aZZZb": (False, "/a*b$"),
+        "/aZZZbX": (True, None),
+        "/dup/x": (True, "/dup"),
+        "/other": (True, None),
+    }
+    urls = spark.createDataFrame(
+        [("a.example", p) for p in cases] + [("norules.example", "/x")],
+        "host string, path string",
+    )
+    got = {
+        (r["host"], r["path"]): (r["allowed"], r["matched_pattern"])
+        for r in robots_verdicts(urls, rules).collect()
+    }
+    for path, want in cases.items():
+        assert got[("a.example", path)] == want, (path, got[("a.example", path)])
+    assert got[("norules.example", "/x")] == (True, None)
+
+
+def test_robots_verdicts_matches_python_reference(spark):
+    """Randomized parity vs a pure-Python RFC 9309 matcher (fnmatch-free
+    — explicit greedy '*' walk), over generated patterns/paths."""
+    import random
+
+    from crawl_spark.operators.urlfilter import robots_verdicts
+
+    def match(path, pat):
+        anchored = pat.endswith("$")
+        if anchored:
+            pat = pat[:-1]
+        segs = pat.split("*")
+        pos, start = 0, True
+        for i, seg in enumerate(segs):
+            if start:
+                if not path.startswith(seg):
+                    return False
+                pos = len(seg)
+                start = False
+            else:
+                j = path.find(seg, pos)
+                if j < 0:
+                    return False
+                pos = j + len(seg)
+        if anchored:
+            # last segment must reach the end (greedy tail)
+            return path.endswith(segs[-1]) and (
+                len(segs) == 1 and pos == len(path) or len(segs) > 1
+            )
+        return True
+
+    rng = random.Random(42)
+    alphabet = "ab/.%_"
+    pats = []
+    for i in range(40):
+        core = "/" + "".join(rng.choice(alphabet + "*") for _ in range(rng.randint(1, 6)))
+        if rng.random() < 0.3:
+            core += "$"
+        pats.append((core, rng.randint(0, 1)))
+    paths = list(
+        {
+            "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(120)
+        }
+    )
+
+    def verdict(path):
+        best = None
+        for pat, allow in pats:
+            if match(path, pat):
+                key = (len(pat), allow, [-ord(c) for c in pat])
+                if best is None or key > best[0]:
+                    best = (key, allow, pat)
+        if best is None:
+            return (True, None)
+        return (best[1] == 1, best[2])
+
+    rules = spark.createDataFrame(
+        [("h", p, a) for p, a in pats], "host string, pattern string, allow int"
+    )
+    urls = spark.createDataFrame([("h", p) for p in paths], "host string, path string")
+    got = {
+        r["path"]: (r["allowed"], r["matched_pattern"])
+        for r in robots_verdicts(urls, rules).collect()
+    }
+    for p in paths:
+        assert got[p] == verdict(p), (p, got[p], verdict(p))
