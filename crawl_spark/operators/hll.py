@@ -192,40 +192,44 @@ def hll_distinct_oracle_sql(
     HUGEINT harmonic sum → single-rounded estimate. Every intermediate
     is integer-exact on both engines; the only float rounding is the
     final cast + the libm ``ln`` of the linear-counting branch, both
-    inside round(·, 6)."""
-    sc = ", ".join(strata)
+    inside round(·, 6). Handles empty ``strata`` (the global estimate)
+    like the Spark side: the grouped CTEs degrade to global
+    aggregates."""
+    scp = (", ".join(strata) + ",") if strata else ""
+    reg_gb = f"GROUP BY {scp} idx".rstrip(", ") if strata else "GROUP BY idx"
+    agg_gb = f"GROUP BY {', '.join(strata)}" if strata else ""
     return f"""
 WITH x AS ({inner_sql}),
 h AS (
-  SELECT {sc}, md5(CAST({value_col} AS VARCHAR)) AS hx
+  SELECT {scp} md5(CAST({value_col} AS VARCHAR)) AS hx
   FROM x WHERE {value_col} IS NOT NULL
 ),
 r0 AS (
-  SELECT {sc},
+  SELECT {scp}
          CAST('0x' || substr(hx, 1, 3) AS INTEGER) AS idx,
          CAST('0x' || substr(hx, 4, 13) AS BIGINT) AS w
   FROM h
 ),
 regs AS (
-  SELECT {sc}, idx,
+  SELECT {scp} idx,
          MAX(CASE WHEN w = 0 THEN 53
                   ELSE 53 - length(bin(w)) END) AS rho
-  FROM r0 GROUP BY {sc}, idx
+  FROM r0 {reg_gb}
 ),
 agg AS (
-  SELECT {sc}, COUNT(*) AS n_registers,
+  SELECT {scp} COUNT(*) AS n_registers,
          SUM(CAST(POWER(2.0, 53 - rho) AS HUGEINT)) AS zmicro
-  FROM regs GROUP BY {sc}
+  FROM regs {agg_gb}
 ),
 est AS (
-  SELECT {sc}, n_registers,
+  SELECT {scp} n_registers,
          CAST(zmicro + (4096 - n_registers) * CAST(9007199254740992 AS HUGEINT)
               AS DOUBLE) / 9007199254740992.0 AS z,
          (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 AS a2,
          CAST(4096 - n_registers AS DOUBLE) AS v
   FROM agg
 )
-SELECT {sc}, CAST(n_registers AS BIGINT) AS n_registers,
+SELECT {scp} CAST(n_registers AS BIGINT) AS n_registers,
        round(CASE WHEN a2 / z <= 2.5 * 4096.0 AND v > 0.0
                   THEN 4096.0 * ln(4096.0 / v)
                   ELSE a2 / z END, 6) AS n_distinct_est

@@ -927,7 +927,10 @@ def weighted_sample(
     Rows with NULL, NaN, or non-positive weight are dropped — they
     have no well-defined inclusion probability; NaN is gated
     explicitly because Spark orders NaN ABOVE all numbers (a bare
-    ``w > 0`` would keep it).
+    ``w > 0`` would keep it). NULL ids are dropped too: a NULL id
+    hashes to a NULL priority, which Spark's ascending top-k would
+    order FIRST (winning selection) while SQL's NULLS LAST loses it —
+    no identity, no seat.
 
     Scale shape: one codegen projection (md5 + two divisions), then
     the repo's bounded top-k machinery — ``grouped_topk`` per stratum
@@ -952,7 +955,9 @@ def weighted_sample(
         + F.lit(1)
     ).cast("double") / F.lit(float(1 << 52))
     base = (
-        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        df.where(
+            F.col(id_col).isNotNull() & w.isNotNull() & ~F.isnan(w) & (w > 0)
+        )
         .select(
             *strata,
             F.col(id_col),
@@ -999,7 +1004,8 @@ keyed AS (
                AS BIGINT) + 1 AS DOUBLE) / 4503599627370496.0)
            / CAST({weight_col} AS DOUBLE) AS key
   FROM x
-  WHERE {weight_col} IS NOT NULL
+  WHERE {id_col} IS NOT NULL
+    AND {weight_col} IS NOT NULL
     AND NOT isnan(CAST({weight_col} AS DOUBLE))
     AND CAST({weight_col} AS DOUBLE) > 0
 ),

@@ -111,7 +111,11 @@ def error_streaks(
     base = events.select(
         F.col(entity_col).alias("entity"),
         us.alias("__us"),
-        (F.col(type_col) == error_value).cast("int").alias("__err"),
+        # NULL event_type counts as NOT-error (the oracle's CASE..ELSE
+        # 0) — a bare ==cast would yield NULL and skew sum/partitioning
+        F.when(F.col(type_col) == error_value, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__err"),
     )
     w_all = Window.partitionBy("entity").orderBy("__us")
     w_err = Window.partitionBy("entity", "__err").orderBy("__us")
@@ -198,10 +202,18 @@ def host_policy(
     base = events.select(
         F.col(entity_col).alias("entity"),
         us.alias("__us"),
-        (F.col(type_col) == error_value).cast("int").alias("__err"),
+        # when/otherwise, not a bare ==cast: a NULL event_type must
+        # count as NOT-error (the oracle's CASE..ELSE 0), not as NULL
+        # (which sum/max would skip, drifting the trailing streak)
+        F.when(F.col(type_col) == error_value, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__err"),
         F.col(latency_col).cast("double").alias("__lat"),
     )
-    w_all = Window.partitionBy("entity").orderBy("__us")
+    # same-microsecond ties order ok-before-error on BOTH engines — a
+    # deterministic, conservative read (the error counts as trailing);
+    # ties within one type are rank-order-irrelevant to the aggregate
+    w_all = Window.partitionBy("entity").orderBy("__us", "__err")
     rn = base.withColumn("__rn", F.row_number().over(w_all))
     agg = rn.groupBy("entity").agg(
         F.count("*").cast("long").alias("n_events"),
@@ -308,7 +320,8 @@ b AS (
   FROM x
 ),
 rn AS (
-  SELECT *, row_number() OVER (PARTITION BY entity ORDER BY us) AS rnum FROM b
+  SELECT *, row_number() OVER (PARTITION BY entity ORDER BY us, err) AS rnum
+  FROM b
 ),
 agg AS (
   SELECT entity, COUNT(*) AS n_events, SUM(err) AS n_errors,

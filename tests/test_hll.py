@@ -135,3 +135,12 @@ def test_duckdb_oracle_parity(spark):
         ).fetchall()
     )
     assert got == want
+    # empty strata: the global estimate, same parity path
+    g0 = hll_distinct(df, strata=()).collect()[0]
+    w0 = con.execute(
+        hll_distinct_oracle_sql("SELECT host, url FROM src", strata=())
+    ).fetchall()[0]
+    assert (g0["n_registers"], float(g0["n_distinct_est"])) == (
+        w0[0],
+        float(w0[1]),
+    )

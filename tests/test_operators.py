@@ -520,7 +520,11 @@ def test_weighted_sample_matches_python_twin(spark):
     for i in range(3000):
         w = [2.0, 9.0, 0.5, 0.0, -1.0, float("nan"), None][i % 7]
         rows.append((i, "s%d" % (i % 3), w))
-    df = spark.createDataFrame(rows, "doc_id long, lang string, weight double")
+    df = spark.createDataFrame(
+        rows + [(None, "s0", 5.0)],  # NULL id: NULL priority would
+        # sort FIRST in Spark's ascending top-k — must be dropped
+        "doc_id long, lang string, weight double",
+    )
 
     def key(i, w):
         v = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
@@ -3131,6 +3135,13 @@ def test_host_policy_hand_computed(spark):
         (5, ts(2), "error", 5.0), (5, ts(3), "error", 5.0),
         (5, ts(4), "error", 5.0), (5, ts(5), "error", 5.0),
         (5, ts(6), "error", 5.0), (5, ts(7), "error", 5.0),
+        # entity 6: NULL event_type tail counts as NOT-error (the
+        # oracle's CASE..ELSE 0) -> healthy, no backoff
+        (6, ts(0), "error", 20.0), (6, ts(1), None, 20.0),
+        # entity 7: same-microsecond tie, one error one ok -> the
+        # deterministic (us, err) order puts the error LAST (trailing)
+        (7, ts(0), "view", 30.0), (7, ts(1), "error", 30.0),
+        (7, ts(1), "view", 30.0),
     ]
     df = spark.createDataFrame(
         rows, "user_id long, ts timestamp, event_type string, value double"
@@ -3151,6 +3162,12 @@ def test_host_policy_hand_computed(spark):
     assert got[4]["concurrency"] == 1 and got[4]["p95_latency"] == 4000.0
     assert got[5]["trailing_streak"] == 8
     assert got[5]["delay_ms"] == 1000 * 2**6  # backoff capped at 2^6
+    assert got[6]["trailing_streak"] == 0 and got[6]["n_errors"] == 1
+    # err_rate is exactly 0.5, NOT > 0.5 -> no gate; healthy + fast
+    # (p95=20ms) -> latency-scaled concurrency at the cap
+    assert got[6]["err_rate"] == 0.5
+    assert got[6]["delay_ms"] == 1000 and got[6]["concurrency"] == 8
+    assert got[7]["trailing_streak"] == 1 and got[7]["concurrency"] == 1
 
 
 def test_classify_asset_urls_rules(spark):
