@@ -64,6 +64,8 @@ __all__ = [
     "hll_estimate",
     "hll_distinct",
     "hll_distinct_oracle_sql",
+    "py_update_registers",
+    "py_estimate",
 ]
 
 _P = 12  # register-index bits; m = 4096
@@ -235,3 +237,47 @@ SELECT {scp} CAST(n_registers AS BIGINT) AS n_registers,
                   ELSE a2 / z END, 6) AS n_distinct_est
 FROM est
 """
+
+
+def py_update_registers(regs: bytearray, values) -> bytearray:
+    """Pure-Python register update — the streaming arm's kernel
+    (`streaming/feed.host_distinct_stream` keeps one 4096-byte register
+    vector per host in the state store) and the test twin of
+    :func:`hll_registers`. Same md5 hex split, same
+    ``53 - bit_length(w)`` rank; NULL/None values dropped."""
+    import hashlib
+
+    for v in values:
+        if v is None:
+            continue
+        hx = hashlib.md5(str(v).encode("utf-8")).hexdigest()
+        idx = int(hx[0:3], 16)
+        w = int(hx[3:16], 16)
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        if regs[idx] < rho:
+            regs[idx] = rho
+    return regs
+
+
+def py_estimate(regs: bytes) -> tuple[int, float]:
+    """(n_registers, n_distinct_est) from a register vector — float-step
+    IDENTICAL to :func:`hll_estimate`: the harmonic sum is an exact
+    Python int of 2^-53 micro-units whose single int→float division is
+    the same correctly-rounded step as the engine's DECIMAL→DOUBLE
+    cast, so the streaming emission equals the batch operator's output
+    bit-for-bit (validated in tests/test_hll.py)."""
+    present = sum(1 for r in regs if r > 0)
+    z_micro = sum((1 << (53 - r)) for r in regs if r > 0)
+    z_micro += (_M - present) << 53
+    z = z_micro / (1 << 53)
+    m = float(_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e_raw = alpha * m * m / z
+    zero = m - float(present)
+    import math
+
+    if e_raw <= 2.5 * m and zero > 0.0:
+        est = m * math.log(m / zero)
+    else:
+        est = e_raw
+    return present, round(est, 6)

@@ -330,3 +330,67 @@ def test_seed_feed_watermark_bounded_dedup(spark, tmp_path):
         "http://host0.example/p/1",
         "http://host1.example/p/2",
     ]
+
+
+def test_host_distinct_stream_matches_batch_hll(spark, tmp_path):
+    """Streaming HLL arm: per-host register state survives across
+    availableNow runs (duplicates across batches do NOT recount), and
+    the final emission per host equals the BATCH hll_distinct over the
+    union of everything streamed — bit for bit, the batch-twin
+    discipline applied to cardinality."""
+    from pyspark.sql import functions as F
+
+    from crawl_spark.streaming.feed import SEED_FEED_SCHEMA, host_distinct_stream
+    from crawl_spark.operators.hll import hll_distinct
+
+    in_dir = str(tmp_path / "in")
+    out_dir, ckpt = str(tmp_path / "dist"), str(tmp_path / "ck_dist")
+    os.makedirs(in_dir)
+    b1 = [
+        {"url": f"http://h1.example/p/{i}", "event_ts": "2026-01-01T00:00:00Z"}
+        for i in range(300)
+    ] + [
+        {"url": f"http://h2.example/p/{i % 40}", "event_ts": "2026-01-01T00:00:00Z"}
+        for i in range(120)
+    ]
+    _write_json(os.path.join(in_dir, "b1.json"), b1)
+    mk_src = lambda: spark.readStream.schema(SEED_FEED_SCHEMA).json(in_dir)  # noqa: E731
+    q = host_distinct_stream(spark, mk_src(), out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    # second batch: 100 REPEATS of h1's first urls + 100 new ones
+    b2 = [
+        {"url": f"http://h1.example/p/{i}", "event_ts": "2026-01-01T00:01:00Z"}
+        for i in range(100)
+    ] + [
+        {"url": f"http://h1.example/p/{300 + i}", "event_ts": "2026-01-01T00:01:00Z"}
+        for i in range(100)
+    ]
+    _write_json(os.path.join(in_dir, "b2.json"), b2)
+    q2 = host_distinct_stream(spark, mk_src(), out_dir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    last = {
+        r["host"]: (r["n_registers"], r["n_distinct_est"])
+        for r in out.groupBy("host")
+        .agg(
+            F.max("n_registers").alias("n_registers"),
+            F.max("n_distinct_est").alias("n_distinct_est"),
+        )
+        .collect()
+    }
+    all_urls = spark.createDataFrame(
+        [(r["url"],) for r in b1 + b2], "url string"
+    ).withColumn(
+        "host", F.regexp_extract(F.col("url"), r"^[a-z]+://([^/:]+)", 1)
+    )
+    batch = {
+        r["host"]: (r["n_registers"], r["n_distinct_est"])
+        for r in hll_distinct(all_urls).collect()
+    }
+    # registers only ever grow, so max over emissions IS the final state
+    assert last == batch
+    # and the estimates are near truth (400 and 40 distinct)
+    assert abs(last["h1.example"][1] - 400) / 400 < 0.1
+    assert abs(last["h2.example"][1] - 40) / 40 < 0.1
