@@ -2481,6 +2481,29 @@ _ROBOTS_WILDCARD_RULES = [
 ]
 
 
+def q_mg_hosts(spark, sf_dir):
+    """Misra-Gries frequent-items summary (`operators/freq.py`) — the
+    frequency arm of the sketch family (KLL quantiles / HLL
+    cardinality / MG heavy hitters): ≤ k counters per stratum with an
+    exactly-tracked error interval, mergeable across rounds. Contract
+    scale fits untruncated (the KLL exact-regime trick), where counts
+    are EXACT and err = 0, so plain SQL GROUP BY replays it bit for
+    bit; `require_exact=True` turns a regen-driven regime drift into a
+    named failure. The truncating regime's interval/presence
+    guarantees are pytest-pinned (tests/test_freq.py)."""
+    from crawl_spark.operators.freq import mg_topk
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ev = d.select(
+        F.col("lang"),
+        F.concat(
+            F.lit("h"), (i % 37).cast("string"), F.lit(".example")
+        ).alias("host"),
+    )
+    return mg_topk(ev, "host", ("lang",), require_exact=True)
+
+
 def q_robots_wildcard(spark, sf_dir):
     """RFC 9309 wildcard robots matching (`urlfilter.robots_verdicts`):
     '*' spans octets, trailing '$' anchors, longest pattern wins with
@@ -2656,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_streaks": q_error_streaks,
         "host_policy": q_host_policy,
         "robots_wildcard": q_robots_wildcard,
+        "mg_hosts": q_mg_hosts,
         "asset_filter": q_asset_filter,
         "redirects": q_redirects,
         "ann_recall": q_ann_recall,
@@ -5097,6 +5121,15 @@ FROM r LEFT JOIN term t USING (node)
     from crawl_spark.operators.search import bm25_oracle_sql
 
     sql["bm25"] = bm25_oracle_sql(_BM25_QUERIES, _TOKS, k=10)
+
+    from crawl_spark.operators.freq import mg_topk_oracle_sql
+
+    sql["mg_hosts"] = mg_topk_oracle_sql(
+        "SELECT lang, 'h' || (doc_id % 37) || '.example' AS host"
+        " FROM documents",
+        "host",
+        ("lang",),
+    )
 
     from crawl_spark.operators.urlfilter import robots_verdicts_oracle_sql
 

@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     # round-5 continuation: RFC 9309 wildcard robots matching
     # (longest-match precedence, broadcast rule arrays, no URL shuffle)
     "robots_wildcard",
+    # round-5 continuation: Misra-Gries frequent-items summary (the
+    # frequency arm of the sketch family; keys never shuffle raw)
+    "mg_hosts",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages
