@@ -2481,6 +2481,27 @@ _ROBOTS_WILDCARD_RULES = [
 ]
 
 
+def q_neighborhood_fn(spark, sf_dir):
+    """HyperBall neighborhood function (`graph.neighborhood_function`,
+    Boldi & Vigna 2013): N(t) = Σ|B(v,t)| for every node at once from
+    one 256-register HLL sketch per node — the approximate-scale
+    companion of `hop_distance` (exact all-pairs BFS is O(n·E)). The
+    loop is ENTIRELY JVM partial aggregates (sparse (node, idx, rho)
+    rows, join + MAX per iteration); per-t totals are round-6 DECIMAL
+    sums, so the DuckDB oracle replays the whole 3-iteration curve
+    bit for bit via unrolled join+MAX CTE stages."""
+    from crawl_spark.operators.graph import neighborhood_function
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    edges = d.select(
+        (i % 97).alias("src"), ((i * 7 + 3) % 97).alias("dst")
+    ).unionByName(
+        d.select((i % 50).alias("src"), ((i + 1) % 50).alias("dst"))
+    )
+    return neighborhood_function(edges, max_t=3, rel_tol=0.0)
+
+
 def q_mg_hosts(spark, sf_dir):
     """Misra-Gries frequent-items summary (`operators/freq.py`) — the
     frequency arm of the sketch family (KLL quantiles / HLL
@@ -2680,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_policy": q_host_policy,
         "robots_wildcard": q_robots_wildcard,
         "mg_hosts": q_mg_hosts,
+        "neighborhood_fn": q_neighborhood_fn,
         "asset_filter": q_asset_filter,
         "redirects": q_redirects,
         "ann_recall": q_ann_recall,
@@ -5121,6 +5143,16 @@ FROM r LEFT JOIN term t USING (node)
     from crawl_spark.operators.search import bm25_oracle_sql
 
     sql["bm25"] = bm25_oracle_sql(_BM25_QUERIES, _TOKS, k=10)
+
+    from crawl_spark.operators.graph import neighborhood_function_oracle_sql
+
+    sql["neighborhood_fn"] = neighborhood_function_oracle_sql(
+        """SELECT doc_id % 97 AS src, (doc_id * 7 + 3) % 97 AS dst
+FROM documents
+UNION ALL
+SELECT doc_id % 50, (doc_id + 1) % 50 FROM documents""",
+        max_t=3,
+    )
 
     from crawl_spark.operators.freq import mg_topk_oracle_sql
 

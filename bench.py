@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     # round-5 continuation: Misra-Gries frequent-items summary (the
     # frequency arm of the sketch family; keys never shuffle raw)
     "mg_hosts",
+    # round-5 continuation: HyperBall neighborhood function (per-node
+    # HLL balls pushed along edges — all JVM partial aggregates)
+    "neighborhood_fn",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -1043,3 +1043,190 @@ def trustrank_oracle_sql(
         f"{parts_sql}\n"
         f"SELECT node, round(rank, 6) AS trust FROM r{iters}"
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    max_t: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    rel_tol: float = 0.002,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013): the neighborhood function
+    N(t) = Σ_v |B(v, t)| — how many (source, target) pairs are within
+    t directed hops — estimated for EVERY node simultaneously with one
+    bounded HLL-style sketch per node, the approximate-scale companion
+    of :func:`hop_distance` (exact BFS from ONE seed set vs. ball
+    sizes from ALL nodes at once: exact all-pairs is O(n·E) and dead
+    at web scale; this is O(t · E) with 256 registers per node).
+
+    Returns ``(t, n_pairs_est)`` for t = 0..T (T ≤ max_t; iteration
+    stops early once N(t) grows by less than ``rel_tol`` — the
+    standard effective-diameter read: the first t with N(t) ≥
+    0.9·N(T) is the 90 % effective diameter). Estimates use m=256
+    registers (σ ≈ 6.5 % per node, much tighter on the sum); the
+    register rank is the module-standard md5 split with
+    ``53 - bitlen`` (`operators/hll.py` docstring: never floor(log2)),
+    and the harmonic sum fits exact BIGINT micro-units at m=256 — the
+    whole estimator is JVM column math.
+
+    Scale shape — the loop is ENTIRELY JVM partial aggregates, no
+    Python anywhere: per-node sketches are sparse (node, idx, rho)
+    rows (≤ 256/node, one at start); each iteration is ONE equi-join
+    pushing sketches along reversed edges + ONE partial-aggregated
+    groupBy(node, idx) MAX — a hub's 10^7 in-links combine map-side
+    like every other max. State is localCheckpointed per round
+    (O(1) lineage). For 10^10-edge graphs lay the edges out bucketed
+    by ``dst`` (the :func:`pagerank` ``bucket_path`` pattern on the
+    other key) and pass ``pre_deduped=True``; the O(E) side then
+    scans in place and only the O(nodes·registers) sketch side moves.
+
+    Deterministic: md5 ranks + MAX merges — layout- and
+    order-independent, same output bits every run.
+    """
+    if max_t < 0:
+        raise ValueError("neighborhood_function: max_t must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not pre_deduped:
+        e = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.md5(F.col("node").cast("string").cast("binary"))
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    regs = nodes.select(
+        "node",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("idx"),
+        F.when(w == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho"),
+    ).localCheckpoint(eager=True)
+
+    def n_est(r: DataFrame) -> float:
+        # exact BIGINT micro-units: z*2^53 <= 257*2^53 < 2^62
+        agg = r.groupBy("node").agg(
+            F.count(F.lit(1)).alias("p"),
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(53) - F.col("rho")).cast("bigint")
+            ).alias("zm"),
+        )
+        m = F.lit(256.0)
+        z = (
+            (F.col("zm") + (F.lit(256) - F.col("p")) * F.lit(1 << 53))
+            .cast("double")
+            / F.lit(float(1 << 53))
+        )
+        alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+        e_raw = alpha * m * m / z
+        zero = m - F.col("p").cast("double")
+        est = F.when(
+            (e_raw <= F.lit(2.5) * m) & (zero > F.lit(0.0)),
+            m * F.log(m / zero),
+        ).otherwise(e_raw)
+        # per-node estimates rounded to 6 dp then summed as DECIMAL —
+        # exact and order-independent, so N(t) is the same bits on any
+        # layout AND in the DuckDB oracle's unrolled replay
+        total = agg.agg(
+            F.sum(F.round(est, 6).cast("decimal(28,6)")).alias("s")
+        ).collect()[0]["s"]
+        return float(total or 0.0)
+
+    out = [(0, round(n_est(regs), 6))]
+    for t in range(1, max_t + 1):
+        contrib = e.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "idx", "rho")
+        regs = (
+            regs.unionByName(contrib)
+            .groupBy("node", "idx")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        n_t = n_est(regs)
+        out.append((t, round(n_t, 6)))
+        if out[-2][1] > 0 and (n_t - out[-2][1]) / out[-2][1] < rel_tol:
+            break
+    spark = edges.sparkSession
+    return spark.createDataFrame(out, "t int, n_pairs_est double")
+
+
+def effective_diameter(nf, q: float = 0.9) -> float:
+    """q-effective diameter from a collected neighborhood function
+    [(t, N(t))…]: the (linearly interpolated) smallest t with
+    N(t) ≥ q·N(T) — Boldi & Vigna's standard read."""
+    pts = sorted((int(t), float(n)) for t, n in nf)
+    target = q * pts[-1][1]
+    prev_t, prev_n = pts[0]
+    for t, n in pts:
+        if n >= target:
+            if t == prev_t or n == prev_n:
+                return float(t)
+            return prev_t + (target - prev_n) / (n - prev_n) * (t - prev_t)
+        prev_t, prev_n = t, n
+    return float(pts[-1][0])
+
+
+def neighborhood_function_oracle_sql(edges_cte: str, max_t: int = 3) -> str:
+    """DuckDB twin of :func:`neighborhood_function` with
+    ``rel_tol=0.0`` (no early stop): the iteration is UNROLLED as
+    ``max_t`` join+MAX CTE stages (the `hits_oracle_sql` technique for
+    iterative operators), the register rank is the identical md5 hex
+    split + ``length(bin(w))``, the per-node estimate the identical
+    m=256 float expression, and the per-t total the identical
+    round-6 DECIMAL sum — so the whole curve hash-matches bit for
+    bit."""
+    est = """
+  SELECT {t} AS t,
+         round(CAST(SUM(CAST(round(
+           CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z
+                     <= 2.5 * 256.0
+                 AND v > 0.0
+                THEN 256.0 * ln(256.0 / v)
+                ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z
+           END, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS n_pairs_est
+  FROM (
+    SELECT node,
+           CAST(zm + (256 - p) * CAST(9007199254740992 AS BIGINT)
+                AS DOUBLE) / 9007199254740992.0 AS z,
+           CAST(256 - p AS DOUBLE) AS v
+    FROM (SELECT node, COUNT(*) AS p,
+                 SUM(CAST(POWER(2.0, 53 - rho) AS BIGINT)) AS zm
+          FROM r{t} GROUP BY node) a
+  )"""
+    steps = []
+    for t in range(1, max_t + 1):
+        steps.append(
+            f"""r{t} AS (
+  SELECT node, idx, MAX(rho) AS rho FROM (
+    SELECT node, idx, rho FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, r.idx, r.rho
+    FROM e JOIN r{t - 1} r ON r.node = e.dst
+  ) GROUP BY node, idx
+)"""
+        )
+    unions = "\n  UNION ALL".join(
+        est.format(t=t) for t in range(0, max_t + 1)
+    )
+    return f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte})),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+h0 AS (
+  SELECT node, md5(CAST(node AS VARCHAR)) AS hx FROM nodes
+),
+r0 AS (
+  SELECT node,
+         CAST('0x' || substr(hx, 1, 2) AS INTEGER) AS idx,
+         CASE WHEN CAST('0x' || substr(hx, 3, 13) AS BIGINT) = 0 THEN 53
+              ELSE 53 - length(bin(CAST('0x' || substr(hx, 3, 13)
+                                        AS BIGINT)))
+         END AS rho
+  FROM h0
+),
+{", ".join(steps)}
+SELECT CAST(t AS INTEGER) AS t, n_pairs_est FROM ({unions})
+"""

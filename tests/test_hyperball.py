@@ -1,0 +1,102 @@
+"""HyperBall neighborhood function: accuracy vs exact all-pairs BFS,
+bit-exact DuckDB oracle parity through the unrolled iteration,
+determinism, early-stop convergence, and the effective-diameter read."""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from crawl_spark.operators.graph import (
+    effective_diameter,
+    neighborhood_function,
+    neighborhood_function_oracle_sql,
+)
+
+
+def _exact_nf(n, edges, max_t):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    tot = [0] * (max_t + 1)
+    for v in range(n):
+        seen, frontier = {v}, {v}
+        tot[0] += 1
+        for t in range(1, max_t + 1):
+            nxt = set()
+            for u in frontier:
+                for w in adj.get(u, []):
+                    if w not in seen:
+                        seen.add(w)
+                        nxt.add(w)
+            frontier = nxt
+            tot[t] += len(seen)
+    return tot
+
+
+def test_accuracy_vs_exact_bfs(spark):
+    """Random 3-out digraph, 300 nodes: every N(t) within 10% of the
+    exact all-pairs BFS answer (m=256 → ~6.5% per-node sigma, tighter
+    on the 300-node sum)."""
+    rng = random.Random(5)
+    n = 300
+    edges = sorted({(v, rng.randrange(n)) for v in range(n) for _ in range(3)})
+    exact = _exact_nf(n, edges, 8)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = dict(
+        (r["t"], r["n_pairs_est"])
+        for r in neighborhood_function(df, max_t=8).collect()
+    )
+    for t, true in enumerate(exact):
+        if t in got:
+            assert abs(got[t] - true) / true < 0.10, (t, got[t], true)
+    # monotone non-decreasing curve
+    curve = [got[t] for t in sorted(got)]
+    assert curve == sorted(curve)
+
+
+def test_oracle_parity_and_determinism(spark):
+    edges = [(i % 97, (i * 7 + 3) % 97) for i in range(300)] + [
+        (i % 50, (i + 1) % 50) for i in range(50)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        tuple(r)
+        for r in neighborhood_function(df, max_t=3, rel_tol=0.0).collect()
+    )
+    con = duckdb.connect()
+    con.register("e0", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            neighborhood_function_oracle_sql("SELECT src, dst FROM e0", 3)
+        ).fetchall()
+    )
+    assert got == want  # bit-exact through 3 unrolled iterations
+    again = sorted(
+        tuple(r)
+        for r in neighborhood_function(df, max_t=3, rel_tol=0.0).collect()
+    )
+    assert got == again
+
+
+def test_early_stop_and_diameter(spark):
+    """A 10-node directed cycle saturates at t=9; the default rel_tol
+    stops the loop at saturation instead of running max_t out, and the
+    0.9-effective diameter lands near 0.9·(n-1)."""
+    n = 10
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = sorted(
+        (r["t"], r["n_pairs_est"])
+        for r in neighborhood_function(df, max_t=30).collect()
+    )
+    ts = [t for t, _ in rows]
+    assert max(ts) <= 11  # stopped at saturation, not 30
+    # every ball is exact here (10 <= 2.5*256 linear-counting regime):
+    # N(t) ~= n*(t+1) up to saturation
+    d = effective_diameter(rows, q=0.9)
+    assert 7.0 <= d <= 9.5
+    with pytest.raises(ValueError, match="max_t"):
+        neighborhood_function(df, max_t=-1)
