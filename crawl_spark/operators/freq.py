@@ -150,7 +150,9 @@ def mg_topk(
             if len(pdf) == 0:
                 continue
             grouped = (
-                pdf.groupby(scols, sort=False)["__item"]
+                # dropna=False: a NULL stratum is a real group (the SQL
+                # twin's GROUP BY keeps it) — pandas' default drops it
+                pdf.groupby(scols, sort=False, dropna=False)["__item"]
                 if scols
                 else {(): pdf["__item"]}
             )
@@ -164,6 +166,11 @@ def mg_topk(
                 )
         rows = []
         for key, (counters, e) in state.items():
+            # marker row (item NULL, cnt 0) ALWAYS ships the summary's
+            # err: a truncation that empties the counter set must still
+            # deliver its error mass to the merge, or the published
+            # bound understates and require_exact falsely passes
+            rows.append((*key, pid or 0, None, 0, int(e)))
             for item, c in counters.items():
                 rows.append((*key, pid or 0, str(item), int(c), int(e)))
         cols = scols + ["__pid", "item", "cnt", "err"]
@@ -173,7 +180,8 @@ def mg_topk(
         parts = []
         for pid, g in pdf.groupby("__pid", sort=True):
             e = int(g["err"].iloc[0])
-            parts.append((dict(zip(g["item"], g["cnt"])), e))
+            real = g[g["item"].notna()]
+            parts.append((dict(zip(real["item"], real["cnt"])), e))
         counters, err = mg_merge_counts(parts, kk)
         if require_exact and err != 0:
             raise ValueError(
@@ -181,6 +189,14 @@ def mg_topk(
                 f"(err={err}) — counts are no longer exact"
             )
         items = sorted(counters.items())
+        if not items and err > 0:
+            # every counter was evicted: the interval information
+            # ("any absent item has true <= err") must still reach the
+            # caller — one NULL-item row carries it
+            return pd.DataFrame(
+                [(*key, None, 0, int(err))],
+                columns=scols + ["item", "est_count", "err"],
+            )
         return pd.DataFrame(
             [(*key, item, int(c), int(err)) for item, c in items],
             columns=scols + ["item", "est_count", "err"],
@@ -209,14 +225,23 @@ def mg_topk_oracle_sql(
     plain per-stratum counts with err = 0. Valid whenever every
     (partition, stratum) holds ≤ k distinct items and the union does
     too — guarded Spark-side by ``require_exact``; the truncating
-    regime has no SQL twin and is bound-checked in pytest."""
+    regime has no SQL twin and is bound-checked in pytest.
+
+    The cast to VARCHAR happens BEFORE the GROUP BY (in a subquery),
+    matching the Spark side's cast-then-count: raw values that are
+    SQL-equal but stringify differently (-0.0 vs 0.0 doubles) must
+    count as the distinct string items the operator emits."""
     scp = (", ".join(strata) + ",") if strata else ""
-    gb = f"GROUP BY {scp} {item_col}".rstrip(",")
+    gb = f"GROUP BY {scp} item".rstrip(",")
     return f"""
-WITH x AS ({inner_sql})
-SELECT {scp} CAST({item_col} AS VARCHAR) AS item,
+WITH x AS ({inner_sql}),
+i AS (
+  SELECT {scp} CAST({item_col} AS VARCHAR) AS item
+  FROM x WHERE {item_col} IS NOT NULL
+)
+SELECT {scp} item,
        COUNT(*) AS est_count,
        CAST(0 AS BIGINT) AS err
-FROM x WHERE {item_col} IS NOT NULL
+FROM i
 {gb}
 """

@@ -1050,7 +1050,7 @@ def neighborhood_function(
     max_t: int = 8,
     src: str = "src",
     dst: str = "dst",
-    rel_tol: float = 0.002,
+    rel_tol: float = 0.0,
     pre_deduped: bool = False,
 ) -> DataFrame:
     """HyperBall (Boldi & Vigna, 2013): the neighborhood function
@@ -1061,10 +1061,15 @@ def neighborhood_function(
     sizes from ALL nodes at once: exact all-pairs is O(n·E) and dead
     at web scale; this is O(t · E) with 256 registers per node).
 
-    Returns ``(t, n_pairs_est)`` for t = 0..T (T ≤ max_t; iteration
-    stops early once N(t) grows by less than ``rel_tol`` — the
-    standard effective-diameter read: the first t with N(t) ≥
-    0.9·N(T) is the 90 % effective diameter). Estimates use m=256
+    Returns ``(t, n_pairs_est)`` for t = 0..T (T ≤ max_t; the loop
+    stops at EXACT saturation — no register changed, HyperBall's own
+    termination rule, detected as an unchanged (row count, Σrho)
+    signature, both monotone under MAX-merge. ``rel_tol > 0``
+    additionally enables an OPT-IN budget cap on sub-tolerance N(t)
+    growth; it is approximate — a bottleneck graph can grow slowly
+    before a later surge — hence off by default. The standard read:
+    the first t with N(t) ≥ 0.9·N(T) is the 90 % effective
+    diameter). Estimates use m=256
     registers (σ ≈ 6.5 % per node, much tighter on the sum); the
     register rank is the module-standard md5 split with
     ``53 - bitlen`` (`operators/hll.py` docstring: never floor(log2)),
@@ -1136,6 +1141,11 @@ def neighborhood_function(
         return float(total or 0.0)
 
     out = [(0, round(n_est(regs), 6))]
+    prev_sig = tuple(
+        regs.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("rho").alias("s")
+        ).collect()[0]
+    )
     for t in range(1, max_t + 1):
         contrib = e.join(
             regs.withColumnRenamed("node", "dst"), "dst"
@@ -1147,9 +1157,26 @@ def neighborhood_function(
             .localCheckpoint(eager=True)
         )
         n_t = n_est(regs)
+        sig = tuple(
+            regs.agg(
+                F.count(F.lit(1)).alias("c"), F.sum("rho").alias("s")
+            ).collect()[0]
+        )
         out.append((t, round(n_t, 6)))
-        if out[-2][1] > 0 and (n_t - out[-2][1]) / out[-2][1] < rel_tol:
-            break
+        if sig == prev_sig:
+            break  # EXACT saturation: register rows and ranks only
+            # ever grow under MAX-merge, so an unchanged (count, sum)
+            # means no register changed — HyperBall's own termination
+            # rule, not a growth heuristic
+        prev_sig = sig
+        if rel_tol > 0 and out[-2][1] > 0 and (
+            (n_t - out[-2][1]) / out[-2][1] < rel_tol
+        ):
+            break  # OPTIONAL budget cap: N(t) growth below rel_tol.
+            # Approximate — a bottleneck graph (two clusters joined by
+            # a narrow chain) can grow slowly NOW and surge LATER, so
+            # the exact rule above is the default (rel_tol=0.0) and
+            # this early exit is opt-in for capped exploratory runs
     spark = edges.sparkSession
     return spark.createDataFrame(out, "t int, n_pairs_est double")
 
@@ -1212,6 +1239,7 @@ def neighborhood_function_oracle_sql(edges_cte: str, max_t: int = 3) -> str:
     unions = "\n  UNION ALL".join(
         est.format(t=t) for t in range(0, max_t + 1)
     )
+    steps_sql = (",\n" + ",\n".join(steps)) if steps else ""
     return f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte})),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
@@ -1226,7 +1254,6 @@ r0 AS (
                                         AS BIGINT)))
          END AS rho
   FROM h0
-),
-{", ".join(steps)}
+){steps_sql}
 SELECT CAST(t AS INTEGER) AS t, n_pairs_est FROM ({unions})
 """

@@ -124,3 +124,38 @@ def test_layout_determinism_and_guards(spark):
     )
     out = mg_topk(dfn, "host", (), require_exact=True).collect()
     assert [(r["item"], r["est_count"]) for r in out] == [("a", 2)]
+
+
+def test_null_strata_preserved_and_empty_summary_err(spark):
+    """NULL stratum values form a real group (the SQL twin's GROUP BY
+    keeps them — pandas' dropna default must not eat them), and a
+    summary whose truncation EMPTIES its counter set still delivers
+    its error mass: require_exact raises, and the all-evicted output
+    carries one NULL-item interval row instead of vanishing."""
+    rows = [(None, "h1"), (None, "h1"), ("en", "h1"), ("en", "h2")]
+    df = spark.createDataFrame(rows, "lang string, host string")
+    got = sorted(
+        (
+            (r["lang"] or "", r["item"], r["est_count"], r["err"])
+            for r in mg_topk(
+                df, "host", ("lang",), require_exact=True
+            ).collect()
+        )
+    )
+    assert got == [
+        ("", "h1", 2, 0),
+        ("en", "h1", 1, 0),
+        ("en", "h2", 1, 0),
+    ]
+
+    # one partition, k=2, three items with EQUAL counts: the MG cut
+    # d equals every count, all counters evicted, err = d = 2
+    df2 = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), ("c",)], "host string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="truncated"):
+        mg_topk(df2, "host", (), k=2, require_exact=True).collect()
+    out = mg_topk(df2, "host", (), k=2).collect()
+    assert len(out) == 1 and out[0]["item"] is None
+    assert out[0]["est_count"] == 0 and out[0]["err"] == 2
+    # the interval statement holds: every absent item has true <= err

@@ -48,9 +48,11 @@ def test_accuracy_vs_exact_bfs(spark):
         (r["t"], r["n_pairs_est"])
         for r in neighborhood_function(df, max_t=8).collect()
     )
+    # default = exact-saturation stop, and this graph is still growing
+    # at t=8, so EVERY t must be present (no heuristic early exit)
+    assert sorted(got) == list(range(9))
     for t, true in enumerate(exact):
-        if t in got:
-            assert abs(got[t] - true) / true < 0.10, (t, got[t], true)
+        assert abs(got[t] - true) / true < 0.10, (t, got[t], true)
     # monotone non-decreasing curve
     curve = [got[t] for t in sorted(got)]
     assert curve == sorted(curve)
@@ -81,10 +83,13 @@ def test_oracle_parity_and_determinism(spark):
     assert got == again
 
 
-def test_early_stop_and_diameter(spark):
-    """A 10-node directed cycle saturates at t=9; the default rel_tol
-    stops the loop at saturation instead of running max_t out, and the
-    0.9-effective diameter lands near 0.9·(n-1)."""
+def test_saturation_stop_and_diameter(spark):
+    """A 10-node directed cycle saturates at t=9; the EXACT
+    register-signature rule stops the loop there instead of running
+    max_t=30 out, and the 0.9-effective diameter lands near
+    0.9·(n-1). The opt-in rel_tol budget cap stops earlier — and is
+    therefore NOT the default (a bottleneck graph can grow slowly
+    before a later surge)."""
     n = 10
     edges = [(i, (i + 1) % n) for i in range(n)]
     df = spark.createDataFrame(edges, "src long, dst long")
@@ -93,10 +98,28 @@ def test_early_stop_and_diameter(spark):
         for r in neighborhood_function(df, max_t=30).collect()
     )
     ts = [t for t, _ in rows]
-    assert max(ts) <= 11  # stopped at saturation, not 30
-    # every ball is exact here (10 <= 2.5*256 linear-counting regime):
-    # N(t) ~= n*(t+1) up to saturation
+    assert max(ts) <= 11  # stopped at exact saturation, not 30
     d = effective_diameter(rows, q=0.9)
     assert 7.0 <= d <= 9.5
+    # opt-in budget cap: a huge tolerance exits well before saturation
+    capped = neighborhood_function(df, max_t=30, rel_tol=0.5).collect()
+    assert max(r["t"] for r in capped) < max(ts)
     with pytest.raises(ValueError, match="max_t"):
         neighborhood_function(df, max_t=-1)
+
+
+def test_oracle_handles_zero_iterations(spark):
+    """max_t=0: both sides emit just the t=0 point (the oracle's CTE
+    chain must stay syntactically valid with no unrolled steps)."""
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [tuple(r) for r in neighborhood_function(df, max_t=0).collect()]
+    con = duckdb.connect()
+    con.register("e0", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = [
+        tuple(r)
+        for r in con.execute(
+            neighborhood_function_oracle_sql("SELECT src, dst FROM e0", 0)
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 1 and got[0][0] == 0
