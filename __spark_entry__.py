@@ -2502,6 +2502,27 @@ def q_neighborhood_fn(spark, sf_dir):
     return neighborhood_function(edges, max_t=3, rel_tol=0.0)
 
 
+def q_harmonic(spark, sf_dir):
+    """Harmonic centrality via HyperBall (`graph.harmonic_centrality`,
+    Boldi & Vigna's axiomatically-preferred importance measure):
+    H(v) = Σ 1/d(u,v) estimated for every node from the same
+    256-register sketches as `neighborhood_fn` — the crawl-priority
+    signal exact all-pairs distances can't deliver at 10^10 nodes.
+    The per-round difference quotients accumulate in a fixed-order
+    left-associated double sum the unrolled DuckDB oracle writes out
+    verbatim, so the whole centrality column hash-matches."""
+    from crawl_spark.operators.graph import harmonic_centrality
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    edges = d.select(
+        (i % 97).alias("src"), ((i * 7 + 3) % 97).alias("dst")
+    ).unionByName(
+        d.select((i % 50).alias("src"), ((i + 1) % 50).alias("dst"))
+    )
+    return harmonic_centrality(edges, max_t=3)
+
+
 def q_mg_hosts(spark, sf_dir):
     """Misra-Gries frequent-items summary (`operators/freq.py`) — the
     frequency arm of the sketch family (KLL quantiles / HLL
@@ -2702,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcard": q_robots_wildcard,
         "mg_hosts": q_mg_hosts,
         "neighborhood_fn": q_neighborhood_fn,
+        "harmonic": q_harmonic,
         "asset_filter": q_asset_filter,
         "redirects": q_redirects,
         "ann_recall": q_ann_recall,
@@ -5147,6 +5169,16 @@ FROM r LEFT JOIN term t USING (node)
     from crawl_spark.operators.graph import neighborhood_function_oracle_sql
 
     sql["neighborhood_fn"] = neighborhood_function_oracle_sql(
+        """SELECT doc_id % 97 AS src, (doc_id * 7 + 3) % 97 AS dst
+FROM documents
+UNION ALL
+SELECT doc_id % 50, (doc_id + 1) % 50 FROM documents""",
+        max_t=3,
+    )
+
+    from crawl_spark.operators.graph import harmonic_centrality_oracle_sql
+
+    sql["harmonic"] = harmonic_centrality_oracle_sql(
         """SELECT doc_id % 97 AS src, (doc_id * 7 + 3) % 97 AS dst
 FROM documents
 UNION ALL

@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     # round-5 continuation: HyperBall neighborhood function (per-node
     # HLL balls pushed along edges — all JVM partial aggregates)
     "neighborhood_fn",
+    # round-5 continuation: harmonic centrality from the same sketches
+    "harmonic",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages

@@ -1045,6 +1045,49 @@ def trustrank_oracle_sql(
     )
 
 
+def _hb_init_registers(nodes: DataFrame) -> DataFrame:
+    """One HyperBall register row per node (its own md5 hash): m=256
+    (2 hex chars of index), rank = 53 - bitlen of the next 13 hex
+    chars — the `operators/hll.py` contract at p=8."""
+    h = F.md5(F.col("node").cast("string").cast("binary"))
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    return nodes.select(
+        "node",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("idx"),
+        F.when(w == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho"),
+    ).localCheckpoint(eager=True)
+
+
+def _hb_ball_est(regs: DataFrame) -> DataFrame:
+    """(node, est): the m=256 bias-corrected HLL estimate of each
+    node's ball from its sparse register rows — exact BIGINT
+    micro-units (z·2^53 ≤ 257·2^53 < 2^62), full-precision doubles
+    (callers round)."""
+    agg = regs.groupBy("node").agg(
+        F.count(F.lit(1)).alias("p"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(53) - F.col("rho")).cast("bigint")
+        ).alias("zm"),
+    )
+    m = F.lit(256.0)
+    z = (
+        (F.col("zm") + (F.lit(256) - F.col("p")) * F.lit(1 << 53))
+        .cast("double")
+        / F.lit(float(1 << 53))
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    e_raw = alpha * m * m / z
+    zero = m - F.col("p").cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5) * m) & (zero > F.lit(0.0)),
+        m * F.log(m / zero),
+    ).otherwise(e_raw)
+    return agg.select("node", est.alias("est"))
+
+
 def neighborhood_function(
     edges: DataFrame,
     max_t: int = 8,
@@ -1100,44 +1143,17 @@ def neighborhood_function(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    h = F.md5(F.col("node").cast("string").cast("binary"))
-    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
-    regs = nodes.select(
-        "node",
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("idx"),
-        F.when(w == 0, F.lit(53))
-        .otherwise(F.lit(53) - F.length(F.bin(w)))
-        .cast("int")
-        .alias("rho"),
-    ).localCheckpoint(eager=True)
+    regs = _hb_init_registers(nodes)
 
     def n_est(r: DataFrame) -> float:
-        # exact BIGINT micro-units: z*2^53 <= 257*2^53 < 2^62
-        agg = r.groupBy("node").agg(
-            F.count(F.lit(1)).alias("p"),
-            F.sum(
-                F.pow(F.lit(2.0), F.lit(53) - F.col("rho")).cast("bigint")
-            ).alias("zm"),
-        )
-        m = F.lit(256.0)
-        z = (
-            (F.col("zm") + (F.lit(256) - F.col("p")) * F.lit(1 << 53))
-            .cast("double")
-            / F.lit(float(1 << 53))
-        )
-        alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
-        e_raw = alpha * m * m / z
-        zero = m - F.col("p").cast("double")
-        est = F.when(
-            (e_raw <= F.lit(2.5) * m) & (zero > F.lit(0.0)),
-            m * F.log(m / zero),
-        ).otherwise(e_raw)
         # per-node estimates rounded to 6 dp then summed as DECIMAL —
         # exact and order-independent, so N(t) is the same bits on any
         # layout AND in the DuckDB oracle's unrolled replay
-        total = agg.agg(
-            F.sum(F.round(est, 6).cast("decimal(28,6)")).alias("s")
-        ).collect()[0]["s"]
+        total = (
+            _hb_ball_est(r)
+            .agg(F.sum(F.round("est", 6).cast("decimal(28,6)")).alias("s"))
+            .collect()[0]["s"]
+        )
         return float(total or 0.0)
 
     out = [(0, round(n_est(regs), 6))]
@@ -1256,4 +1272,175 @@ r0 AS (
   FROM h0
 ){steps_sql}
 SELECT CAST(t AS INTEGER) AS t, n_pairs_est FROM ({unions})
+"""
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    max_t: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    direction: str = "in",
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Harmonic centrality via HyperBall (Boldi & Vigna — "Axioms for
+    centrality" singles harmonic out as THE well-behaved importance
+    measure on directed graphs with unreachable pairs):
+
+        H(v) = Σ_{u ≠ v} 1 / d(u, v)
+             = Σ_{t ≥ 1} (|B(v,t)| − |B(v,t−1)|) / t
+
+    estimated for every node from the same per-node 256-register
+    sketches as :func:`neighborhood_function` — the centrality a crawl
+    scheduler actually wants at 10^10 nodes, where exact all-pairs
+    distances are unreachable and PageRank needs a damping prior.
+
+    ``direction="in"`` (default) scores v by the nodes that can REACH
+    v — link authority, the Boldi-Vigna convention (sketches push
+    along forward edges: an edge u→v hands u's ball to v);
+    ``direction="out"`` scores reach instead (v's descendants).
+
+    Returns ``(node, harmonic)`` rounded to 6 dp. The per-round
+    difference quotients accumulate in a fixed t-order left-associated
+    sum of full-precision doubles — exactly the expression the
+    unrolled DuckDB oracle writes out, so the whole centrality column
+    hash-matches bit for bit (`harmonic_centrality_oracle_sql`).
+    Rounds past saturation contribute EXACTLY 0.0 (unchanged registers
+    → identical ball estimate), so the exact-saturation early stop
+    never changes the result vs a full unroll.
+
+    Scale shape: identical to :func:`neighborhood_function` (all-JVM
+    join + partial-agg MAX per round) plus two O(nodes) joins per
+    round for the running sum — no window, no Python, state
+    localCheckpointed.
+    """
+    if max_t < 0:
+        raise ValueError("harmonic_centrality: max_t must be >= 0")
+    if direction not in ("in", "out"):
+        raise ValueError("harmonic_centrality: direction must be in|out")
+    a, b = (src, dst) if direction == "out" else (dst, src)
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    if not pre_deduped:
+        e = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    regs = _hb_init_registers(nodes)
+    prev = _hb_ball_est(regs).localCheckpoint(eager=True)
+    hc = prev.select("node", F.lit(0.0).alias("hc")).localCheckpoint(
+        eager=True
+    )
+    prev_sig = tuple(
+        regs.agg(F.count(F.lit(1)).alias("c"), F.sum("rho").alias("s"))
+        .collect()[0]
+    )
+    for t in range(1, max_t + 1):
+        contrib = e.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "idx", "rho")
+        regs = (
+            regs.unionByName(contrib)
+            .groupBy("node", "idx")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        ball = _hb_ball_est(regs).localCheckpoint(eager=True)
+        hc = (
+            hc.join(prev.withColumnRenamed("est", "__p"), "node")
+            .join(ball.withColumnRenamed("est", "__b"), "node")
+            .select(
+                "node",
+                (
+                    F.col("hc")
+                    + (F.col("__b") - F.col("__p")) / F.lit(float(t))
+                ).alias("hc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev = ball
+        sig = tuple(
+            regs.agg(F.count(F.lit(1)).alias("c"), F.sum("rho").alias("s"))
+            .collect()[0]
+        )
+        if sig == prev_sig:
+            break  # saturated: every further term is exactly 0.0
+        prev_sig = sig
+    return hc.select("node", F.round("hc", 6).alias("harmonic"))
+
+
+def harmonic_centrality_oracle_sql(
+    edges_cte: str, max_t: int = 3, direction: str = "in"
+) -> str:
+    """DuckDB twin of :func:`harmonic_centrality`: the same unrolled
+    join+MAX register stages as `neighborhood_function_oracle_sql`,
+    then per-node ball estimates b0..bT and the identical fixed-order
+    left-associated difference-quotient sum, rounded once."""
+    if direction not in ("in", "out"):
+        raise ValueError("direction must be in|out")
+    flip = (
+        "SELECT src, dst FROM e0"
+        if direction == "out"
+        else "SELECT dst AS src, src AS dst FROM e0"
+    )
+    ball = """
+b{t} AS (
+  SELECT node,
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z
+                   <= 2.5 * 256.0
+               AND v > 0.0
+              THEN 256.0 * ln(256.0 / v)
+              ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z
+         END AS est
+  FROM (
+    SELECT node,
+           CAST(zm + (256 - p) * CAST(9007199254740992 AS BIGINT)
+                AS DOUBLE) / 9007199254740992.0 AS z,
+           CAST(256 - p AS DOUBLE) AS v
+    FROM (SELECT node, COUNT(*) AS p,
+                 SUM(CAST(POWER(2.0, 53 - rho) AS BIGINT)) AS zm
+          FROM r{t} GROUP BY node) a
+  )
+)"""
+    steps = []
+    for t in range(1, max_t + 1):
+        steps.append(
+            f"""r{t} AS (
+  SELECT node, idx, MAX(rho) AS rho FROM (
+    SELECT node, idx, rho FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, r.idx, r.rho
+    FROM e JOIN r{t - 1} r ON r.node = e.dst
+  ) GROUP BY node, idx
+)"""
+        )
+    balls = [ball.format(t=t) for t in range(0, max_t + 1)]
+    terms = " + ".join(
+        f"(b{t}.est - b{t - 1}.est) / {float(t)!r}"
+        for t in range(1, max_t + 1)
+    ) or "0.0"
+    joins = " ".join(
+        f"JOIN b{t} ON b{t}.node = b0.node" for t in range(1, max_t + 1)
+    )
+    steps_sql = (",\n" + ",\n".join(steps)) if steps else ""
+    return f"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM ({flip})),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+h0 AS (
+  SELECT node, md5(CAST(node AS VARCHAR)) AS hx FROM nodes
+),
+r0 AS (
+  SELECT node,
+         CAST('0x' || substr(hx, 1, 2) AS INTEGER) AS idx,
+         CASE WHEN CAST('0x' || substr(hx, 3, 13) AS BIGINT) = 0 THEN 53
+              ELSE 53 - length(bin(CAST('0x' || substr(hx, 3, 13)
+                                        AS BIGINT)))
+         END AS rho
+  FROM h0
+){steps_sql},
+{",".join(balls)}
+SELECT b0.node AS node, round(0.0 + {terms}, 6) AS harmonic
+FROM b0 {joins}
 """

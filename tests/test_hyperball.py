@@ -123,3 +123,67 @@ def test_oracle_handles_zero_iterations(spark):
         ).fetchall()
     ]
     assert got == want and len(got) == 1 and got[0][0] == 0
+
+
+def test_harmonic_centrality_semantics_and_parity(spark):
+    """Star graph: the center (reached by all 8 leaves at distance 1)
+    scores ~8, leaves score 0 under direction='in'; 'out' flips it.
+    Both directions hash-match the unrolled DuckDB oracle bit for
+    bit, and saturation early-stop equals the full unroll (post-
+    saturation difference quotients are exactly 0)."""
+    from crawl_spark.operators.graph import (
+        harmonic_centrality,
+        harmonic_centrality_oracle_sql,
+    )
+
+    star = [(i, 0) for i in range(1, 9)]
+    sdf = spark.createDataFrame(star, "src long, dst long")
+    hin = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(sdf, max_t=4).collect()
+    }
+    assert abs(hin[0] - 8.0) < 8 * 0.35 and hin[0] > 4  # m=256 error
+    assert all(hin[i] == 0.0 for i in range(1, 9))
+    hout = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(sdf, max_t=4, direction="out").collect()
+    }
+    assert hout[0] == 0.0 and hout[1] > 0.5
+
+    edges = [(i % 61, (i * 5 + 2) % 61) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    con = duckdb.connect()
+    con.register("esrc", pd.DataFrame(edges, columns=["src", "dst"]))
+    for direction in ("in", "out"):
+        got = sorted(
+            tuple(r)
+            for r in harmonic_centrality(
+                df, max_t=3, direction=direction
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                harmonic_centrality_oracle_sql(
+                    "SELECT src, dst FROM esrc", 3, direction
+                )
+            ).fetchall()
+        )
+        assert got == want, direction
+    # saturation-stop == full unroll: a 4-node path saturates at t=3;
+    # Spark (stops early) must equal the oracle unrolled to t=6
+    path = [(0, 1), (1, 2), (2, 3)]
+    pdf_ = spark.createDataFrame(path, "src long, dst long")
+    got = sorted(
+        tuple(r) for r in harmonic_centrality(pdf_, max_t=6).collect()
+    )
+    con.register("p0", pd.DataFrame(path, columns=["src", "dst"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            harmonic_centrality_oracle_sql("SELECT src, dst FROM p0", 6)
+        ).fetchall()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="direction"):
+        harmonic_centrality(pdf_, direction="sideways")
