@@ -24,6 +24,18 @@ h2 = splitmix64(h1) — all numpy uint64 vector ops inside mapInPandas
 bucketed by host_hash % n_buckets, built/merged distributedly with
 applyInPandas, then broadcast; per-bucket bitmaps persist to the round
 snapshot for resume.
+
+Why Bloom and not cuckoo (the north rule offers either): a cuckoo
+filter's two advantages are deletion and slightly better bits/key at
+low FPP — and BOTH are worthless here. The seen-set is append-only by
+engine invariant (a url never re-enters the frontier; CLAUDE.md), so
+deletion support buys nothing; and the delta-log state design needs
+filters that MERGE — Bloom bitmaps union with a plain bitwise OR
+(exactly how per-round deltas fold into the snapshot filter, see
+``update_bitmaps``), while merging two cuckoo tables re-inserts every
+fingerprint and can FAIL on overflow, which would make the
+compaction path fallible. A pre-filter whose merge can't fail beats
+one that saves ~1 bit/key.
 """
 
 from __future__ import annotations
