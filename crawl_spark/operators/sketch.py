@@ -49,7 +49,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["KLL", "kll_quantiles", "kll_quantiles_oracle_sql"]
+__all__ = [
+    "KLL",
+    "kll_quantiles",
+    "kll_quantiles_oracle_sql",
+    "kll_to_bytes",
+    "kll_from_bytes",
+]
 
 
 class KLL:
@@ -309,3 +315,40 @@ SELECT {sc}, p.p AS p,
 FROM v JOIN p ON v.rn >= GREATEST(CEIL(p.p * v.n), 1)
 GROUP BY {sc}, p.p, v.n
 """
+
+
+def kll_to_bytes(sk: KLL) -> bytes:
+    """Explicit binary state for the streaming arm (no pickle: the
+    layout is part of the streaming-checkpoint contract): k, vmin,
+    vmax, level count, then per level a length + raw float64 bytes."""
+    import struct
+
+    parts = [
+        struct.pack("<qddq", sk.k, sk.vmin, sk.vmax, len(sk.levels))
+    ]
+    for buf in sk.levels:
+        b = np.ascontiguousarray(buf, dtype=np.float64).tobytes()
+        parts.append(struct.pack("<q", len(buf)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def kll_from_bytes(raw: bytes) -> KLL:
+    """Inverse of :func:`kll_to_bytes`."""
+    import struct
+
+    k, vmin, vmax, nlev = struct.unpack_from("<qddq", raw, 0)
+    off = struct.calcsize("<qddq")
+    sk = KLL(int(k))
+    sk.vmin, sk.vmax = float(vmin), float(vmax)
+    levels = []
+    for _ in range(int(nlev)):
+        (ln,) = struct.unpack_from("<q", raw, off)
+        off += 8
+        levels.append(
+            np.frombuffer(raw, dtype=np.float64, count=int(ln), offset=off
+                          ).copy()
+        )
+        off += int(ln) * 8
+    sk.levels = levels if levels else [np.empty(0, dtype=np.float64)]
+    return sk

@@ -491,3 +491,85 @@ def host_distinct_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+QUANTILE_STREAM_SCHEMA = "stratum string, p double, q double, n long"
+_QUANTILE_STREAM_STATE = "sketch binary"
+
+
+def score_quantiles_stream(
+    spark: SparkSession,
+    source_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    stratum_col: str = "stratum",
+    score_col: str = "score",
+    probs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    k: int = 256,
+    available_now: bool = False,
+):
+    """CUSTOM STATEFUL operator (applyInPandasWithState): per-stratum
+    running quantiles over a score stream — the streaming arm of
+    `operators/sketch.py`, completing the state-store sketch triple
+    (host_rate_stream = rates, host_distinct_stream = cardinality,
+    this = quantiles; each keeps BOUNDED per-key state forever).
+
+    State per stratum is ONE serialized deterministic KLL sketch
+    (`kll_to_bytes` — an explicit binary layout, not pickle: the
+    format is part of the streaming-checkpoint contract), folded with
+    the same `KLL.add` the batch operator's partial pass uses. One row
+    per (stratum, prob) per micro-batch. In the exact (uncompacted)
+    regime the emissions are BIT-IDENTICAL to the batch
+    `kll_quantiles` over everything streamed, fold order
+    notwithstanding; in the compacting regime they carry the same
+    ~O(1/k) rank-error bound (the batch twin's pytest contract).
+    NaN/NULL scores are dropped, like the batch arm.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketch import KLL, kll_from_bytes, kll_to_bytes
+
+    plist = [float(p) for p in probs]
+    if not plist or len(set(plist)) != len(plist):
+        raise ValueError("score_quantiles_stream: probs must be distinct"
+                         " and non-empty")
+    src = source_df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd  # executor-side import
+
+        sk = (
+            kll_from_bytes(state.get[0]) if state.exists else KLL(k)
+        )
+        for pdf in pdfs:
+            vals = pdf["score"].to_numpy(dtype="float64", na_value=float("nan"))
+            sk.add(vals)  # KLL.add drops NaN itself
+        state.update((kll_to_bytes(sk),))
+        yield pd.DataFrame(
+            {
+                "stratum": [key[0]] * len(plist),
+                "p": plist,
+                "q": [round(sk.quantile(p), 6) for p in plist],
+                "n": [sk.n] * len(plist),
+            }
+        )
+
+    agg = src.groupBy("stratum").applyInPandasWithState(
+        update,
+        outputStructType=QUANTILE_STREAM_SCHEMA,
+        stateStructType=_QUANTILE_STREAM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -394,3 +394,62 @@ def test_host_distinct_stream_matches_batch_hll(spark, tmp_path):
     # and the estimates are near truth (400 and 40 distinct)
     assert abs(last["h1.example"][1] - 400) / 400 < 0.1
     assert abs(last["h2.example"][1] - 40) / 40 < 0.1
+
+
+def test_score_quantiles_stream_matches_batch_kll(spark, tmp_path):
+    """Streaming KLL arm: per-stratum sketch state survives across
+    availableNow runs, and in the exact (uncompacted) regime the final
+    emission is BIT-IDENTICAL to the batch kll_quantiles over the
+    union of everything streamed — completing the state-store sketch
+    triple (rates / cardinality / quantiles)."""
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.sketch import kll_quantiles
+    from crawl_spark.streaming.feed import score_quantiles_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir, ckpt = str(tmp_path / "q"), str(tmp_path / "ck_q")
+    os.makedirs(in_dir)
+    probs = (0.0, 0.1, 0.5, 0.9, 1.0)
+    b1 = [
+        {"stratum": "en", "score": float((i * 37) % 101)} for i in range(60)
+    ] + [{"stratum": "de", "score": float(i)} for i in range(40)]
+    b2 = [
+        {"stratum": "en", "score": float(200 + i)} for i in range(30)
+    ] + [{"stratum": "de", "score": None}]  # NULL dropped like batch
+    _write_json(os.path.join(in_dir, "b1.json"), b1)
+    schema = "stratum string, score double"
+    mk = lambda: spark.readStream.schema(schema).json(in_dir)  # noqa: E731
+    q = score_quantiles_stream(
+        spark, mk(), out_dir, ckpt, probs=probs, k=256, available_now=True
+    )
+    q.awaitTermination(120)
+    _write_json(os.path.join(in_dir, "b2.json"), b2)
+    q2 = score_quantiles_stream(
+        spark, mk(), out_dir, ckpt, probs=probs, k=256, available_now=True
+    )
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    last = {
+        (r["stratum"], r["p"]): (r["q"], r["n"])
+        for r in out.join(
+            out.groupBy("stratum").agg(F.max("n").alias("n")),
+            ["stratum", "n"],
+        ).collect()
+    }
+    rows = [r for r in b1 + b2 if r["score"] is not None]
+    batch = {
+        (r["lang"], r["p"]): (r["q"], r["n"])
+        for r in kll_quantiles(
+            spark.createDataFrame(
+                [(r["stratum"], r["score"]) for r in rows],
+                "lang string, score double",
+            ),
+            probs=probs,
+            k=256,
+            require_exact=True,  # uncompacted: stream == batch exactly
+        ).collect()
+    }
+    assert last == batch
+    assert last[("en", 1.0)][1] == 90  # 60 + 30, resumed from state
