@@ -877,6 +877,63 @@ def main() -> None:
         robots_verdicts(urls_df, rules_df),
     )
 
+    # 42. Misra-Gries partials: the raw item column dies inside the
+    # mapInPandas task; only <= P*k counter rows reach the merge
+    from crawl_spark.operators.freq import mg_topk
+
+    mg_in = docs.select(
+        "lang",
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias(
+            "host"
+        ),
+    )
+    cap(
+        "Misra-Gries frequent items (bounded counter rows, no key shuffle)",
+        "Round-5 continuation (operators/freq.py): what the plan must "
+        "show: scan → project → MapInPandas (the per-partition fold — "
+        "the raw item column never leaves the task) → ONE Exchange of "
+        "counter rows bounded at P·k per stratum → "
+        "FlatMapGroupsInPandas (the one-shot order-independent merge). "
+        "No Window, no join, nothing O(input) past the map stage.",
+        mg_topk(mg_in, "host", ("lang",)),
+    )
+
+    # 43. HyperBall iteration: all-JVM join + partial-agg MAX (shown
+    # for one unrolled step over the initial registers)
+    from crawl_spark.operators.graph import _hb_init_registers
+
+    hb_edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
+    ).distinct()
+    hb_nodes = (
+        hb_edges.select(F.col("src").alias("node"))
+        .unionByName(hb_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hb_regs = _hb_init_registers(hb_nodes)
+    hb_step = (
+        hb_regs.unionByName(
+            hb_edges.join(
+                hb_regs.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "idx", "rho")
+        )
+        .groupBy("node", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    cap(
+        "HyperBall round (register push along edges, partial-agg MAX)",
+        "Round-5 continuation (operators/graph.neighborhood_function / "
+        "harmonic_centrality): ONE iteration's physical plan. What it "
+        "must show: a hash join pushing (idx, rho) int pairs along the "
+        "edge table, then a partial_max HashAggregate BELOW the "
+        "Exchange — a hub's 10^7 in-links combine map-side; no Window, "
+        "no Python, register rows are the only shuffled payload. (At "
+        "10^10 edges the edge side is laid out bucketed by dst and "
+        "scans in place, the pagerank pattern on the other key.)",
+        hb_step,
+    )
+
     out = ["# PLANS — physical-plan evidence", ""]
     out.append(
         "Generated by `python tools/dump_plans.py` (Spark "
