@@ -1061,6 +1061,21 @@ def _hb_init_registers(nodes: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
+def _hb_push_round(e: DataFrame, regs: DataFrame) -> DataFrame:
+    """One HyperBall iteration: push every node's registers along the
+    (reversed-at-call-site) edges and MAX-merge — the single source of
+    the round rule for `neighborhood_function`, `harmonic_centrality`
+    and the PLANS.md capture."""
+    contrib = e.join(
+        regs.withColumnRenamed("node", "dst"), "dst"
+    ).select(F.col("src").alias("node"), "idx", "rho")
+    return (
+        regs.unionByName(contrib)
+        .groupBy("node", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def _hb_ball_est(regs: DataFrame) -> DataFrame:
     """(node, est): the m=256 bias-corrected HLL estimate of each
     node's ball from its sparse register rows — exact BIGINT
@@ -1163,15 +1178,7 @@ def neighborhood_function(
         ).collect()[0]
     )
     for t in range(1, max_t + 1):
-        contrib = e.join(
-            regs.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "idx", "rho")
-        regs = (
-            regs.unionByName(contrib)
-            .groupBy("node", "idx")
-            .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
-        )
+        regs = _hb_push_round(e, regs).localCheckpoint(eager=True)
         n_t = n_est(regs)
         sig = tuple(
             regs.agg(
@@ -1300,11 +1307,15 @@ def harmonic_centrality(
     along forward edges: an edge u→v hands u's ball to v);
     ``direction="out"`` scores reach instead (v's descendants).
 
-    Returns ``(node, harmonic)`` rounded to 6 dp. The per-round
-    difference quotients accumulate in a fixed t-order left-associated
-    sum of full-precision doubles — exactly the expression the
-    unrolled DuckDB oracle writes out, so the whole centrality column
-    hash-matches bit for bit (`harmonic_centrality_oracle_sql`).
+    Returns ``(node, harmonic)`` rounded to 6 dp, always ≥ 0: each
+    per-round difference quotient is clamped at 0 because the HLL ball
+    estimate is not strictly monotone across the linear-counting/raw
+    branch boundary, and harmonic centrality is nonnegative by
+    definition. The clamped quotients accumulate in a fixed t-order
+    left-associated sum of full-precision doubles — exactly the
+    expression the unrolled DuckDB oracle writes out, so the whole
+    centrality column hash-matches bit for bit
+    (`harmonic_centrality_oracle_sql`).
     Rounds past saturation contribute EXACTLY 0.0 (unchanged registers
     → identical ball estimate), so the exact-saturation early stop
     never changes the result vs a full unroll.
@@ -1337,15 +1348,7 @@ def harmonic_centrality(
         .collect()[0]
     )
     for t in range(1, max_t + 1):
-        contrib = e.join(
-            regs.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "idx", "rho")
-        regs = (
-            regs.unionByName(contrib)
-            .groupBy("node", "idx")
-            .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
-        )
+        regs = _hb_push_round(e, regs).localCheckpoint(eager=True)
         ball = _hb_ball_est(regs).localCheckpoint(eager=True)
         hc = (
             hc.join(prev.withColumnRenamed("est", "__p"), "node")
@@ -1354,7 +1357,14 @@ def harmonic_centrality(
                 "node",
                 (
                     F.col("hc")
-                    + (F.col("__b") - F.col("__p")) / F.lit(float(t))
+                    # clamp at 0: the HLL ball estimate is NOT strictly
+                    # monotone across the linear-counting/raw branch
+                    # boundary, and a negative quotient would leak a
+                    # (definitionally nonnegative) negative centrality
+                    + F.when(
+                        F.col("__b") > F.col("__p"),
+                        (F.col("__b") - F.col("__p")) / F.lit(float(t)),
+                    ).otherwise(F.lit(0.0))
                 ).alias("hc"),
             )
             .localCheckpoint(eager=True)
@@ -1417,9 +1427,11 @@ b{t} AS (
         )
     balls = [ball.format(t=t) for t in range(0, max_t + 1)]
     terms = " + ".join(
-        f"(b{t}.est - b{t - 1}.est) / {float(t)!r}"
+        f"(CASE WHEN b{t}.est > b{t - 1}.est"
+        f" THEN (b{t}.est - b{t - 1}.est) / {float(t)!r}"
+        f" ELSE 0.0 END)"
         for t in range(1, max_t + 1)
-    ) or "0.0"
+    ) or "CAST(0.0 AS DOUBLE)"
     joins = " ".join(
         f"JOIN b{t} ON b{t}.node = b0.node" for t in range(1, max_t + 1)
     )

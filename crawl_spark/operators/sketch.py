@@ -317,14 +317,20 @@ GROUP BY {sc}, p.p, v.n
 """
 
 
+_KLL_MAGIC = b"KLL1"  # bump on ANY layout change: a version mismatch
+# must be a named failure, never a silently-garbage sketch
+
+
 def kll_to_bytes(sk: KLL) -> bytes:
     """Explicit binary state for the streaming arm (no pickle: the
-    layout is part of the streaming-checkpoint contract): k, vmin,
-    vmax, level count, then per level a length + raw float64 bytes."""
+    layout is part of the streaming-checkpoint contract): magic+version
+    tag, then k, vmin, vmax, level count, then per level a length +
+    raw float64 bytes."""
     import struct
 
     parts = [
-        struct.pack("<qddq", sk.k, sk.vmin, sk.vmax, len(sk.levels))
+        _KLL_MAGIC,
+        struct.pack("<qddq", sk.k, sk.vmin, sk.vmax, len(sk.levels)),
     ]
     for buf in sk.levels:
         b = np.ascontiguousarray(buf, dtype=np.float64).tobytes()
@@ -334,11 +340,18 @@ def kll_to_bytes(sk: KLL) -> bytes:
 
 
 def kll_from_bytes(raw: bytes) -> KLL:
-    """Inverse of :func:`kll_to_bytes`."""
+    """Inverse of :func:`kll_to_bytes`. Rejects unknown versions and
+    trailing junk loudly instead of reinterpreting bytes."""
     import struct
 
-    k, vmin, vmax, nlev = struct.unpack_from("<qddq", raw, 0)
-    off = struct.calcsize("<qddq")
+    if raw[:4] != _KLL_MAGIC:
+        raise ValueError(
+            "kll_from_bytes: bad magic/version "
+            f"{raw[:4]!r} (expected {_KLL_MAGIC!r}) — checkpoint written "
+            "by an incompatible sketch layout"
+        )
+    k, vmin, vmax, nlev = struct.unpack_from("<qddq", raw, 4)
+    off = 4 + struct.calcsize("<qddq")
     sk = KLL(int(k))
     sk.vmin, sk.vmax = float(vmin), float(vmax)
     levels = []
@@ -350,5 +363,10 @@ def kll_from_bytes(raw: bytes) -> KLL:
                           ).copy()
         )
         off += int(ln) * 8
+    if off != len(raw):
+        raise ValueError(
+            f"kll_from_bytes: {len(raw) - off} trailing bytes — "
+            "corrupt or layout-drifted checkpoint"
+        )
     sk.levels = levels if levels else [np.empty(0, dtype=np.float64)]
     return sk

@@ -137,6 +137,21 @@ def parse_kafka_seed_records(df: DataFrame) -> DataFrame:
     )
 
 
+def _start_parquet_sink(df, out_dir: str, checkpoint_dir: str,
+                        available_now: bool):
+    """Shared append-mode parquet stream sink (one place to evolve
+    sink options for every streaming operator in this module)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def kafka_seed_feed(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -222,15 +237,7 @@ def seed_feed_stream(
         ).dropDuplicatesWithinWatermark(["url_canon"])
     else:
         staged = staged.dropDuplicates(["url_canon"])
-    writer = (
-        staged.writeStream.format("parquet")
-        .option("path", staging_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(staged, staging_dir, checkpoint_dir, available_now)
 
 
 def _parquet_complete(path: str) -> bool:
@@ -329,15 +336,7 @@ def metrics_rollup_stream(
     agg = rollup_windows(
         raw.withWatermark("event_ts", watermark), window=window
     )
-    writer = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(agg, out_dir, checkpoint_dir, available_now)
 
 
 HOST_RATE_SCHEMA = (
@@ -409,15 +408,7 @@ def host_rate_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    writer = (
-        rates.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(rates, out_dir, checkpoint_dir, available_now)
 
 
 HOST_DISTINCT_SCHEMA = "host string, n_registers long, n_distinct_est double"
@@ -482,15 +473,7 @@ def host_distinct_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    writer = (
-        counts.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(counts, out_dir, checkpoint_dir, available_now)
 
 
 QUANTILE_STREAM_SCHEMA = "stratum string, p double, q double, n long"
@@ -548,6 +531,11 @@ def score_quantiles_stream(
             vals = pdf["score"].to_numpy(dtype="float64", na_value=float("nan"))
             sk.add(vals)  # KLL.add drops NaN itself
         state.update((kll_to_bytes(sk),))
+        if sk.n == 0:
+            # all scores so far NULL/NaN: the batch arm emits NO rows
+            # for an n=0 stratum — emitting (p, NaN, 0) here would
+            # diverge from the twin and leak NaN downstream
+            return
         yield pd.DataFrame(
             {
                 "stratum": [key[0]] * len(plist),
@@ -564,12 +552,4 @@ def score_quantiles_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    writer = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(agg, out_dir, checkpoint_dir, available_now)

@@ -199,3 +199,37 @@ def test_kll_quantiles_null_scores_and_missing_strata(spark):
         kll_quantiles(df, "score", ("lang",), ())
     with pytest.raises(ValueError):
         KLL(4)
+
+
+def test_kll_bytes_roundtrip_and_versioning():
+    """The streaming-checkpoint serialization: bit-exact round trip
+    (levels, extremes, quantiles, still-usable sketch), and LOUD
+    rejection of unknown versions and trailing junk — layout drift
+    must be a named failure, never a silently-garbage sketch."""
+    import numpy as np
+    import pytest
+
+    from crawl_spark.operators.sketch import (
+        KLL,
+        kll_from_bytes,
+        kll_to_bytes,
+    )
+
+    rng = np.random.RandomState(1)
+    sk = KLL(64)
+    sk.add(rng.normal(0, 1, 5000))
+    raw = kll_to_bytes(sk)
+    rt = kll_from_bytes(raw)
+    assert rt.k == sk.k and rt.n == sk.n
+    assert rt.vmin == sk.vmin and rt.vmax == sk.vmax
+    assert all((a == b).all() for a, b in zip(rt.levels, sk.levels))
+    for p in (0.0, 0.1, 0.5, 0.9, 1.0):
+        assert rt.quantile(p) == sk.quantile(p)
+    rt.add(rng.normal(0, 1, 100))  # usable after round trip
+    # empty sketch round-trips too
+    empty = kll_from_bytes(kll_to_bytes(KLL(32)))
+    assert empty.n == 0
+    with pytest.raises(ValueError, match="magic"):
+        kll_from_bytes(b"XXXX" + raw[4:])
+    with pytest.raises(ValueError, match="trailing"):
+        kll_from_bytes(raw + b"\x00")

@@ -900,7 +900,10 @@ def main() -> None:
 
     # 43. HyperBall iteration: all-JVM join + partial-agg MAX (shown
     # for one unrolled step over the initial registers)
-    from crawl_spark.operators.graph import _hb_init_registers
+    from crawl_spark.operators.graph import (
+        _hb_init_registers,
+        _hb_push_round,
+    )
 
     hb_edges = docs.select(
         (F.col("doc_id") % 97).alias("src"),
@@ -912,15 +915,7 @@ def main() -> None:
         .distinct()
     )
     hb_regs = _hb_init_registers(hb_nodes)
-    hb_step = (
-        hb_regs.unionByName(
-            hb_edges.join(
-                hb_regs.withColumnRenamed("node", "dst"), "dst"
-            ).select(F.col("src").alias("node"), "idx", "rho")
-        )
-        .groupBy("node", "idx")
-        .agg(F.max("rho").alias("rho"))
-    )
+    hb_step = _hb_push_round(hb_edges, hb_regs)
     cap(
         "HyperBall round (register push along edges, partial-agg MAX)",
         "Round-5 continuation (operators/graph.neighborhood_function / "
