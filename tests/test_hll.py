@@ -144,3 +144,77 @@ def test_duckdb_oracle_parity(spark):
         w0[0],
         float(w0[1]),
     )
+
+
+def test_unicode_value_parity_across_engines(spark):
+    """Adversarial unicode items (emoji, astral plane, CJK, combining
+    marks, NFC-vs-NFD spellings, RTL, null-adjacent controls) through
+    the THREE md5-keyed operators added this round — Spark's
+    cast-to-UTF-8-binary md5, DuckDB's md5(VARCHAR) and Python's
+    .encode('utf-8') must agree on every byte or the cross-engine
+    contract silently diverges on real web text."""
+    from crawl_spark.operators.freq import mg_topk, mg_topk_oracle_sql
+    from crawl_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_oracle_sql,
+    )
+
+    items = [
+        "plain-ascii", "café", "café",  # NFC vs NFD
+        "日本語テキスト", "🦀🚀", "\U0001F9E1x",  # CJK + astral
+        "عربي", "עברית",  # RTL
+        "a\tb", "line\nbreak", " nbsp", "​zwsp",
+        "mixed🦀and日本語", "ß", "İstanbul",
+    ]
+    rows = [(items[i % len(items)], i % 3, float(i % 7 + 1)) for i in range(900)]
+    df = spark.createDataFrame(rows, "url string, grp int, weight double")
+    pdf = pd.DataFrame(rows, columns=["url", "grp", "weight"])
+    con = duckdb.connect()
+    con.register("u0", pdf)
+
+    # hll: registers over unicode urls, host = grp
+    g1 = sorted(
+        tuple(r)
+        for r in hll_distinct(
+            df.select(F.col("grp").cast("string").alias("host"), "url")
+        ).collect()
+    )
+    w1 = sorted(
+        (h, int(n), float(e))
+        for h, n, e in con.execute(
+            hll_distinct_oracle_sql(
+                "SELECT CAST(grp AS VARCHAR) AS host, url FROM u0"
+            )
+        ).fetchall()
+    )
+    assert [(a, b, float(c)) for a, b, c in g1] == w1
+
+    # mg: unicode ITEMS in the exact regime
+    g2 = sorted(
+        tuple(r)
+        for r in mg_topk(df, "url", (), require_exact=True).collect()
+    )
+    w2 = sorted(
+        tuple(r)
+        for r in con.execute(
+            mg_topk_oracle_sql("SELECT url FROM u0", "url", ())
+        ).fetchall()
+    )
+    assert g2 == w2
+
+    # weighted sample: unicode IDS drive the md5 priority
+    df3 = df.select(F.col("url").alias("doc_id"), "weight").distinct()
+    con.register("u3", pdf[["url", "weight"]].drop_duplicates())
+    g3 = sorted(
+        tuple(r)
+        for r in weighted_sample(df3, 6, "weight", "doc_id", ()).collect()
+    )
+    w3 = sorted(
+        tuple(r)
+        for r in con.execute(
+            weighted_sample_oracle_sql(
+                "SELECT url AS doc_id, weight FROM u3", 6, "weight", "doc_id"
+            )
+        ).fetchall()
+    )
+    assert g3 == w3

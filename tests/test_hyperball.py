@@ -187,3 +187,60 @@ def test_harmonic_centrality_semantics_and_parity(spark):
     assert got == want
     with pytest.raises(ValueError, match="direction"):
         harmonic_centrality(pdf_, direction="sideways")
+
+
+def test_hyperball_bucketed_edges_never_shuffle(spark, tmp_path):
+    """The 10^10-edge claim, asserted on the plan: with the edge table
+    laid out bucketed by dst (the pagerank pattern on the other key),
+    one push round scans the edges in place — Bucketed: true, NO
+    Exchange on the edge side of the join; only the register side
+    moves. Registers are exact MAX merges, so the bucketed and plain
+    layouts produce bit-identical register tables."""
+    from pyspark.sql import functions as F
+
+    from crawl_spark.operators.graph import (
+        _hb_init_registers,
+        _hb_push_round,
+    )
+
+    e = spark.range(2000).select(
+        (F.col("id") % 97).alias("src"),
+        ((F.col("id") * 31 + 7) % 97).alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    regs = _hb_init_registers(nodes)
+    plain = sorted(
+        (r["node"], r["idx"], r["rho"])
+        for r in _hb_push_round(e, regs).collect()
+    )
+    spark.sql("DROP TABLE IF EXISTS hb_edges_test")
+    (
+        e.write.bucketBy(8, "dst")
+        .sortBy("dst")
+        .option("path", str(tmp_path / "hb_edges"))
+        .mode("overwrite")
+        .saveAsTable("hb_edges_test")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        stepped = _hb_push_round(spark.table("hb_edges_test"), regs)
+        bucketed = sorted(
+            (r["node"], r["idx"], r["rho"]) for r in stepped.collect()
+        )
+        plan = stepped._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        after = plan.split("SortMergeJoin")[1].splitlines()[1:]
+        edge_side = [l for l in after if l.lstrip().startswith(":")]
+        assert edge_side and any("FileScan" in l for l in edge_side)
+        assert not any("Exchange" in l for l in edge_side)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS hb_edges_test")
+    assert bucketed == plain  # exact MAX merge: layout cannot matter
