@@ -132,11 +132,35 @@ def one_run(cpus: int, master: str | None = None) -> None:
         # fixture's shared template spans give real corpus-wide losers
         return span_dedup(d, n=15, sep=" ")
 
+    def q_hll_tokens(d):
+        # round-5 cardinality arm: explode to ~24M token rows, distinct
+        # per 512 hosts — codegen md5 projection + the bounded
+        # partial-max register shuffle (the shape §e8 profiles)
+        from crawl_spark.operators.hll import hll_distinct
+
+        toks = d.select(
+            (F.col("doc_id") % 512).cast("string").alias("host"),
+            F.explode(F.split(F.col("text"), " ")).alias("url"),
+        )
+        return hll_distinct(toks, "url", ("host",))
+
+    def q_mg_tokens(d):
+        # round-5 frequency arm: same exploded tokens through the
+        # mapInPandas counter fold (Arrow-batch pandas value_counts)
+        from crawl_spark.operators.freq import mg_topk
+
+        toks = d.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        return mg_topk(toks, "token", (), k=2048)
+
     queries = [
         ("fingerprint", q_fingerprint),
         ("repeated_spans", q_repeated_spans),
         ("dsir_score", q_dsir_score),
         ("span_dedup", q_span_dedup),
+        ("hll_tokens", q_hll_tokens),
+        ("mg_tokens", q_mg_tokens),
     ]
     warm = docs.limit(2000).localCheckpoint()  # JIT/codegen warm-up slice
     timings = {}
