@@ -2502,6 +2502,34 @@ def q_neighborhood_fn(spark, sf_dir):
     return neighborhood_function(edges, max_t=3, rel_tol=0.0)
 
 
+def q_theta_overlap(spark, sf_dir):
+    """KMV/theta intersection (`operators/theta.py`) — the
+    set-operation arm of the sketch family: campaign-overlap
+    cardinality per language, which HLL's MAX-merge cannot answer
+    (unions only). Two synthesized url sets with a known 1/3 overlap;
+    contract scale sits in the exact regime (both sketches
+    unsaturated, θ=1), where the estimate IS the exact overlap and
+    plain SQL replays every step (bottom-k via row_number, identical
+    md5 hv integers, identical θ rule); the saturated estimator's
+    error bounds are pytest-pinned (tests/test_theta.py)."""
+    from crawl_spark.operators.theta import theta_intersect, theta_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    a = d.select(
+        F.col("lang"),
+        F.concat(F.lit("https://p/"), (i % 300).cast("string")).alias("url"),
+    )
+    b = d.select(
+        F.col("lang"),
+        F.concat(F.lit("https://p/"), (i % 300 + 200).cast("string"))
+        .alias("url"),
+    )
+    ka = theta_sketch(a, "url", ("lang",), k=4096)
+    kb = theta_sketch(b, "url", ("lang",), k=4096)
+    return theta_intersect(ka, kb, ("lang",), k=4096)
+
+
 def q_harmonic(spark, sf_dir):
     """Harmonic centrality via HyperBall (`graph.harmonic_centrality`,
     Boldi & Vigna's axiomatically-preferred importance measure):
@@ -2724,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_hosts": q_mg_hosts,
         "neighborhood_fn": q_neighborhood_fn,
         "harmonic": q_harmonic,
+        "theta_overlap": q_theta_overlap,
         "asset_filter": q_asset_filter,
         "redirects": q_redirects,
         "ann_recall": q_ann_recall,
@@ -5174,6 +5203,17 @@ FROM documents
 UNION ALL
 SELECT doc_id % 50, (doc_id + 1) % 50 FROM documents""",
         max_t=3,
+    )
+
+    from crawl_spark.operators.theta import theta_intersect_oracle_sql
+
+    sql["theta_overlap"] = theta_intersect_oracle_sql(
+        "SELECT lang, 'https://p/' || (doc_id % 300) AS url FROM documents",
+        "SELECT lang, 'https://p/' || (doc_id % 300 + 200) AS url"
+        " FROM documents",
+        "url",
+        ("lang",),
+        4096,
     )
 
     from crawl_spark.operators.graph import harmonic_centrality_oracle_sql

@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "neighborhood_fn",
     # round-5 continuation: harmonic centrality from the same sketches
     "harmonic",
+    # round-5 continuation: KMV/theta set-operation sketch (campaign
+    # overlap — the intersection HLL cannot answer)
+    "theta_overlap",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf0.1 -> 200k pages
